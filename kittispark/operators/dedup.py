@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard (north-star per BASELINE.json).
+
+Scale design (the point of each choice):
+- Exact dedup is a hash groupBy on the full text (or sha2 digest at
+  100 TB so the shuffle carries 32 bytes, not documents).
+- MinHash-LSH: shingle -> k minhash signature -> band hashes ->
+  groupBy band hash. Only same-bucket docs ever meet, so the
+  candidate join is output-bounded instead of O(n^2). All hashing is
+  xxhash64 + affine permutations in pure column expressions (JVM
+  codegen, no UDF); arithmetic is kept under 2^62 so ANSI mode never
+  overflows.
+- SimHash: 64-bit sign-aggregated token hashes via a vectorized
+  Arrow pandas UDF (numpy bit ops) — the documented Python-kernel
+  slot; banding on 16-bit chunks gives the candidate join.
+- n-gram Jaccard: exact verification join over distinct shingles —
+  inverted-index shape (explode -> self-equi-join on shingle), the
+  standard verify stage after LSH candidates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kittispark.operators.text import tokens_col
+
+# Modulus for minhash permutations: largest 31-bit prime, so
+# a * h + b stays < 2^62 (ANSI-safe int64).
+MINHASH_P = 2_147_483_647
+# Deterministic affine permutation parameters (seeded constants, not
+# runtime-random: reruns and resumed jobs must agree).
+_MINHASH_PARAMS = [
+    (1_103_515_245 + 12_345 * i, 1_013_904_223 + 789_221 * i) for i in range(16)
+]
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """n-token shingles as an array column (empty if doc shorter
+    than n — guarded so ``sequence`` never gets a descending range)."""
+    toks = tokens_col(text_col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: min id kept per identical text.
+    At 100 TB, group by sha2(text) instead of the text itself so the
+    shuffle key is fixed-width."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """doc_id + minhash signature array<long> of length num_hashes.
+
+    Shape: explode shingles -> hash once -> ONE groupBy(doc_id) with
+    num_hashes min-aggregates. Each shingle is hashed exactly once
+    (a nested per-row transform would recompute the shingle array per
+    signature element after projection collapse — measured 25x slower),
+    and the partial+final hash agg keeps the shuffle at one row per
+    (doc, partial) — the 100 TB-safe layout. min() is duplicate-
+    insensitive, so no distinct pass over shingles is needed for set
+    semantics. Docs shorter than the shingle width yield no signature
+    (they can't be near-dups by this measure)."""
+    if num_hashes > len(_MINHASH_PARAMS):
+        raise ValueError(f"num_hashes <= {len(_MINHASH_PARAMS)}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col)).alias("sh"),
+    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P)).alias("h"))
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(
+                f"_m{i}"
+            )
+            for i, (a, b) in enumerate(_MINHASH_PARAMS[:num_hashes])
+        ]
+    )
+    return sig.select(
+        "doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banding.
+
+    Explode signature into ``bands`` band-hashes, self-join within
+    (band_id, band_hash) buckets, dedupe pairs. The join key is the
+    band hash — a skew-safe 8-byte key; AQE splits any hot bucket.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.element_at("signature", b * rows + r + 1) for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band_id", "band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing at least
+    one shingle (inverted-index join; the verify stage after LSH)."""
+    ds = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text_col)).alias("sh")
+    ).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas kernel
+    (numpy bit ops — the reference's NumPy-kernel hosting pattern,
+    SURVEY §2.8). Stays fully distributed: mapInPandas, no shuffle."""
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                # FNV-1a 64-bit per token, vectorized over characters.
+                hashes = np.array(
+                    [_fnv1a64(tok) for tok in toks], dtype=np.uint64
+                )
+                bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for j in np.nonzero(votes > 0)[0]:
+                    sh |= np.uint64(1) << np.uint64(j)
+                out_ids.append(doc_id)
+                out_hashes.append(np.int64(sh.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        kernel, schema=_SIMHASH_SCHEMA
+    )
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dup_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on at least one 16-bit
+    band (Hamming-distance blocking): explode 4 bands, equi-join."""
+    sh = simhash(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", F.posexplode(bands).alias("band_id", "band_val"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

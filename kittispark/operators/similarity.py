@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the candidate corpus; all arithmetic is built-in higher-order
+functions in double precision (zip_with dot product folded
+left-to-right, so a SQL oracle reproduces it bit-for-bit).
+
+Scale path: random-hyperplane LSH bucketing (sign sketch of r
+projections -> equi-join on bucket) so each query only meets its
+bucket — the O(n^2) cross product becomes output-bounded, same shape
+as the MinHash banding join. An IVF variant (nearest-of-C-centroids
+partitioning) is the other standard layout; LSH is chosen here
+because it needs no iterative training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic pseudo-random hyperplanes: seeded LCG constants (no
+# runtime randomness — plans must be reproducible across runs).
+_LCG_A, _LCG_C, _LCG_M = 6_364_136_223_846_793_005, 1_442_695_040_888_963_407, 1 << 63
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    state = seed & 0x7FFFFFFFFFFFFFFF
+    out = []
+    for _ in range(dim):
+        state = (_LCG_A * state + _LCG_C) % _LCG_M
+        out.append((state / _LCG_M) * 2.0 - 1.0)
+    return out
+
+
+def as_double(col: str | Column) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast(
+        "array<double>"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right folded dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x candidates, rank
+    within each query with a deterministic tiebreak. The exhaustive
+    baseline every ANN variant is measured against."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 2024) -> Column:
+    """Sign-sketch bucket id from num_planes random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed + p)])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only same-LSH-bucket candidates are scored.
+
+    At 100 TB the bucket column is precomputed and the table is
+    bucketed/partitioned by it, so a query touches one partition
+    instead of the full corpus.
+    """
+    from pyspark.sql import Window as W
+
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    Exhaustive half-matrix, computed as broadcast-GEMM: the normalized
+    corpus matrix is broadcast once, and each Arrow batch of rows is
+    scored against it with one numpy matmul (BLAS). This is the same
+    distribution shape as a broadcast hash join — row side stays
+    partitioned, small side replicated — and beats the pair-explosion
+    join (12.5M interpreted zip_with folds at 5k vectors: ~74 s; this:
+    <1 s). Fits corpora to ~1M x 64 in executor memory; beyond that,
+    block the corpus and join on block-pair ids (or prefilter with
+    lsh_bucket) — documented scale path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat))
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        all_ids, all_mat = bc.value
+        for pdf_in in batches:
+            q_ids = pdf_in[id_col].to_numpy(dtype="int64")
+            q = np.stack(pdf_in[vec_col].to_numpy()).astype("float64")
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            rows_i, cols_j = np.nonzero(
+                (sims >= threshold) & (q_ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[rows_i],
+                    "id_b": all_ids[cols_j],
+                    "sim": np.round(sims[rows_i, cols_j], 4),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)

@@ -1,0 +1,113 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+tokenization, quality scoring, language-ID, fingerprinting.
+
+Everything here is built-in column expressions (JVM-side, codegen) —
+the 100 TB-safe path. Documents never leave the executors; each
+operator is a narrow projection or a single hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small stopword profiles for the language-ID heuristic. Hit-rate of
+# each profile over the token stream approximates language likelihood.
+EN_STOPWORDS = frozenset(
+    {"the", "a", "an", "of", "and", "to", "in", "is", "that", "it", "for", "on"}
+)
+DE_STOPWORDS = frozenset(
+    {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"}
+)
+ES_STOPWORDS = frozenset(
+    {"el", "la", "los", "las", "de", "y", "que", "es", "un", "una", "en"}
+)
+FR_STOPWORDS = frozenset(
+    {"le", "la", "les", "de", "et", "est", "un", "une", "que", "dans"}
+)
+
+MOD = 1_000_000_007
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens. `split` on a literal single space (not a
+    regex class) so the DuckDB oracle `string_split` is semantically
+    identical."""
+    return F.split(text, " ")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_col(text_col))
+
+
+def quality_cols(text_col: str = "text") -> list[Column]:
+    """Quality-scoring expressions: token counts, type/token ratio,
+    average token length. Round-6 so oracle hashes are stable."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    return [
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct.cast("double") / n_tokens, 6).alias("type_token_ratio"),
+        F.round(
+            F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens,
+            6,
+        ).alias("avg_token_len"),
+    ]
+
+
+def stopword_score(text_col: str, stopwords: frozenset[str]) -> Column:
+    """Fraction of tokens that hit a stopword profile."""
+    toks = tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(stopwords)])
+    return F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double") / F.size(toks)
+
+
+def lang_id_stopwords(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID over four stopword profiles: argmax of hit rates
+    with an 'unk' floor. Pure expressions — one projection, no UDF."""
+    profiles = {
+        "en": EN_STOPWORDS,
+        "de": DE_STOPWORDS,
+        "es": ES_STOPWORDS,
+        "fr": FR_STOPWORDS,
+    }
+    scored = df.select(
+        "*", *[stopword_score(text_col, sw).alias(f"score_{lg}") for lg, sw in profiles.items()]
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in profiles])
+    pred = F.when(best < 0.02, F.lit("unk"))
+    for lg in profiles:
+        pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
+    return scored.withColumn("lang_pred", pred)
+
+
+def doc_fingerprint_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive positional polynomial fingerprint mod 1e9+7.
+
+    posexplode -> per-token term -> sum mod — an explode plus one
+    partial+final hash agg, so it scales like any groupBy. Arithmetic
+    stays in int64 (terms < 1e9+7, group sizes << 1e9) and uses no
+    engine-specific hash, so a SQL oracle can reproduce it exactly.
+    """
+    toks = df.select(
+        df.doc_id, F.posexplode(tokens_col(text_col)).alias("pos0", "tok")
+    )
+    term = (
+        ((F.col("pos0") + 1).cast("long") * 31
+         + F.length("tok").cast("long") * 17
+         + F.ascii(F.substring("tok", 1, 1)).cast("long"))
+        % MOD
+    )
+    return (
+        toks.select("doc_id", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("term") % MOD).alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""Event-table queries: the reference's per-frame percentile rescale
+(P7/A5, data_pipeline.py:29-30 — its one non-trivial aggregate)
+re-expressed per user over event time, plus the batch analogs of the
+streaming surface (tumbling windows, sessionization) and the JSON
+scalar family. Streaming-proper versions live in
+kittispark.streaming; these batch twins are what the DuckDB oracle
+can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+
+
+@register(
+    "percentile_per_group",
+    oracle="""
+    SELECT user_id,
+           round(quantile_cont(value, 0.05), 6) AS p05,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    doc="Exact interpolated percentile per group — reference A5 "
+    "np.percentile(point_cloud[:,2], 5) per frame "
+    "(data_pipeline.py:29). Exact percentile shuffles whole groups; "
+    "percentile_approx is the single-pass mergeable 100 TB variant "
+    "(same call site, documented trade-off).",
+    tags=("agg", "kitti-analog"),
+)
+def percentile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.round(F.percentile("value", 0.05), 6).alias("p05"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rescale_by_percentile",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, quantile_cont(value, 0.05) AS p05
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round(e.value - s.p05, 6) AS value_rescaled
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
+    doc="Aggregate-to-detail rejoin: per-group percentile broadcast back "
+    "onto detail rows and subtracted — the z-ground-plane rescale "
+    "(reference P7/J2, data_pipeline.py:29-30). The KITTI-exact "
+    "operator is kittispark.operators.kitti.rescale_z.",
+    tags=("join", "kitti-analog"),
+)
+def rescale_by_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    stats = events.groupBy("user_id").agg(F.percentile("value", 0.05).alias("p05"))
+    return events.join(F.broadcast(stats), "user_id").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.col("p05"), 6).alias("value_rescaled"),
+    )
+
+
+@register(
+    "json_extract_group",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k_value,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="JSON field extraction from a string column + grouped agg "
+    "(SURVEY §2.6 date/json row: absent from reference, built-in).",
+    tags=("scalar",),
+)
+def json_extract_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.get_json_object("props", "$.k").alias("k_value"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="10-minute tumbling event-time window aggregation (batch twin "
+    "of streaming window(ts, '10 minutes') — Spark aligns windows to "
+    "the epoch origin, so start == floor(epoch/600)*600).",
+    tags=("window", "streaming-analog"),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap via lag + "
+    "cumulative flags — batch twin of session_window(ts, '30 minutes') "
+    "in streaming. Gap compares fractional epoch seconds on both "
+    "engines so microsecond boundaries agree.",
+    tags=("window", "streaming-analog"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    flagged = events.select(
+        "user_id",
+        F.when(prev.isNull(), 1)
+        .when(F.col("ts").cast("double") - prev > 1800.0, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(value), 6)         AS avg_value,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(min(value), 6)         AS min_value,
+           round(max(value), 6)         AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Moment-based statistics per event type (stddev is the "
+    "mergeable two-level agg shape that scales to 100 TB).",
+    tags=("agg",),
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )

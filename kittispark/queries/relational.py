@@ -1,0 +1,791 @@
+"""Generic relational operator surface (SURVEY.md §2.2-§2.6).
+
+Each query demonstrates one operator family on the TPC-H-ish fixtures
+and carries a DuckDB oracle twin. The Spark side is written the way it
+should run at 100 TB: filters appear before joins (Catalyst pushes
+them into the parquet scan), small dimensions are explicitly
+``broadcast()``, aggregations are single-pass multi-agg (partial +
+final hash agg), and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+
+
+# --------------------------------------------------------------------------
+# Aggregation (SURVEY A1-A7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2)                                       AS avg_qty,
+           round(avg(l_extendedprice), 2)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filtered scan -> 2-key hash agg with 8 aggregates "
+    "in one pass (reference analog: A1-A4 multi-aggregate fold, "
+    "data_pipeline.py:31-43).",
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "envelope_minmax",
+    oracle="""
+    SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+           min(l_discount) AS min_disc, max(l_discount) AS max_disc,
+           min(l_tax) AS min_tax, max(l_tax) AS max_tax
+    FROM lineitem
+    """,
+    doc="Global per-column min/max envelope in one pass (reference A1: "
+    "min_point/max_point fold, data_pipeline.py:31-32).",
+    tags=("agg",),
+)
+def envelope_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+        F.min("l_tax").alias("min_tax"),
+        F.max("l_tax").alias("max_tax"),
+    )
+
+
+@register(
+    "group_count_stats",
+    oracle="""
+    SELECT min(n) AS min_n, round(avg(n), 4) AS avg_n, max(n) AS max_n,
+           count(*) AS n_groups
+    FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+    """,
+    doc="Two-level aggregation: per-group count then global min/avg/max of "
+    "counts (reference A6 per-frame point-count stats, "
+    "data_pipeline.py:80-84).",
+    tags=("agg",),
+)
+def group_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_cust.agg(
+        F.min("n").alias("min_n"),
+        F.round(F.avg("n"), 4).alias("avg_n"),
+        F.max("n").alias("max_n"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Distinct aggregation (expand + two-phase agg under the hood); "
+    "absent from the reference, SURVEY §2.4 generalized surface.",
+    tags=("agg",),
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "group_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (SURVEY §2.4: absent from reference, "
+    "free in Spark).",
+    tags=("agg",),
+)
+def group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "group_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two grouping columns (SURVEY §2.4 generalized surface).",
+    tags=("agg",),
+)
+def group_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "pivot_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot expressed as conditional aggregation (Spark .pivot() "
+    "compiles to the same shape; SURVEY §2.4).",
+    tags=("agg",),
+)
+def pivot_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / predicates (SURVEY P8-P10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "box_filter_conjunctive",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity > 10 AND l_quantity < 40
+      AND l_extendedprice > 5000 AND l_extendedprice < 50000
+      AND l_discount > 0.02 AND l_discount < 0.08
+    """,
+    doc="Conjunctive 6-way range predicate — the 3-D box containment "
+    "filter of the cut-out generator (reference P8, "
+    "data_pipeline.py:77-79). Pushdown-friendly: reaches the parquet "
+    "scan as PushedFilters, so at 100 TB row-groups outside the box "
+    "are skipped via min/max stats.",
+    tags=("filter",),
+)
+def box_filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 10)
+        & (F.col("l_quantity") < 40)
+        & (F.col("l_extendedprice") > 5000)
+        & (F.col("l_extendedprice") < 50000)
+        & (F.col("l_discount") > 0.02)
+        & (F.col("l_discount") < 0.08)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "category_filter_in",
+    oracle="""
+    SELECT p_partkey, p_brand, p_type, p_size
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_size <> 7
+    """,
+    doc="IN-list inclusion + exclusion predicate (reference P9 DontCare "
+    "exclusion data_pipeline.py:37, P10 class IN-list visualize.py:68-81).",
+    tags=("filter",),
+)
+def category_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+        & (F.col("p_size") != 7)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(count(nullif(l_discount, 0.0)) AS BIGINT) AS n_discounted,
+           round(avg(nullif(l_discount, 0.0)), 6) AS avg_nonzero_disc,
+           round(sum(coalesce(nullif(l_discount, 0.0), 0.0)), 6) AS sum_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="NULL-aware scalar ops: nullif/coalesce + null-skipping agg "
+    "(SURVEY §1.2: reference has no nulls; generalized surface).",
+    tags=("filter", "scalar"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    nonzero = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nonzero).alias("n_discounted"),
+        F.round(F.avg(nonzero), 6).alias("avg_nonzero_disc"),
+        F.round(F.sum(F.coalesce(nonzero, F.lit(0.0))), 6).alias("sum_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY J1-J3 + generalized)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_three_way",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+    doc="Three-way equi-join fact->dim->dim with post-join agg — the "
+    "points ⋈ labels ⋈ calib frame join (reference J1, "
+    "data_pipeline.py:18). Filter is pushed below the join; customer "
+    "is broadcast (small dim) so the only shuffle is lineitem⋈orders "
+    "on the shared orderkey.",
+    tags=("join",),
+)
+def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> join -> agg -> "
+    "deterministic top-k (ORDER BY with key tiebreak + LIMIT; Spark "
+    "plans a TakeOrderedAndProject, no full sort at scale).",
+    tags=("join", "topk"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="Five-table snowflake join rolled up to nation. nation/region "
+    "are bounded-size dims -> broadcast; only the fact-fact join "
+    "shuffles. At 100 TB AQE re-plans the customer join to broadcast "
+    "iff the filtered side fits.",
+    tags=("join",),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS). Absent from reference (SURVEY §2.3); "
+    "Spark: how='left_semi' — no row duplication, no payload from the "
+    "probe side.",
+    tags=("join",),
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    tags=("join",),
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "left_outer_join",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           coalesce(r.r_name, 'NO REGION') AS region_name
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey <> 0
+    """,
+    doc="Left outer join chain with a non-key join condition and NULL "
+    "backfill via coalesce (generalized surface).",
+    tags=("join",),
+)
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey, "left")
+        .join(
+            F.broadcast(region),
+            (nation.n_regionkey == region.r_regionkey) & (region.r_regionkey != 0),
+            "left",
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.coalesce("r_name", F.lit("NO REGION")).alias("region_name"),
+        )
+    )
+
+
+@register(
+    "range_join_nonequi",
+    oracle="""
+    SELECT o.o_orderkey, b.bucket_id
+    FROM orders o
+    JOIN (SELECT 0 AS bucket_id, 0.0 AS lo, 100000.0 AS hi
+          UNION ALL SELECT 1, 100000.0, 250000.0
+          UNION ALL SELECT 2, 250000.0, 500000.0) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    doc="Non-equi (range/theta) join against a tiny bucket table — "
+    "broadcast nested loop in Spark; absent from reference (SURVEY "
+    "§2.3). At scale the small side must be broadcast or the range "
+    "bucketized into an equi-key.",
+    tags=("join",),
+)
+def range_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [(0, 0.0, 100000.0), (1, 100000.0, 250000.0), (2, 250000.0, 500000.0)],
+        "bucket_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return orders.join(
+        F.broadcast(buckets),
+        (orders.o_totalprice >= buckets.lo) & (orders.o_totalprice < buckets.hi),
+    ).select("o_orderkey", "bucket_id")
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.5: absent from reference, generalized)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="UNION (distinct) of two key sets.",
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="INTERSECT (distinct semantics on both engines).",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="EXCEPT (distinct semantics on both engines).",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# Sort / limit (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_by_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    doc="Global deterministic top-k (total order via key tiebreaks). "
+    "Spark executes as per-partition top-k + merge "
+    "(TakeOrderedAndProject) — no global sort even at 100 TB.",
+    tags=("topk",),
+)
+def order_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_type)                          AS type_upper,
+           lower(p_brand)                         AS brand_lower,
+           substr(p_name, 1, 8)                   AS name_prefix,
+           CAST(length(p_name) AS INT)            AS name_len,
+           concat(p_brand, '|', p_type)           AS brand_type,
+           replace(p_brand, 'Brand#', 'B')        AS brand_short,
+           CAST(contains(p_type, 'a') AS BOOLEAN) AS has_a,
+           CAST(starts_with(p_brand, 'Brand#1') AS BOOLEAN) AS is_b1x
+    FROM part
+    """,
+    doc="String function family: case, substring, length, concat, "
+    "replace, containment, prefix (reference §2.6 string ops: "
+    "endswith/split/basename/contains).",
+    tags=("scalar",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.col("p_type").contains("a").alias("has_a"),
+        F.col("p_brand").startswith("Brand#1").alias("is_b1x"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(year(o_orderdate) AS INT)    AS order_year,
+           CAST(month(o_orderdate) AS INT)   AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Date/time function family: truncation, field extraction, "
+    "formatted output (absent from reference — SURVEY §2.6 date row).",
+    tags=("scalar",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS price_band,
+           o_orderstatus,
+           count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="CASE WHEN bucketing + grouped agg (scalar conditional surface).",
+    tags=("scalar",),
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("price_band")
+    )
+    return orders.groupBy(band, F.col("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_extendedprice), 6)        AS price_sqrt,
+           round(ln(l_extendedprice), 6)          AS price_ln,
+           round(pow(l_quantity, 2), 6)           AS qty_sq,
+           round(abs(l_discount - 0.05), 6)       AS disc_dev,
+           round(cos(l_quantity), 6)              AS qty_cos,
+           round(sin(l_quantity), 6)              AS qty_sin,
+           CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+           CAST(l_quantity % 7 AS DOUBLE)         AS qty_mod
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    doc="Math scalar family incl. the trig used by bbox corner "
+    "generation (reference P12, data_utils.py:117-127).",
+    tags=("scalar",),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.cos("l_quantity"), 6).alias("qty_cos"),
+        F.round(F.sin("l_quantity"), 6).alias("qty_sin"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        (F.col("l_quantity") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "corner_explode",
+    oracle="""
+    WITH boxes AS (
+        SELECT p_partkey,
+               CAST(p_size AS DOUBLE) AS h,
+               p_retailprice / 1000.0 AS w,
+               CAST(p_partkey % 20 + 1 AS DOUBLE) AS l,
+               CAST(p_partkey % 7 AS DOUBLE) * 0.5 - 1.5 AS rot
+        FROM part
+    )
+    SELECT p_partkey, CAST(ci AS INTEGER) AS ci,
+           round(cos(rot) * (CASE WHEN ci IN (0,3,4,7) THEN -l/2 ELSE l/2 END)
+                 + sin(rot) * (CASE WHEN ci IN (0,1,4,5) THEN -w/2 ELSE w/2 END), 6) AS cx,
+           round(CASE WHEN ci >= 4 THEN -h ELSE 0.0 END, 6) AS cy,
+           round(-sin(rot) * (CASE WHEN ci IN (0,3,4,7) THEN -l/2 ELSE l/2 END)
+                 + cos(rot) * (CASE WHEN ci IN (0,1,4,5) THEN -w/2 ELSE w/2 END), 6) AS cz
+    FROM boxes
+    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS ci)
+    """,
+    doc="Generator / UDTF shape: 1 row -> 8 corner rows of a rotated 3-D "
+    "box, all closed-form column expressions + explode (reference P11 "
+    "get_3d_bbox, data_utils.py:111-137; corner index layout "
+    "data_utils.py:117-119, Y-rotation data_utils.py:124-128). The "
+    "KITTI-exact version incl. translation + axis remap lives in "
+    "kittispark.operators.kitti.bbox_corners.",
+    tags=("explode", "kitti-analog"),
+)
+def corner_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    boxes = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("h"),
+        (F.col("p_retailprice") / 1000.0).alias("w"),
+        ((F.col("p_partkey") % 20 + 1).cast("double")).alias("l"),
+        ((F.col("p_partkey") % 7).cast("double") * 0.5 - 1.5).alias("rot"),
+    )
+    ci = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("ci")
+    exploded = boxes.select("*", ci)
+    xoff = F.when(F.col("ci").isin(0, 3, 4, 7), -F.col("l") / 2).otherwise(
+        F.col("l") / 2
+    )
+    zoff = F.when(F.col("ci").isin(0, 1, 4, 5), -F.col("w") / 2).otherwise(
+        F.col("w") / 2
+    )
+    yoff = F.when(F.col("ci") >= 4, -F.col("h")).otherwise(F.lit(0.0))
+    return exploded.select(
+        "p_partkey",
+        "ci",
+        F.round(F.cos("rot") * xoff + F.sin("rot") * zoff, 6).alias("cx"),
+        F.round(yoff, 6).alias("cy"),
+        F.round(-F.sin("rot") * xoff + F.cos("rot") * zoff, 6).alias("cz"),
+    )

@@ -1,0 +1,96 @@
+"""Similarity-search queries over the embeddings table.
+
+The brute-force cosine top-k is oracle-checked: both engines fold the
+dot product left-to-right in double precision, so values agree to the
+rounding digit. The LSH-bucketed ANN uses deterministic seeded
+hyperplanes — rows-only check, recall measured in tests against the
+brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+from kittispark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
+
+_EMBED_DIM = 64
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS sim_raw
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim_raw, 4) AS sim,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim_raw DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+    doc="Brute-force cosine top-5 for 5 query vectors against the "
+    "corpus: broadcast queries, double-precision zip_with dot "
+    "product, deterministic rank tiebreak — the exhaustive ANN "
+    "baseline.",
+    tags=("similarity",),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "cosine_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.55
+    """,
+    doc="Embedding-cosine near-duplicate pairs over the half matrix "
+    "(threshold keeps output bounded; LSH bucket join is the 100 TB "
+    "path — see ann_lsh_topk).",
+    tags=("similarity", "dedup"),
+)
+def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.55)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # seeded hyperplanes not portable to SQL — rows-only
+    doc="LSH-bucketed approximate top-k (8 random hyperplanes, sign "
+    "sketch, bucket equi-join): each query scores only its bucket. "
+    "Recall vs brute force asserted in tests.",
+    tags=("similarity",),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_lsh_topk(emb, queries, dim=_EMBED_DIM, k=5)

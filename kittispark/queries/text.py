@@ -1,0 +1,129 @@
+"""Text-analysis queries over the documents table (BASELINE.json
+north-star: token counting, quality scoring, language-ID,
+fingerprinting for a large-scale training-data pipeline). All are
+pure built-in column expressions (JVM-side, whole-stage codegen) —
+no Python UDFs in the hot path; reusable operator forms live in
+kittispark.operators.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+from kittispark.operators.text import (
+    EN_STOPWORDS,
+    doc_fingerprint_cols,
+    quality_cols,
+    tokens_col,
+)
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_computed,
+           n_chars
+    FROM documents
+    """,
+    doc="Whitespace token counting per document (north-star text "
+    "analysis; single narrow projection over the scan).",
+    tags=("text",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6)                 AS type_token_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6)                 AS avg_token_len
+    FROM documents
+    """,
+    doc="Quality scoring: token counts, type/token ratio (repetition "
+    "signal), mean token length — the length/ratio heuristics a "
+    "pretraining-data filter applies per document.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *quality_cols("text"))
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ({", ".join("'" + w + "'" for w in sorted(EN_STOPWORDS))})))
+                     AS DOUBLE) / len(string_split(text, ' ')), 6) AS en_score
+        FROM documents
+    )
+    SELECT doc_id, lang, en_score,
+           CASE WHEN en_score >= 0.10 THEN 'en' ELSE 'other' END AS lang_pred
+    FROM scored
+    """,
+    doc="Language-ID by stopword-hit-rate heuristic (n-gram/stopword "
+    "profile approach; higher-order char-n-gram variant is "
+    "operators.text.lang_id_ngram, rows-only checked).",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(EN_STOPWORDS)])
+    en_score = F.round(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(toks),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        en_score.alias("en_score"),
+        F.when(en_score >= 0.10, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum((pos * 31 + length(tok) * 17
+                     + ascii(substr(tok, 1, 1))) % 1000000007) % 1000000007
+                AS BIGINT) AS fingerprint,
+           count(*) AS n_tokens
+    FROM toks GROUP BY doc_id
+    """,
+    doc="Order-sensitive document fingerprint: positional polynomial "
+    "over tokens folded mod 1e9+7 — a rolling-hash-style signature "
+    "computed with posexplode + one hash-agg (engine-portable "
+    "arithmetic; no engine-specific hash function).",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return doc_fingerprint_cols(docs)
