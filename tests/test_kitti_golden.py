@@ -1,0 +1,211 @@
+"""Golden parity: Spark KITTI operators vs independent NumPy
+implementation of the reference semantics (SURVEY §5.2-5.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from kittispark.operators.kitti import (
+    analyze,
+    apply_calibration,
+    axis_align,
+    bbox_corners,
+    calib_matrices,
+    cutout_filter,
+    cutout_pipeline,
+    frame_count_stats,
+    frame_z_scale,
+    rescale_z,
+)
+from kittispark.sinks import summary_sink, write_frames, write_kitti_bins
+from kittispark.sources.kitti import read_calib, read_labels, read_points
+from tests.kitti_fixture import golden_analysis, golden_cutout, make_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    frames = make_fixture(root, n_frames=4)
+    return root, frames
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, fixture):
+    root, frames = fixture
+    points = read_points(spark, f"{root}/velodyne")
+    labels = read_labels(spark, f"{root}/label_2")
+    calib = calib_matrices(read_calib(spark, f"{root}/calib"))
+    return frames, points, labels, calib
+
+
+def test_read_points_matches_binary(loaded):
+    frames, points, _, _ = loaded
+    expected = sum(fr["points"].shape[0] for fr in frames.values())
+    assert points.count() == expected
+    one = min(frames)
+    got = np.array(
+        points.filter(F.col("frame_id") == one)
+        .orderBy("x", "y", "z")
+        .select("x", "y", "z", "intensity")
+        .collect()
+    )
+    want = frames[one]["points"].astype("f8")
+    want = want[np.lexsort((want[:, 2], want[:, 1], want[:, 0]))]
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_read_labels_fields(loaded):
+    frames, _, labels, _ = loaded
+    expected = sum(len(fr["labels"]) for fr in frames.values())
+    assert labels.count() == expected
+    one = min(frames)
+    row = (
+        labels.filter(F.col("frame_id") == one)
+        .orderBy("loc_x")
+        .collect()[0]
+    )
+    recs = sorted(frames[one]["labels"], key=lambda r: float(r["location"][0]))
+    rec = recs[0]
+    assert row["label"] == rec["label"]
+    assert row["occluded"] == rec["occluded"]
+    np.testing.assert_allclose(
+        [row["dim_h"], row["dim_w"], row["dim_l"]], rec["dimensions"], rtol=1e-6
+    )
+    np.testing.assert_allclose(row["bbox"], rec["bbox"], rtol=1e-6)
+
+
+def test_calib_matrices_cells(loaded):
+    frames, _, _, calib = loaded
+    one = min(frames)
+    row = calib.filter(F.col("frame_id") == one).collect()[0]
+    tr, r0 = frames[one]["Tr"], frames[one]["R0"]
+    for i in range(3):
+        for j in range(4):
+            assert row[f"t{i}{j}"] == pytest.approx(tr[i, j], rel=1e-12)
+        for j in range(3):
+            assert row[f"r{i}{j}"] == pytest.approx(r0[i, j], rel=1e-12)
+
+
+def test_transform_chain_golden(loaded):
+    """calibrate + axis-align matches the composed-matrix golden."""
+    frames, points, _, calib = loaded
+    one = min(frames)
+    got = np.array(
+        axis_align(apply_calibration(points, calib))
+        .filter(F.col("frame_id") == one)
+        .orderBy("intensity")
+        .select("x", "y", "z", "intensity")
+        .collect()
+    )
+    from tests.kitti_fixture import transform_points
+
+    want = transform_points(frames[one]["points"], frames[one]["Tr"], frames[one]["R0"])
+    want = want[np.argsort(want[:, 3])]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_rescale_z_property(loaded):
+    """After rescale, each frame's 5th percentile of z is ~0
+    (SURVEY §5.4 property check)."""
+    frames, points, _, calib = loaded
+    pts = axis_align(apply_calibration(points, calib))
+    rescaled = rescale_z(pts)
+    res = frame_z_scale(rescaled).collect()
+    assert len(res) == len(frames)
+    for row in res:
+        assert abs(row["z_scale"]) < 1e-9
+
+
+def test_bbox_corners_golden(loaded):
+    frames, _, labels, _ = loaded
+    from tests.kitti_fixture import label_corners
+
+    corners = bbox_corners(labels)
+    one = min(frames)
+    # 8 rows per label, including DontCare (exclusion happens in the
+    # analysis fold, not in corner generation — data_pipeline.py:35-37)
+    n_lbl = len(frames[one]["labels"])
+    got_rows = corners.filter(F.col("frame_id") == one).collect()
+    assert len(got_rows) == 8 * n_lbl
+
+    # Compare the full frame's corner multiset (rows are not
+    # attributable to a specific label when classes repeat).
+    want_all = np.vstack([label_corners(rec) for rec in frames[one]["labels"]])
+    got_all = np.array([(r["cx"], r["cy"], r["cz"]) for r in got_rows])
+    order_w = np.lexsort((want_all[:, 2], want_all[:, 1], want_all[:, 0]))
+    order_g = np.lexsort((got_all[:, 2], got_all[:, 1], got_all[:, 0]))
+    np.testing.assert_allclose(
+        got_all[order_g], want_all[order_w], rtol=1e-9, atol=1e-9
+    )
+
+
+def test_analysis_envelope_golden(loaded):
+    frames, points, labels, calib = loaded
+    got = analyze(points, labels, calib)
+    want = golden_analysis(frames)
+    np.testing.assert_allclose(got.min_point, want["min_point"], rtol=1e-9)
+    np.testing.assert_allclose(got.max_point, want["max_point"], rtol=1e-9)
+    np.testing.assert_allclose(got.min_dim, want["min_dim"], rtol=1e-9)
+    np.testing.assert_allclose(got.max_dim, want["max_dim"], rtol=1e-9)
+    np.testing.assert_allclose(got.min_loc, want["min_loc"], rtol=1e-9)
+    np.testing.assert_allclose(got.max_loc, want["max_loc"], rtol=1e-9)
+    np.testing.assert_allclose(got.min_obj_corner, want["min_obj_corner"], rtol=1e-9)
+    np.testing.assert_allclose(got.max_obj_corner, want["max_obj_corner"], rtol=1e-9)
+    assert got.minimal_area == (
+        tuple(want["minimal_area"][0]),
+        tuple(want["minimal_area"][1]),
+    )
+    assert got.maximal_area == (
+        tuple(want["maximal_area"][0]),
+        tuple(want["maximal_area"][1]),
+    )
+
+
+def test_cutout_golden_and_sink(loaded, tmp_path):
+    frames, points, _, calib = loaded
+    lo = np.array([-15.0, -15.0, -2.0])
+    hi = np.array([15.0, 15.0, 3.0])
+    want = golden_cutout(frames, lo, hi)
+
+    cut = cutout_pipeline(points, calib, tuple(lo), tuple(hi))
+    got_counts = {
+        r["frame_id"]: r["n"]
+        for r in cut.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want_counts = {fid: arr.shape[0] for fid, arr in want.items() if arr.shape[0]}
+    assert got_counts == want_counts
+
+    # property: box filter output within bounds + idempotent
+    again = cutout_filter(cut, tuple(lo), tuple(hi))
+    assert again.count() == cut.count()
+
+    # .bin sink round-trip: written files parse back to the filtered
+    # rows (float32 at the boundary)
+    out = str(tmp_path / "cutout_bins")
+    res = write_kitti_bins(cut, out)
+    stats = {r["frame_id"]: r["n_points"] for r in res.collect()}
+    assert stats == want_counts
+    one = max(want_counts)
+    parsed = np.fromfile(f"{out}/{one}.bin", dtype="<f4").reshape(-1, 4)
+    w = want[one]
+    w_sorted = w[np.lexsort((w[:, 1], w[:, 0]))]
+    p_sorted = parsed[np.lexsort((parsed[:, 1], parsed[:, 0]))].astype("f8")
+    np.testing.assert_allclose(p_sorted, w_sorted, rtol=1e-5, atol=1e-5)
+
+    # count stats shape (A6)
+    s = summary_sink(frame_count_stats(cut))
+    assert s[0]["n_frames"] == len(want_counts)
+    assert s[0]["min_points"] == min(want_counts.values())
+
+
+def test_parquet_roundtrip(loaded, tmp_path, spark):
+    frames, points, _, _ = loaded
+    out = str(tmp_path / "points_pq")
+    write_frames(points, out)
+    back = spark.read.parquet(out)
+    assert back.count() == points.count()
+    assert set(back.columns) == {"frame_id", "x", "y", "z", "intensity"}
