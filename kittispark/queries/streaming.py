@@ -1,0 +1,190 @@
+"""Structured-Streaming queries exposed through the registry.
+
+Each entry materializes a canonical parquet *landing directory* (what
+a production pipeline's ingest layer would write), reads it back with
+``readStream`` split across several micro-batches (``maxFilesPerTrigger``
+— so stateful operators are exercised ACROSS batch boundaries, not
+just within one), runs the kittispark.streaming operator, and drains
+the backlog with an ``availableNow`` trigger into a memory sink.
+
+Because event time and keys fully determine the results, the drained
+output is deterministic and — for the windowed aggregations and the
+exactly-once intake — equal to its batch twin, so the same DuckDB
+oracle SQL checks the *streaming* execution path end-to-end. The
+stateful ``applyInPandasWithState`` operator emits one update row per
+key per micro-batch; its registry entry reduces to the final row per
+key, which again matches a batch aggregate (rows-only fallback is not
+needed, but the reduction is done Spark-side so the oracle stays pure
+SQL).
+
+Scale notes: the landing-dir pattern is exactly how this runs on a
+real cluster (files land, watermark bounds state, availableNow backfills
+then the same query object runs continuously). The memory sink is
+test-only; swap ``.format("parquet")`` + checkpoint for production.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.sources.tables import load_table
+from kittispark import streaming as S
+
+# One canonical landing dir per sf_dir per process; building it is a
+# single narrow write of the (already canonical-typed) events table.
+_LANDING: dict[str, str] = {}
+_N_LANDING_FILES = 4
+
+
+def events_landing_dir(spark: SparkSession, sf_dir: str) -> str:
+    path = _LANDING.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        root = tempfile.mkdtemp(prefix="kittispark-landing-")
+        path = os.path.join(root, "events")
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition(_N_LANDING_FILES)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _LANDING[sf_dir] = path
+    return path
+
+
+def _drain(result: DataFrame, output_mode: str) -> DataFrame:
+    name = f"ks_stream_{uuid.uuid4().hex[:12]}"
+    return S.run_available_now(result, name, output_mode=output_mode)
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.read_events_stream(
+        spark, events_landing_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time windows executed by Structured Streaming "
+    "(readStream → window+watermark → availableNow drain); same oracle "
+    "as the batch twin tumbling_window_counts, proving the streaming "
+    "path computes identical results across micro-batch boundaries.",
+    tags=("streaming",),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(S.tumbling_counts(_stream(spark, sf_dir), watermark=None), "complete")
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+    WITH buckets AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS slide0, value
+        FROM events
+    ), expanded AS (
+        SELECT slide0 AS bucket_start, value FROM buckets
+        UNION ALL
+        SELECT slide0 - 300 AS bucket_start, value FROM buckets
+    )
+    SELECT bucket_start,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM expanded GROUP BY 1
+    """,
+    doc="Sliding windows (10 min window / 5 min slide) on the streaming "
+    "path: each event belongs to exactly two windows, which the oracle "
+    "reproduces by a 2-way bucket expansion.",
+    tags=("streaming",),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(S.sliding_value_avg(_stream(spark, sf_dir), watermark=None), "complete")
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    doc="session_window(ts, '30 minutes') on the streaming path; the "
+    "oracle rebuilds merged sessions via lag + cumulative flags "
+    "(session_end = last event + gap, Spark's session-window semantics).",
+    tags=("streaming",),
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(S.session_counts(_stream(spark, sf_dir), watermark=None), "complete")
+
+
+@register(
+    "stream_dedup_exactonce",
+    oracle="""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM events
+    """,
+    doc="Streaming stateful dropDuplicates on event_id: exactly-once "
+    "intake across micro-batches (watermark=None backfill form of "
+    "dropDuplicatesWithinWatermark). Source ids are unique, so the deduped stream "
+    "equals the input relation — deterministic and oracle-checkable.",
+    tags=("streaming",),
+)
+def stream_dedup_exactonce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = S.dedup_stream(_stream(spark, sf_dir), watermark=None)
+    out = deduped.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    return _drain(out, "append")
+
+
+@register(
+    "stream_running_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState) maintaining "
+    "running per-user totals across micro-batches; the final update per "
+    "key equals the batch aggregate, checked by the oracle.",
+    tags=("streaming",),
+)
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    updates = _drain(S.running_user_stats(_stream(spark, sf_dir)), "update")
+    # One update row per key per micro-batch; n_events is strictly
+    # increasing, so the struct-max picks the final state per key
+    # (sum_value alone is not monotone — values may be negative).
+    final = F.max(F.struct("n_events", "sum_value")).alias("f")
+    return updates.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("f.n_events").alias("n_events"),
+        F.round(F.col("f.sum_value"), 6).alias("sum_value"),
+    )

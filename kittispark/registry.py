@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "kittispark.queries.similarity",
     "kittispark.queries.kitti",
     "kittispark.queries.multimodal",
+    "kittispark.queries.streaming",
 )
 
 

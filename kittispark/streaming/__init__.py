@@ -1,0 +1,21 @@
+from kittispark.streaming.ops import (
+    EVENTS_SCHEMA,
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    running_user_stats,
+    session_counts,
+    sliding_value_avg,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "dedup_stream",
+    "read_events_stream",
+    "run_available_now",
+    "running_user_stats",
+    "session_counts",
+    "sliding_value_avg",
+    "tumbling_counts",
+]

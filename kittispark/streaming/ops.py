@@ -1,0 +1,226 @@
+"""Structured Streaming facade (SURVEY.md §2.7, §7.3 item 6).
+
+The reference is pure batch over a static directory (SURVEY §0); its
+per-frame loop (data_pipeline.py:18-43) is the shape of a micro-batch
+stream, so the facade treats "a directory where event files land" as
+the streaming source and re-expresses the engine's event-time
+operators over `readStream`:
+
+- tumbling / sliding windows  → `F.window` + `withWatermark`
+- session windows             → `F.session_window` + `withWatermark`
+- exactly-once-per-key intake → `dropDuplicatesWithinWatermark`
+- custom stateful operator    → `applyInPandasWithState`
+
+Every transform here is written against a *DataFrame*, streaming or
+batch — the same call works in both modes, which is how the tests
+prove semantics: run the streaming plan with an `availableNow`
+trigger and assert it equals the batch twin (the DuckDB-checkable
+versions in kittispark.queries.events).
+
+Scale notes: watermarks bound state, so a 1000-executor job's state
+store stays O(open windows × keys), not O(history). Sliding windows
+multiply state by window/slide — keep that ratio small at 100 TB.
+The stateful kernel keys by user_id: state is partitioned by the
+shuffle on the grouping key and each executor holds only its keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.state import GroupState
+
+# Micro-batch landing schema: `ts` is already a micros timestamp (the
+# nanos-parquet quirk is a property of the driver's static fixture,
+# handled once in sources.tables.load_table; a streaming landing zone
+# is written by this engine and lands in canonical types).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet landing directory.
+
+    `maxFilesPerTrigger` bounds micro-batch size (and, in tests,
+    forces multiple micro-batches so stateful operators are exercised
+    across batch boundaries, not just within one)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(landing_dir)
+
+
+# --------------------------------------------------------------------------
+# Windowed aggregations (work on streaming and batch DataFrames alike)
+# --------------------------------------------------------------------------
+
+
+def _with_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    if watermark is None or not events.isStreaming:
+        return events
+    return events.withWatermark("ts", watermark)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str | None = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts — the streaming-proper form
+    of queries.events.tumbling_window_counts. With a watermark, late
+    rows are dropped and window state is reclaimed (the production
+    append-mode setup); watermark=None keeps every row, for
+    complete-mode drains over out-of-event-time-order backfills."""
+    src = _with_watermark(events, watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time window average: each row lands in
+    window/slide overlapping windows; state size scales with that
+    ratio (2× here)."""
+    src = _with_watermark(events, watermark)
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").cast("long").alias("bucket_start"), "n", "avg_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — the
+    streaming-native form of queries.events.sessionization (which
+    proves the same semantics to the DuckDB oracle via lag +
+    cumulative flags). Unlike plain window aggregation, the session
+    operator drops watermark-late input even in complete mode, so a
+    backfill whose files are not event-time-ordered must either pass
+    watermark=None or land files in time order."""
+    src = _with_watermark(events, watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str | None = "30 minutes") -> DataFrame:
+    """Exactly-once-per-event_id intake. With a watermark, duplicates
+    arriving within the horizon are dropped AND watermark-late input
+    is discarded, with id-state reclaimed as time advances — the
+    bounded-state production setup. watermark=None switches to plain
+    streaming dropDuplicates: nothing is ever discarded as late, at
+    the cost of unbounded id-state — correct for bounded backfills
+    whose files are not event-time-ordered."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    if watermark is None:
+        return events.dropDuplicates(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# --------------------------------------------------------------------------
+
+_USER_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+_USER_STATS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Running per-user (count, sum) maintained across micro-batches
+    via applyInPandasWithState — the custom-stateful-operator slot
+    (SURVEY §2.8: where an exotic aggregate would live if built-ins
+    couldn't express it). Emits the updated running totals for every
+    user seen in each micro-batch; state is two scalars per user."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_STATS_OUT,
+        stateStructType=_USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# --------------------------------------------------------------------------
+# Runner
+# --------------------------------------------------------------------------
+
+
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream's currently-available input into an in-memory
+    table and return it as a batch DataFrame. `availableNow` processes
+    the backlog (respecting maxFilesPerTrigger batching) then stops —
+    the bounded-test face of an always-on deployment; a production
+    sink would be `.format("parquet").option("checkpointLocation", …)`
+    with the same plan object."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

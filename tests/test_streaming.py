@@ -1,0 +1,122 @@
+"""Streaming semantics tests: every Structured-Streaming operator is
+drained with an availableNow trigger (forced across multiple
+micro-batches via maxFilesPerTrigger=1) and compared to its batch twin
+on the same input — the stream/batch-equivalence strategy from
+kittispark/streaming/ops.py's module docstring.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kittispark import streaming as S
+from kittispark.queries.streaming import events_landing_dir
+from kittispark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark, batch_events):
+    # depends on batch_events only to keep fixture ordering obvious
+    return S.read_events_stream(
+        spark, events_landing_dir(spark, SF), max_files_per_trigger=1
+    )
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_multiple_microbatches(spark, stream_events):
+    out = S.run_available_now(
+        stream_events.groupBy().count(), "mb_probe", output_mode="complete"
+    )
+    # sanity: all 1000 rows arrived despite 4-file / 1-per-trigger split
+    assert out.collect()[0][0] == 1000
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events, stream_events):
+    got = S.run_available_now(
+        S.tumbling_counts(stream_events), "tumbling_t", output_mode="complete"
+    )
+    want = S.tumbling_counts(batch_events)
+    assert _rows(got, "bucket_start", "event_type") == _rows(
+        want, "bucket_start", "event_type"
+    )
+
+
+def test_sliding_stream_equals_batch(spark, batch_events, stream_events):
+    got = S.run_available_now(
+        S.sliding_value_avg(stream_events), "sliding_t", output_mode="complete"
+    )
+    want = S.sliding_value_avg(batch_events)
+    assert _rows(got, "bucket_start") == _rows(want, "bucket_start")
+    # every event lands in exactly window/slide = 2 windows
+    n_events = batch_events.count()
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * n_events
+
+
+def test_session_stream_equals_batch(spark, batch_events, stream_events):
+    # watermark=None: landing files are in random event-time order and
+    # the session operator drops watermark-late input even in complete
+    # mode (unlike plain window aggregation).
+    got = S.run_available_now(
+        S.session_counts(stream_events, watermark=None),
+        "session_t",
+        output_mode="complete",
+    )
+    want = S.session_counts(batch_events)
+    assert _rows(got, "user_id", "session_start") == _rows(
+        want, "user_id", "session_start"
+    )
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path, batch_events):
+    # Landing dir where the SAME 200 events appear in two separate
+    # files → two micro-batches; state must drop the second copy.
+    dup_dir = str(tmp_path / "dup_landing")
+    sample = batch_events.orderBy("event_id").limit(200)
+    sample.coalesce(1).write.parquet(dup_dir)
+    sample.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    # watermark=None so batch-2 copies are NOT discarded as late input
+    # — only the id-state built in batch 1 can drop them, which is the
+    # cross-batch behavior under test.
+    stream = S.read_events_stream(spark, dup_dir, max_files_per_trigger=1)
+    got = S.run_available_now(
+        S.dedup_stream(stream, watermark=None).select("event_id"),
+        "dedup_t",
+        output_mode="append",
+    )
+    assert got.count() == 200
+    assert got.distinct().count() == 200
+
+
+def test_stateful_running_stats_across_batches(spark, batch_events, stream_events):
+    updates = S.run_available_now(
+        S.running_user_stats(stream_events), "stateful_t", output_mode="update"
+    )
+    # final state per user == batch aggregate
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("f"))
+        .select("user_id", "f.n_events", F.round("f.sum_value", 4).alias("s"))
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("s"),
+    )
+    assert _rows(final, "user_id") == _rows(want, "user_id")
+    # state really crossed micro-batches: at least one user must have
+    # received updates in more than one batch (1000 rows over 4 files,
+    # few hundred users → pigeonhole), i.e. >1 update row for some key.
+    per_key = updates.groupBy("user_id").count()
+    assert per_key.agg(F.max("count")).collect()[0][0] > 1
