@@ -1,0 +1,132 @@
+"""Physical-plan audits: the 100 TB story is only real if Catalyst
+actually produces the plan we designed for — filters reaching the
+parquet scan, dimension joins broadcast instead of shuffled, one
+shuffle per aggregation, no cartesian products. These tests pin those
+properties so a refactor can't silently trade them away.
+
+Plan text is taken from explain("formatted") BEFORE execution, i.e.
+the static plan; AQE can only improve on it at runtime (coalesce
+partitions, switch to broadcast) — never add a shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from kittispark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = registry.queries()
+
+    def plan_of(name: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, SF).explain("formatted")
+        return buf.getvalue()
+
+    return plan_of
+
+
+def shuffle_exchanges(plan: str) -> int:
+    # Count detail-section headers "(N) Exchange" so each node counts
+    # once (the tree line would double it); BroadcastExchange headers
+    # don't match.
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
+
+
+def test_box_filter_pushdown_and_pruning(plans):
+    plan = plans("box_filter_conjunctive")
+    # all six range bounds reach the parquet reader
+    for pf in (
+        "GreaterThan(l_quantity,10.0)",
+        "LessThan(l_quantity,40.0)",
+        "GreaterThan(l_extendedprice,5000.0)",
+        "LessThan(l_extendedprice,50000.0)",
+        "GreaterThan(l_discount,0.02)",
+        "LessThan(l_discount,0.08)",
+    ):
+        assert pf in plan, f"missing pushed filter {pf}"
+    # column pruning: the 16-column table is read as a 5-column schema
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 5, "scan not pruned to 5 columns"
+    # a pure scan+filter query must not shuffle at all
+    assert shuffle_exchanges(plan) == 0
+
+
+def test_q5_all_dimension_joins_broadcast(plans):
+    plan = plans("q5_region_revenue")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) == 4
+    assert "SortMergeJoin" not in plan
+    # the only shuffle is the final group-by exchange
+    assert shuffle_exchanges(plan) == 1
+    # date range predicate reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q1_single_shuffle_partial_final_agg(plans):
+    plan = plans("q1_pricing_summary")
+    # partial + final hash aggregate around exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert shuffle_exchanges(plan) == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_semi_anti_joins_stay_semi(plans):
+    semi = plans("semi_join_exists")
+    anti = plans("anti_join_not_exists")
+    assert "LeftSemi" in semi, "EXISTS must compile to a semi join, not inner+distinct"
+    assert "LeftAnti" in anti
+    for plan in (semi, anti):
+        assert "CartesianProduct" not in plan
+
+
+def test_three_way_join_no_cartesian(plans):
+    plan = plans("join_three_way")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_per_group_single_shuffle_window(plans):
+    plan = plans("topk_per_group")
+    assert "Window" in plan
+    # rank-filter runs inside the window stage: partitionBy key is the
+    # shuffle key, so one exchange feeds both sort and rank
+    assert shuffle_exchanges(plan) == 1
+
+
+def test_minhash_lsh_no_crossjoin(plans):
+    # banding join must be an equi-join on (band, signature), never a
+    # cross product of documents
+    plan = plans("minhash_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_bucket_equijoin(plans):
+    plan = plans("ann_lsh_topk")
+    assert "CartesianProduct" not in plan
+    # bucket join is the broadcast-equi path, not an all-pairs loop
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    # non-equi (!=) join against a tiny query set: broadcast
+    # nested-loop is the *correct* physical choice here — assert the
+    # small side is broadcast rather than shuffled
+    plan = plans("cosine_topk_bruteforce")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rollup_cube_single_expand_shuffle(plans):
+    for name in ("group_rollup", "group_cube"):
+        plan = plans(name)
+        assert "Expand" in plan
+        assert shuffle_exchanges(plan) <= 1
