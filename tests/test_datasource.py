@@ -1,0 +1,76 @@
+"""The kitti_points Python Data Source must agree exactly with the
+binaryFile+mapInPandas reader (same decode semantics, different
+transport) and with the raw NumPy bytes on disk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from kittispark.sources.datasource import register
+from kittispark.sources.kitti import read_points
+from tests.kitti_fixture import make_fixture
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_ds")
+    frames = make_fixture(str(root), n_frames=5, seed=77)
+    return str(root), frames
+
+
+def _sorted_rows(df):
+    return [
+        tuple(r)
+        for r in df.orderBy("frame_id", "x", "y", "z", "intensity").collect()
+    ]
+
+
+def test_datasource_matches_mapinpandas_reader(spark, kitti_dir):
+    root, _ = kitti_dir
+    register(spark)
+    via_ds = spark.read.format("kitti_points").load(f"{root}/velodyne")
+    via_map = read_points(spark, f"{root}/velodyne")
+    # nullability metadata differs (DDL-declared schemas are nullable);
+    # names and types must agree exactly
+    assert [(f.name, f.dataType) for f in via_ds.schema] == [
+        (f.name, f.dataType) for f in via_map.schema
+    ]
+    assert _sorted_rows(via_ds) == _sorted_rows(via_map)
+
+
+def test_datasource_matches_numpy_golden(spark, kitti_dir):
+    root, frames = kitti_dir
+    register(spark)
+    df = spark.read.format("kitti_points").load(f"{root}/velodyne")
+    got_counts = {
+        r["frame_id"]: r["n"]
+        for r in df.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_counts == {fid: fr["points"].shape[0] for fid, fr in frames.items()}
+    # value-exact on one frame: float32 widened to float64
+    fid = sorted(frames)[0]
+    want = frames[fid]["points"].astype("f8")
+    got = np.array(
+        df.filter(F.col("frame_id") == fid)
+        .select("x", "y", "z", "intensity")
+        .collect()
+    )
+    assert np.array_equal(
+        got[np.lexsort(got.T[::-1])], want[np.lexsort(want.T[::-1])]
+    )
+
+
+def test_partition_grouping_bounds_tasks(spark, kitti_dir):
+    root, frames = kitti_dir
+    register(spark)
+    df = (
+        spark.read.format("kitti_points")
+        .option("files_per_partition", "2")
+        .load(f"{root}/velodyne")
+    )
+    # 5 files / 2 per group -> 3 tasks
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == sum(fr["points"].shape[0] for fr in frames.values())
