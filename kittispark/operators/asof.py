@@ -1,0 +1,98 @@
+"""As-of (most-recent-at-or-before) join — an operator Spark's join
+syntax lacks, composed from existing DataFrame ops per the engine's
+custom-operator policy (composition first, Pandas UDF only if
+semantics demand it; SURVEY.md §7.1).
+
+Semantics: for each left row, attach the payload of the latest right
+row with the same key and right.ts <= left.ts (DuckDB `ASOF JOIN`
+semantics, which is also the oracle used to check it).
+
+Physical shape — why union+window instead of a range join:
+a non-equi join `l.key = r.key AND r.ts <= l.ts` explodes to all
+qualifying pairs before a per-left-row argmax prunes them: O(|L|·|R|)
+intermediate within each key in the worst case. Instead, both sides
+are unioned and sorted once per key, and `last(value, ignorenulls)`
+over an unbounded-preceding window carries each right payload forward
+onto the left rows that follow it. Cost: ONE shuffle on the key (the
+same shuffle any keyed join pays) + a per-key sort — linear in
+|L|+|R|, no pair explosion, AQE-skew-splittable. At 100 TB both
+inputs arrive partitioned by key and the window sort is the only
+per-partition work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str = "ts",
+    payload: Sequence[str] = (),
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: all left columns + each right `payload` column
+    as of the latest right row at-or-before the left row's `ts`.
+
+    Right rows sort before left rows at equal timestamps, so an exact
+    tie matches (<=, DuckDB ASOF semantics). Right side should be
+    unique per (key, ts); pre-aggregate it if not. `tolerance`
+    (a Column interval/double matching the ts type's arithmetic)
+    optionally voids matches older than `ts - tolerance`.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(payload)
+    if not payload:
+        raise ValueError("payload columns required")
+
+    l_tag = left.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.lit(None)
+        .cast(l_tag.schema["__row"].dataType)
+        .alias("__row"),
+    )
+
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "__side",
+        "__row",
+        "__ts",
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in payload],
+        *(
+            [F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+             .over(w).alias("__match_ts")]
+            if tolerance is not None
+            else []
+        ),
+    )
+    out_payload = [
+        (
+            F.when(F.col("__ts") - F.col("__match_ts") <= tolerance, F.col(f"__c_{c}"))
+            if tolerance is not None
+            else F.col(f"__c_{c}")
+        ).alias(c)
+        for c in payload
+    ]
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(F.col("__row.*"), *out_payload)
+    )

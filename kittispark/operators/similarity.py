@@ -15,6 +15,9 @@ because it needs no iterative training pass.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -101,33 +104,57 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 2024) -> 
     return bucket
 
 
+def lsh_table_buckets(
+    vec: Column, dim: int, num_planes: int, num_tables: int, seed: int = 2024
+) -> Column:
+    """array<struct<t,b>> of (table id, bucket id) — one sign sketch
+    per table, each from its own plane set. AND-width = num_planes
+    (precision), OR-width = num_tables (recall): a pair is a candidate
+    if it collides in ANY table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(vec, dim, num_planes, seed + t * num_planes).alias("b"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 5,
+    num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only same-LSH-bucket candidates are scored.
+    """Approximate top-k via multi-table LSH: a candidate must share a
+    bucket with the query in at least one of `num_tables` tables
+    (OR-amplification — a single table's recall decays as buckets get
+    fine; the union keeps it high while each table stays selective).
 
-    At 100 TB the bucket column is precomputed and the table is
-    bucketed/partitioned by it, so a query touches one partition
-    instead of the full corpus.
+    At 100 TB the exploded (t, b) pairs are precomputed and the corpus
+    is written bucketed by them, so a query reads num_tables buckets
+    instead of the full corpus; candidate dedup is a shuffle on
+    (query, neighbor) bounded by candidate volume, not corpus size.
     """
     from pyspark.sql import Window as W
 
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
+    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), dim, num_planes, num_tables)))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
+    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), dim, num_planes, num_tables)))
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), "tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -197,3 +224,126 @@ def cosine_near_dup_pairs(
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other standard scale layout
+# --------------------------------------------------------------------------
+
+
+def _assign_nearest(df: DataFrame, cents, vec_col: str, out_col: str, nprobe: int = 1
+                    ) -> DataFrame:
+    """Attach the ids of the `nprobe` nearest centroids (by cosine,
+    ties to the lowest id) as `out_col` (array<int>). Vectorized
+    Arrow-batched kernel over a broadcast centroid matrix — the
+    assignment is a GEMM, not a per-row loop."""
+    from pyspark.sql import types as T
+
+    sc = df.sparkSession.sparkContext
+    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = sc.broadcast(norm_c)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ bc.value.T
+        # stable argsort: descending sim, ascending centroid id on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col).cast("array<double>")))
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic Lloyd iterations, Spark-side: init = the
+    n_centroids lowest-id vectors; each round assigns every vector to
+    its nearest centroid (broadcast GEMM) and recomputes per-centroid
+    means via posexplode + groupBy(centroid, pos) — a narrow two-key
+    aggregation that scales as O(n·dim) rows shuffled, then collects
+    only C×dim doubles to the driver."""
+    import numpy as np
+
+    init = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(as_double(vec_col).alias("v"))
+        .collect()
+    )
+    cents = np.array([r["v"] for r in init], dtype="float64")
+    for _ in range(n_iter):
+        assigned = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1).select(
+            F.element_at("__c", 1).alias("cid"), as_double(vec_col).alias("v")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # centroids with no members keep position
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], []).append((r["pos"], r["m"]))
+        for cid, comps in by_cid.items():
+            for pos, m in comps:
+                new[cid, pos] = m
+        cents = new
+    return cents
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates live in their nearest
+    centroid's list; each query probes its `nprobe` nearest lists.
+
+    At 100 TB the trained centroids are a saved artifact and the
+    corpus is written partitioned/bucketed by `cid`, so a query scans
+    nprobe/C of the data — the partition-pruned layout IVF exists
+    for. Training cost is n_iter narrow passes; no pair explosion
+    anywhere."""
+    from pyspark.sql import Window as W
+
+    cents = ivf_train_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    c = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        F.element_at("__c", 1).alias("cid"),
+    )
+    q = (
+        _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+            F.explode("__c").alias("cid"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )

@@ -193,3 +193,38 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
     )
+
+
+@register(
+    "asof_join_latest_click",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click'
+    )
+    SELECT l.event_id, l.user_id, round(r.click_value, 6) AS click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join: each non-click event annotated with the value of "
+    "the user's latest click at-or-before it — the union+window "
+    "composition (kittispark.operators.asof) checked against DuckDB's "
+    "native ASOF JOIN. One shuffle, no pair explosion.",
+    tags=("join", "asof"),
+)
+def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.asof import asof_join
+
+    events = t(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    left = events.filter(F.col("event_type") != "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(left, clicks, on="user_id", ts="ts", payload=["click_value"]).select(
+        "event_id", "user_id", F.round("click_value", 6).alias("click_value")
+    )

@@ -85,12 +85,30 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     oracle=None,  # seeded hyperplanes not portable to SQL — rows-only
-    doc="LSH-bucketed approximate top-k (8 random hyperplanes, sign "
-    "sketch, bucket equi-join): each query scores only its bucket. "
-    "Recall vs brute force asserted in tests.",
+    doc="Multi-table LSH approximate top-k (8 tables x 5 hyperplanes, "
+    "sign sketch, bucket equi-join, OR-amplified candidate union): "
+    "each query scores only colliding candidates. Recall vs brute "
+    "force asserted in tests.",
     tags=("similarity",),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_lsh_topk(emb, queries, dim=_EMBED_DIM, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate (centroid-pruned) — rows-only
+    doc="IVF approximate top-k: deterministic Lloyd-trained centroids "
+    "(init = lowest-id vectors), candidates bucketed by nearest "
+    "centroid, queries probe nprobe=2 lists. The partition-pruned ANN "
+    "layout for 100 TB; recall vs brute force asserted in tests.",
+    tags=("similarity",),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import ann_ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_ivf_topk(emb, queries, k=5)
