@@ -33,6 +33,9 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "cosine_topk_bruteforce",
     "token_count",
+    "asof_join_latest_click",
+    "ann_ivf_topk",
+    "salted_skew_join",
 ]
 
 

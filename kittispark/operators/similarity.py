@@ -261,40 +261,33 @@ def ivf_train_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train: int = 10_000,
 ):
-    """Deterministic Lloyd iterations, Spark-side: init = the
-    n_centroids lowest-id vectors; each round assigns every vector to
-    its nearest centroid (broadcast GEMM) and recomputes per-centroid
-    means via posexplode + groupBy(centroid, pos) — a narrow two-key
-    aggregation that scales as O(n·dim) rows shuffled, then collects
-    only C×dim doubles to the driver."""
-    import numpy as np
-
-    init = (
+    """Deterministic sample-trained centroids: collect the lowest-id
+    `max_train` vectors ONCE (one Spark job, bounded bytes regardless
+    of corpus size) and run Lloyd rounds in NumPy on the driver —
+    exactly how production IVF indexes are trained (a bounded training
+    sample, never the full corpus). Init = the first n_centroids
+    sample rows; assignment is a GEMM; empty clusters keep their
+    previous position. At 100 TB only the two *assignment* passes are
+    distributed — training cost is constant."""
+    sample = (
         vectors.orderBy(id_col)
-        .limit(n_centroids)
+        .limit(max_train)
         .select(as_double(vec_col).alias("v"))
         .collect()
     )
-    cents = np.array([r["v"] for r in init], dtype="float64")
+    m = np.array([r["v"] for r in sample], dtype="float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cents = m[:n_centroids].copy()
     for _ in range(n_iter):
-        assigned = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1).select(
-            F.element_at("__c", 1).alias("cid"), as_double(vec_col).alias("v")
-        )
-        means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = cents.copy()  # centroids with no members keep position
-        by_cid: dict[int, list[tuple[int, float]]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], []).append((r["pos"], r["m"]))
-        for cid, comps in by_cid.items():
-            for pos, m in comps:
-                new[cid, pos] = m
-        cents = new
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        # ties -> lowest centroid id, matching _assign_nearest's stable sort
+        assign = np.argmax(mn @ cn.T, axis=1)
+        for cid in range(n_centroids):
+            members = m[assign == cid]
+            if len(members):
+                cents[cid] = members.mean(axis=0)
     return cents
 
 

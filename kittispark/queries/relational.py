@@ -789,3 +789,37 @@ def corner_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(yoff, 6).alias("cy"),
         F.round(-F.sin("rot") * xoff + F.cos("rot") * zoff, 6).alias("cz"),
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+           round(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    doc="Skew-resilient salted join (kittispark.operators.skew): the "
+    "fat side is split across 8 salt sub-partitions per key, the slim "
+    "side replicated once per salt. The oracle is the PLAIN join — "
+    "salting is pure placement and must not change a single row.",
+    tags=("join", "skew"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.skew import salted_join
+
+    lineitem = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return salted_join(
+        lineitem,
+        supplier.withColumnRenamed("s_suppkey", "l_suppkey"),
+        on="l_suppkey",
+        salt_from="l_orderkey",
+        n_salts=8,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s_name",
+        F.round("l_extendedprice", 2).alias("price"),
+    )

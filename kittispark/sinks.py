@@ -80,3 +80,23 @@ def summary_sink(df: DataFrame) -> list[dict]:
     dicts — the structured replacement for the reference's prints
     (data_pipeline.py:50-63). Caller guarantees df is an aggregate."""
     return [row.asDict() for row in df.collect()]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed external table: the co-located-join layout. Two tables
+    bucketed (and sorted) the same way on their join key are joined
+    with ZERO shuffle — each bucket pair merges directly; at 100 TB
+    this removes the dominant cost of repeated fact-to-fact joins.
+    Bucket count is a layout contract: pick once per subject area
+    (e.g. 1024 at cluster scale) so all participants align."""
+    w = df.write.mode(mode).option("path", path).bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.format("parquet").saveAsTable(table)
