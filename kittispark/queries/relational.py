@@ -823,3 +823,117 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.round("l_extendedprice", 2).alias("price"),
     )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS sum_all,
+           round(list_max(embedding::DOUBLE[]), 4) AS max_val,
+           round(embedding[1]::DOUBLE, 4) AS first_val,
+           round(list_aggregate(list_slice(embedding::DOUBLE[], 1, 8), 'sum'), 4)
+               AS sum_head8,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+    doc="Array / higher-order function family (SURVEY §2.6 array row): "
+    "size, element_at, slice, filter, and a left-to-right aggregate "
+    "fold — all JVM-side Column expressions, no UDF.",
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    add = lambda acc, x: acc + x  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), add), 4).alias("sum_all"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+        F.round(F.element_at(v, 1), 4).alias("first_val"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), add), 4).alias("sum_head8"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "map_literal_lookup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value * CASE event_type
+               WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+               WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 2.0
+               ELSE 0.0 END), 2) AS weighted_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Literal-map dimension lookup — the reference's class->color "
+    "dict (J3, visualize.py:10-20,97) as a create_map literal indexed "
+    "by a column; constant-folded JVM-side, no join needed for a "
+    "fixed tiny dimension.",
+    tags=("scalar", "map", "kitti-analog"),
+)
+def map_literal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from itertools import chain
+
+    weights = {"click": 1.0, "view": 0.5, "purchase": 5.0, "signup": 2.0, "error": 0.0}
+    m = F.create_map(*[F.lit(x) for x in chain.from_iterable(weights.items())])
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * m[F.col("event_type")]), 2).alias(
+            "weighted_value"
+        ),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    WITH long AS (
+        SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem
+    )
+    SELECT measure, count(*) AS n, round(avg(val), 6) AS avg_val
+    FROM long GROUP BY measure
+    """,
+    doc="Unpivot (wide->long melt) of three measure columns + grouped "
+    "agg — Spark's unpivot operator vs the UNION ALL relational "
+    "equivalent. Melt is projection-only (no shuffle until the agg).",
+    tags=("reshape",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure_raw",
+        "val",
+    ).select(
+        F.regexp_replace("measure_raw", "^l_", "").alias("measure"), "val"
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("val"), 6).alias("avg_val")
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # sketch estimate — tolerance asserted in tests, not hash
+    doc="HyperLogLog++ distinct-count sketch over customers/orders — "
+    "the single-pass mergeable cardinality aggregate for 100 TB "
+    "(exact distinct shuffles every key; the sketch merges partials). "
+    "rsd=0.01; tests assert <3% relative error vs exact.",
+    tags=("agg", "sketch"),
+)
+def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
