@@ -127,3 +127,62 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return doc_fingerprint_cols(docs)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                      AS term) t
+        WHERE doc_id < 50 AND t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tokens),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(n.n_docs / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+    doc="tf-idf top-3 terms per document (docs 0-49): tokenize with a "
+    "shared [^a-z]+ regex, tf per (doc,term), idf = ln(N/df) with df "
+    "via distinct-doc count, deterministic rank tiebreak. The "
+    "aggregation skeleton of every bag-of-words feature pipeline — "
+    "two shuffles (doc-term, term), both partial-aggregated.",
+    tags=("text",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tokens.select("doc_id").distinct().count()
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf_raw"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

@@ -151,3 +151,41 @@ def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "moving_avg_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ), 6) AS avg_1h,
+           CAST(count(*) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h
+    FROM events
+    """,
+    doc="Event-time RANGE-frame window: trailing 1-hour average per "
+    "user — the value-based frame (peers included) vs the row-based "
+    "frames elsewhere. Both engines order by floor-epoch-seconds so "
+    "frame boundaries agree on sub-second timestamps. One shuffle on "
+    "user_id; frame evaluation is a per-partition sliding scan.",
+    tags=("window",),
+)
+def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
