@@ -968,3 +968,29 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "correlation_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(corr(value, epoch(ts)), 6) AS corr_vt,
+           round(covar_samp(value, epoch(ts)), 4) AS covar_vt,
+           round(var_samp(value), 6) AS var_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Bivariate moment aggregates (corr, covar_samp, var_samp) — "
+    "single-pass mergeable statistics (partial co-moments combine "
+    "associatively, the same partial+final shape as sum/avg).",
+    tags=("agg",),
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("double")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("value", ep), 6).alias("corr_vt"),
+        F.round(F.covar_samp("value", ep), 4).alias("covar_vt"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+    )

@@ -188,3 +188,30 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.n_events").alias("n_events"),
         F.round(F.col("f.sum_value"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch(p.ts) - epoch(c.ts) AS gap_s,
+           round(p.value, 6) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1800 SECONDS
+    """,
+    doc="Stream-stream interval join executed by Structured Streaming "
+    "(both sides watermarked, event-time-bounded state): purchases "
+    "paired with same-user clicks in the preceding 30 minutes; "
+    "append-mode drain equals the batch interval join the oracle runs.",
+    tags=("streaming", "join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _stream(spark, sf_dir)
+    # watermark=None: the backfill's landing files are not time-ordered
+    # (see module docstring); production keeps the default 2h watermark.
+    return _drain(S.purchases_after_clicks(stream, watermark=None), "append")

@@ -1,6 +1,7 @@
 from kittispark.streaming.ops import (
     EVENTS_SCHEMA,
     dedup_stream,
+    purchases_after_clicks,
     read_events_stream,
     run_available_now,
     running_user_stats,
@@ -12,6 +13,7 @@ from kittispark.streaming.ops import (
 __all__ = [
     "EVENTS_SCHEMA",
     "dedup_stream",
+    "purchases_after_clicks",
     "read_events_stream",
     "run_available_now",
     "running_user_stats",

@@ -224,3 +224,55 @@ def run_available_now(
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def purchases_after_clicks(
+    events: DataFrame,
+    other: DataFrame | None = None,
+    max_gap_s: int = 1800,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with every
+    click by the same user in the preceding `max_gap_s` seconds.
+
+    In streaming mode both sides carry watermarks and the join
+    condition bounds event-time distance, so the state store can
+    expire rows once the watermark passes their join horizon — the
+    canonical bounded-state stream-stream join. Works identically on
+    batch DataFrames (no watermark, plain non-equi join), which is
+    what the DuckDB oracle checks.
+
+    Scale: state per side is (watermark horizon x arrival rate) rows
+    hash-partitioned by user_id; the time-bound predicate is what
+    keeps that finite — never run an unbounded stream-stream join.
+    """
+    other = events if other is None else other
+    clicks = other.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming and watermark is not None:
+        clicks = clicks.withWatermark("c_ts", watermark)
+    if purchases.isStreaming and watermark is not None:
+        purchases = purchases.withWatermark("p_ts", watermark)
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap_s} SECONDS")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.col("p_ts").cast("double") - F.col("c_ts").cast("double"))
+        .alias("gap_s"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )

@@ -120,3 +120,24 @@ def test_stateful_running_stats_across_batches(spark, batch_events, stream_event
     # few hundred users → pigeonhole), i.e. >1 update row for some key.
     per_key = updates.groupBy("user_id").count()
     assert per_key.agg(F.max("count")).collect()[0][0] > 1
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path, batch_events):
+    # Time-ordered landing: range-partition by ts so part-file order ==
+    # event-time order and the 2h watermark never drops valid rows —
+    # the production layout for watermarked stream-stream joins.
+    ordered_dir = str(tmp_path / "ordered_landing")
+    (
+        batch_events.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(ordered_dir)
+    )
+    stream = S.read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
+    got = S.run_available_now(
+        S.purchases_after_clicks(stream), "ssj_t", output_mode="append"
+    )
+    want = S.purchases_after_clicks(batch_events)
+    assert _rows(got, "purchase_id", "click_id") == _rows(
+        want, "purchase_id", "click_id"
+    )
+    assert got.count() > 0
