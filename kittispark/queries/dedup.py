@@ -131,3 +131,24 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return simhash_near_dup_candidates(docs)
+
+
+@register(
+    "dedup_digest",
+    oracle="""
+    SELECT sha256(text) AS digest,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Exact dedup grouped on a sha-256 digest instead of the text "
+    "itself — the 100 TB form of dedup_exact: the shuffle key is 32 "
+    "fixed bytes per row, not the document body.",
+    tags=("dedup",),
+)
+def dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -994,3 +994,54 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("value", ep), 4).alias("covar_vt"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
     )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                    ELSE l_linenumber % 5 END AS bucket
+        FROM lineitem WHERE l_orderkey < 200
+    ),
+    r AS (
+        SELECT DISTINCT CASE WHEN x % 3 = 0 THEN NULL ELSE x END AS bucket,
+               CASE WHEN x % 3 = 0 THEN 'null-bucket'
+                    ELSE 'b' || CAST(x AS VARCHAR) END AS tag
+        FROM (SELECT unnest([0, 1, 2, 3, 4]) AS x)
+    )
+    SELECT l.l_orderkey, l.bucket, r.tag
+    FROM l JOIN r ON l.bucket IS NOT DISTINCT FROM r.bucket
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — still a hash join (NULL "
+    "hashes like any value under null-safe equality), not a fallback "
+    "to nested loops.",
+    tags=("join", "nulls"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    l = li.select(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_linenumber") % 5)
+        .alias("bucket"),
+    )
+    r = (
+        t(spark, sf_dir, "lineitem")
+        .sparkSession.range(5)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit(None))
+            .otherwise(F.col("id"))
+            .cast("int")
+            .alias("bucket"),
+            F.when(F.col("id") % 3 == 0, F.lit("null-bucket"))
+            .otherwise(F.concat(F.lit("b"), F.col("id")))
+            .alias("tag"),
+        )
+        .distinct()
+    )
+    return l.join(F.broadcast(r), l["bucket"].eqNullSafe(r["bucket"])).select(
+        "l_orderkey", l["bucket"].alias("bucket"), "tag"
+    )
