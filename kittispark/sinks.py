@@ -100,3 +100,30 @@ def write_bucketed(
     w = df.write.mode(mode).option("path", path).bucketBy(n_buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.format("parquet").saveAsTable(table)
+
+
+def write_frames_observed(
+    points: DataFrame, out_dir: str, mode: str = "overwrite"
+) -> dict:
+    """One-pass write-plus-metrics (SURVEY §3 E2): the reference
+    writes cut-out frames AND folds count stats in the same loop
+    (data_pipeline.py:77-84); the Spark equivalent attaches an
+    Observation to the write so metrics ride the write job itself —
+    no second scan of the data. Returns the observed metrics dict.
+
+    Observation aggregates must be shuffle-free (they fold on the
+    task path), so cardinality uses the HLL sketch; exact per-frame
+    stats, when needed, read the (columnar, pruned) output instead.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_stats")
+    observed = points.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("frame_id").alias("n_frames_approx"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
+    observed.write.mode(mode).partitionBy("frame_id").parquet(out_dir)
+    return obs.get

@@ -209,3 +209,15 @@ def test_parquet_roundtrip(loaded, tmp_path, spark):
     back = spark.read.parquet(out)
     assert back.count() == points.count()
     assert set(back.columns) == {"frame_id", "x", "y", "z", "intensity"}
+
+
+def test_write_frames_observed_one_pass(loaded, tmp_path, spark):
+    from kittispark.sinks import write_frames_observed
+
+    frames, points, _, _ = loaded
+    metrics = write_frames_observed(points, str(tmp_path / "obs_out"))
+    total = sum(fr["points"].shape[0] for fr in frames.values())
+    assert metrics["n_rows"] == total
+    assert metrics["n_frames_approx"] == len(frames)  # HLL exact at tiny n
+    back = spark.read.parquet(str(tmp_path / "obs_out"))
+    assert back.count() == total

@@ -141,3 +141,29 @@ def test_stream_stream_join_equals_batch(spark, tmp_path, batch_events):
         want, "purchase_id", "click_id"
     )
     assert got.count() > 0
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path, batch_events):
+    # Production sink pattern: foreachBatch writes each micro-batch to
+    # parquet; checkpoint + batch-id idempotence give exactly-once
+    # file output. All 1000 rows must land exactly once across the
+    # 4 forced micro-batches.
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = S.read_events_stream(
+        spark, events_landing_dir(spark, SF), max_files_per_trigger=1
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    assert written.count() == 1000
+    assert written.select("event_id").distinct().count() == 1000
