@@ -1045,3 +1045,76 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(F.broadcast(r), l["bucket"].eqNullSafe(r["bucket"])).select(
         "l_orderkey", l["bucket"].alias("bucket"), "tag"
     )
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    WITH big_cust AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    ),
+    rich_cust AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT coalesce(b.o_custkey, r.c_custkey) AS custkey,
+           b.n_orders, r.acctbal
+    FROM big_cust b FULL OUTER JOIN rich_cust r ON b.o_custkey = r.c_custkey
+    """,
+    doc="Full outer join of two filtered aggregates — both unmatched "
+    "sides survive with nulls; compiles to a shuffle join (full outer "
+    "can't broadcast either side).",
+    tags=("join",),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+    rich = customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return big.join(
+        rich, big["o_custkey"] == rich["c_custkey"], "full_outer"
+    ).select(
+        F.coalesce(big["o_custkey"], rich["c_custkey"]).alias("custkey"),
+        "n_orders",
+        "acctbal",
+    )
+
+
+@register(
+    "union_all_counts",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey AS custkey, 'order' AS src FROM orders
+        UNION ALL
+        SELECT c_custkey, 'customer' FROM customer
+    )
+    SELECT src, count(*) AS n, count(DISTINCT custkey) AS n_keys
+    FROM u GROUP BY src
+    """,
+    doc="UNION ALL (bag semantics, no dedup shuffle on the union "
+    "itself) of two heterogeneous sources via unionByName + grouped "
+    "distinct count.",
+    tags=("setop",),
+)
+def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), F.lit("order").alias("src")
+    )
+    customer = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return (
+        orders.unionByName(customer)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("custkey").alias("n_keys"),
+        )
+    )

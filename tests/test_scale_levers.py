@@ -116,3 +116,27 @@ def test_bucketed_join_zero_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+# ---------------------------------------------------------- partition pruning
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path_factory):
+    import contextlib
+    import io
+
+    root = str(tmp_path_factory.mktemp("parts") / "events_by_type")
+    events = load_table(spark, SF, "events")
+    events.write.partitionBy("event_type").parquet(root)
+
+    df = spark.read.parquet(root).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the filter becomes a partition filter at the file index — no
+    # data file of another partition is ever opened
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    want = events.filter(F.col("event_type") == "click").count()
+    assert df.count() == want
