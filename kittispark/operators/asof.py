@@ -96,3 +96,38 @@ def asof_join(
         carried.filter(F.col("__side") == 1)
         .select(F.col("__row.*"), *out_payload)
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    value: str,
+    step_s: int,
+) -> DataFrame:
+    """Per-key regular time grid with forward-filled values: resample
+    irregular observations to `step_s`-second buckets, carrying the
+    last observation at-or-before each grid point.
+
+    Composition, not a new kernel: (1) per-key min/max bounds (one
+    aggregation), (2) grid = explode(sequence(lo, hi, step)) — grid
+    size is (span/step) per key, generated where the key lives, no
+    driver loop, (3) asof_join(grid, observations). Inherits the
+    as-of join's single-shuffle linear cost; the grid explode is
+    narrow. Observations must be unique per (key, second) —
+    pre-aggregate if not.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    secs = F.col(ts).cast("long")
+    obs = df.select(*keys, secs.alias("grid_ts"), F.col(value))
+    bounds = df.groupBy(*keys).agg(
+        (F.floor(F.min(secs) / step_s) * step_s).cast("long").alias("lo"),
+        F.max(secs).alias("hi"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(int(step_s)))
+        ).alias("grid_ts"),
+    )
+    return asof_join(grid, obs, on=keys, ts="grid_ts", payload=[value])

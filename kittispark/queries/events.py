@@ -228,3 +228,50 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(left, clicks, on="user_id", ts="ts", payload=["click_value"]).select(
         "event_id", "user_id", F.round("click_value", 6).alias("click_value")
     )
+
+
+@register(
+    "resample_ffill_grid",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ots,
+               max(value) AS v
+        FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id,
+               CAST(floor(min(ots) / 21600) * 21600 AS BIGINT) AS lo,
+               max(ots) AS hi
+        FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, g.grid_ts
+        FROM bounds,
+             LATERAL (SELECT unnest(generate_series(lo, hi, 21600))
+                      AS grid_ts) g
+    )
+    SELECT grid.user_id, grid.grid_ts, round(obs.v, 6) AS v
+    FROM grid ASOF LEFT JOIN obs
+      ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ots
+    """,
+    doc="Resample-with-forward-fill: each user's irregular events land "
+    "on a regular 6-hour grid carrying the last observation at-or-"
+    "before each grid point — grid explode + as-of join composition "
+    "(operators.asof.resample_ffill) vs DuckDB generate_series + ASOF.",
+    tags=("asof", "timeseries"),
+)
+def resample_ffill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.asof import resample_ffill
+
+    events = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    obs = events.groupBy(
+        "user_id", F.col("ts").cast("long").alias("ots")
+    ).agg(F.max("value").alias("v"))
+    res = resample_ffill(
+        obs.select("user_id", F.col("ots").cast("timestamp").alias("ts"), "v"),
+        on="user_id",
+        ts="ts",
+        value="v",
+        step_s=21600,
+    )
+    return res.select("user_id", "grid_ts", F.round("v", 6).alias("v"))
