@@ -179,13 +179,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     def kernel(batches):
         import numpy as np
 
+        # Self-contained (no module-global references): the kernel
+        # must unpickle on executors even if kittispark itself is not
+        # importable there.
+        def fnv1a64(s: str) -> int:
+            h = 0xCBF29CE484222325
+            for byte in s.encode("utf-8"):
+                h ^= byte
+                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
         for pdf in batches:
             out_ids, out_hashes = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = text.split(" ")
-                # FNV-1a 64-bit per token, vectorized over characters.
+                # FNV-1a 64-bit per token.
                 hashes = np.array(
-                    [_fnv1a64(tok) for tok in toks], dtype=np.uint64
+                    [fnv1a64(tok) for tok in toks], dtype=np.uint64
                 )
                 bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                     np.int64

@@ -15,7 +15,11 @@ sides so value hashes are stable across engines.
 
 from __future__ import annotations
 
+import functools
 import importlib
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -71,8 +75,47 @@ def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship the kittispark package to executor Python workers
+    (sc.addPyFile — the programmatic form of `spark-submit
+    --py-files`). Python kernels are pickled with references to this
+    module, so workers must be able to import it no matter what the
+    driver's cwd/PYTHONPATH is. Zipped once per process, added once
+    per SparkContext."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"kittispark-pyfiles-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app)
+
+
+def _shipping(fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_package_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_specs().items()}
+    return {name: _shipping(spec.fn) for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
