@@ -275,3 +275,20 @@ def resample_ffill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_s=21600,
     )
     return res.select("user_id", "grid_ts", F.round("v", 6).alias("v"))
+
+
+@register(
+    "percentile_approx_group",
+    oracle=None,  # sketch estimate — error bound asserted in tests
+    doc="approx_percentile per group at accuracy 10000 — the single-"
+    "pass mergeable percentile for 100 TB (exact percentile shuffles "
+    "whole groups; the KLL-style sketch merges partials). Same call "
+    "site as percentile_per_group; tests bound the error vs exact.",
+    tags=("agg", "sketch"),
+)
+def percentile_approx_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 6).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

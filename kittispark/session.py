@@ -43,6 +43,16 @@ def get_spark(
     )
     if "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate returns an existing session without re-applying
+    # builder configs; force runtime-settable extras so callers get
+    # what they asked for either way.
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a reused session — builder path set it
     spark.sparkContext.setLogLevel("WARN")
     return spark

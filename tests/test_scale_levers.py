@@ -140,3 +140,58 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path_factory):
     assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     want = events.filter(F.col("event_type") == "click").count()
     assert df.count() == want
+
+
+# ------------------------------------------------------------ AQE skew split
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # Thresholds lowered so test-sized data triggers the optimization;
+    # at cluster scale the defaults (256MB) do the same job. The final
+    # adaptive plan must carry the skew=true marker on the join and a
+    # skewed AQEShuffleRead — proof the hot key's partition was split.
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        fat = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(42))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("row_id"),
+        )
+        slim = spark.range(1_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("sid")
+        )
+        agg = fat.join(slim, "k").groupBy().count()
+        n = agg.collect()[0][0]
+        assert n == 2_000_000  # 180k hot x 10 + 20k x 10
+        final = (
+            agg._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in final
+        assert "skewed" in final  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -14,3 +14,17 @@ def test_approx_count_distinct_within_3pct(spark):
     approx = orders.agg(F.approx_count_distinct("o_custkey", rsd=0.01)).collect()[0][0]
     exact = orders.select("o_custkey").distinct().count()
     assert abs(approx - exact) / exact < 0.03, (approx, exact)
+
+
+def test_percentile_approx_close_to_exact(spark):
+    events = load_table(spark, SF, "events")
+    both = events.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx"),
+    )
+    rows = both.collect()
+    # approx returns a true sample value near the median; with ~100
+    # obs per user the rank error at accuracy 10000 is tiny — allow a
+    # small absolute band scaled by the value range (0..500).
+    bad = [r for r in rows if abs(r["approx"] - r["exact"]) > 25.0]
+    assert not bad, bad[:5]
