@@ -36,6 +36,7 @@ HEADLINE = [
     "asof_join_latest_click",
     "ann_ivf_topk",
     "salted_skew_join",
+    "tfidf_top_terms",
 ]
 
 

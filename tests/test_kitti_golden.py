@@ -221,3 +221,27 @@ def test_write_frames_observed_one_pass(loaded, tmp_path, spark):
     assert metrics["n_frames_approx"] == len(frames)  # HLL exact at tiny n
     back = spark.read.parquet(str(tmp_path / "obs_out"))
     assert back.count() == total
+
+
+def test_viz_single_frame_data_path(loaded):
+    from kittispark import viz
+
+    frames, points, labels, _ = loaded
+    one = min(frames)
+    pdf = viz.frame_points_pdf(points, one)
+    assert len(pdf) == frames[one]["points"].shape[0]
+    assert list(pdf.columns) == ["x", "y", "z", "intensity"]
+    lbl = viz.frame_labels_pdf(labels, one)
+    want = sum(1 for r in frames[one]["labels"] if r["label"] != "DontCare")
+    assert len(lbl) == want
+    try:
+        import plotly  # noqa: F401
+
+        has_plotly = True
+    except ImportError:
+        has_plotly = False
+    if not has_plotly:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            viz.frame_figure(points, one)
