@@ -40,7 +40,12 @@ _MINHASH_PARAMS = [
 
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     """n-token shingles as an array column (empty if doc shorter
-    than n — guarded so ``sequence`` never gets a descending range)."""
+    than n — guarded so ``sequence`` never gets a descending range).
+
+    NOTE: expression-level form; each slice re-evaluates the token
+    split because higher-order lambdas inline their inputs. Fine for
+    one-off use on small columns — the hot dedup path uses
+    shingle_rows() instead, which tokenizes exactly once per doc."""
     toks = tokens_col(text_col)
     k = F.size(toks)
     return F.when(
@@ -50,6 +55,38 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, sh) rows of n-token shingles, tokenizing each doc
+    exactly ONCE: posexplode the token array to rows, then build each
+    shingle from the token and its n-1 successors via window lead().
+
+    The window's shuffle partitions by doc_id — exactly the
+    partitioning every downstream per-doc aggregation (minhash min-agg,
+    shingle-set size) needs, so Spark reuses it and the whole
+    shingle->signature pipeline costs ONE shuffle. Contrast the
+    expression form: split() inlined into every slice (token_count x
+    n_shingles re-tokenizations) and a separate groupBy shuffle."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = parts[-1]
+    return (
+        toks.select("doc_id", *[p.alias(f"__t{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"__t{n-1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"__t{i}") for i in range(n)]).alias("sh"),
+        )
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -78,10 +115,9 @@ def minhash_signature(
     (they can't be near-dups by this measure)."""
     if num_hashes > len(_MINHASH_PARAMS):
         raise ValueError(f"num_hashes <= {len(_MINHASH_PARAMS)}")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(text_col)).alias("sh"),
-    ).select("doc_id", F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P)).alias("h"))
+    base = shingle_rows(df, text_col, id_col).select(
+        "doc_id", F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P)).alias("h")
+    )
     sig = base.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_P))).alias(
@@ -140,9 +176,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing at least
     one shingle (inverted-index join; the verify stage after LSH)."""
-    ds = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text_col)).alias("sh")
-    ).distinct()
+    ds = shingle_rows(df, text_col, id_col).distinct()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
