@@ -186,3 +186,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "regexp_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_non_vowel
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="Regexp scalar family: anchored capture-group extraction, "
+    "boolean pattern predicate (rlike), global replace — all JVM "
+    "codegen expressions; patterns restricted to the class syntax "
+    "shared by Java regex and DuckDB's RE2.",
+    tags=("scalar", "text"),
+)
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^([A-Za-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_non_vowel"),
+    )
