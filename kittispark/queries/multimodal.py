@@ -63,3 +63,41 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     )
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 500
+    ),
+    p AS (SELECT media_id, n, greatest(1, n // 4) AS step FROM m)
+    SELECT media_id,
+           CAST(o / (step * 2) AS INT) AS frame_idx,
+           CAST(least(step, n - o) AS INT) AS n_frame_bytes
+    FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1, step * 2)) AS o) g
+    WHERE o / (step * 2) < 4
+    """,
+    doc="Frame sampling as a 1->N generator over binary payloads "
+    "(every-2nd slice, max 4 frames per item) — the video-frame-"
+    "sample shape; the oracle reproduces the slice arithmetic with "
+    "generate_series, so the Python batch kernel's fan-out is value-"
+    "checked, not just row-counted.",
+    tags=("multimodal", "udf"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = pack_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "video",
+    )
+    return sample_frames(media).select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("n_frame_bytes"),
+    )
