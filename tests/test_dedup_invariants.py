@@ -1,0 +1,58 @@
+"""Dedup invariants: exact duplicates can never escape any of the
+near-dup detectors (signatures are functions of content only)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kittispark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_dup_candidates,
+)
+from kittispark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def with_clone(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    clone = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(clone).cache()
+
+
+def test_identical_docs_share_minhash_signature(spark, with_clone):
+    sigs = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signature(with_clone).collect()
+    }
+    assert sigs[0] == sigs[1_000_000]
+
+
+def test_identical_docs_are_lsh_candidates(spark, with_clone):
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(with_clone).collect()
+    }
+    assert (0, 1_000_000) in pairs
+
+
+def test_identical_docs_jaccard_is_one(spark, with_clone):
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(with_clone).collect()
+    }
+    assert rows[(0, 1_000_000)] == 1.0
+
+
+def test_identical_docs_are_simhash_candidates(spark, with_clone):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_candidates(with_clone).collect()
+    }
+    assert (0, 1_000_000) in pairs
