@@ -6,6 +6,7 @@ from kittispark.streaming.ops import (
     run_available_now,
     running_user_stats,
     session_counts,
+    session_tracker,
     sliding_value_avg,
     tumbling_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "run_available_now",
     "running_user_stats",
     "session_counts",
+    "session_tracker",
     "sliding_value_avg",
     "tumbling_counts",
 ]

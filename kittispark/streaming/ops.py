@@ -276,3 +276,87 @@ def purchases_after_clicks(
         .alias("gap_s"),
         F.round("purchase_value", 6).alias("purchase_value"),
     )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_last", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 hours"
+                    ) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME TIMEOUTS — the
+    applyInPandasWithState pattern built-in session_window can't
+    express (per-session payloads, eager emission, custom close
+    rules). Each user's open session lives in the state store; a
+    session is emitted when a gap closes it within a batch, or when
+    the WATERMARK passes its deadline (state.hasTimedOut) — so
+    abandoned sessions flush without waiting for that user's next
+    event, and state is strictly bounded by open sessions.
+
+    Emits (user_id, session_start epoch-s, last event epoch-s, count).
+    The stream's final open session per user stays in state (an
+    always-on job emits it when its timeout fires). Input should be
+    roughly event-time-ordered across micro-batches (landing files
+    range-partitioned by ts); the watermark absorbs in-batch disorder.
+    """
+
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState") -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((key[0], start, last, n))
+            state.remove()
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_last", "n_events"]
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in (pdf["ts"].astype("int64") // 1_000_000_000))
+        ts.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                out.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        deadline_ms = (last + gap_s) * 1000
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            # the open session's deadline already passed (a timeout
+            # timestamp may not be set behind the watermark) — close it
+            # right here instead of waiting for a timeout that can't fire
+            out.append((key[0], start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
+            # watermark passing last+gap closes the open session
+            state.setTimeoutTimestamp(deadline_ms)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start", "session_last", "n_events"]
+        )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -31,6 +31,31 @@ def stream_events(spark, batch_events):
     )
 
 
+
+
+def _write_time_ordered_landing(df, path: str, n: int = 4) -> None:
+    """Landing dir whose files arrive in EVENT-TIME order: the file
+    stream source orders by modification time, and a parallel
+    repartitionByRange write lands its part files in arbitrary mtime
+    order — a late-arriving early file is then entirely dropped by the
+    watermark. Writing each time-slice sequentially gives strictly
+    increasing mtimes, which is what a real ingest layer produces."""
+    from pyspark.sql import functions as F
+
+    secs = df.withColumn("__s", F.col("ts").cast("double"))
+    bounds = secs.approxQuantile("__s", [i / n for i in range(1, n)], 0.0)
+    lo = None
+    for i in range(n):
+        hi = bounds[i] if i < n - 1 else None
+        part = secs
+        if lo is not None:
+            part = part.filter(F.col("__s") > lo)
+        if hi is not None:
+            part = part.filter(F.col("__s") <= hi)
+        part.drop("__s").coalesce(1).write.mode("append").parquet(path)
+        lo = hi
+
+
 def _rows(df, *order_cols):
     return [tuple(r) for r in df.orderBy(*order_cols).collect()]
 
@@ -127,11 +152,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path, batch_events):
     # event-time order and the 2h watermark never drops valid rows —
     # the production layout for watermarked stream-stream joins.
     ordered_dir = str(tmp_path / "ordered_landing")
-    (
-        batch_events.repartitionByRange(4, "ts")
-        .sortWithinPartitions("ts")
-        .write.parquet(ordered_dir)
-    )
+    _write_time_ordered_landing(batch_events, ordered_dir)
     stream = S.read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
     got = S.run_available_now(
         S.purchases_after_clicks(stream), "ssj_t", output_mode="append"
@@ -167,3 +188,58 @@ def test_foreachbatch_parquet_sink(spark, tmp_path, batch_events):
     written = spark.read.parquet(out)
     assert written.count() == 1000
     assert written.select("event_id").distinct().count() == 1000
+
+
+def test_session_tracker_stateful_timeouts(spark, tmp_path, batch_events):
+    # Time-ordered landing so watermark advances monotonically across
+    # the 4 micro-batches and event-time timeouts actually fire.
+    ordered = str(tmp_path / "ordered_for_sessions")
+    _write_time_ordered_landing(batch_events, ordered)
+    stream = S.read_events_stream(spark, ordered, max_files_per_trigger=1)
+    got = S.run_available_now(
+        S.session_tracker(stream, watermark="30 minutes"),
+        "sess_track_t",
+        output_mode="append",
+    )
+    got_rows = {
+        (r["user_id"], r["session_start"], r["session_last"], r["n_events"])
+        for r in got.collect()
+    }
+
+    # batch twin: gap-based sessions; the stream cannot have emitted
+    # each user's final session (still open in state when the drain
+    # stops) — everything else must match exactly.
+    want = S.session_counts(batch_events, watermark=None)
+    want_rows = {
+        (r["user_id"], r["session_start"], r["session_end"] - 1800, r["n_events"])
+        for r in want.collect()
+    }
+    # Timeouts fire when a LATER batch runs with an advanced watermark:
+    # the watermark during the final batch is the max event time of the
+    # previous batches minus the delay, so only sessions whose deadline
+    # (last + gap) precedes it are guaranteed flushed; later sessions
+    # may legitimately still be open in state when the drain stops.
+    import pyspark.sql.functions as _F
+
+    import os as _os
+
+    files = sorted(
+        (f for f in _os.listdir(ordered) if f.endswith(".parquet")),
+        key=lambda f: _os.path.getmtime(f"{ordered}/{f}"),
+    )
+    first3 = [f"{ordered}/{f}" for f in files[:3]]
+    wm = (
+        spark.read.parquet(*first3)
+        .agg(_F.max(_F.col("ts").cast("long")))
+        .collect()[0][0]
+        - 1800
+    )
+    must_emit = {
+        (u, s, last, n) for (u, s, last, n) in want_rows if last + 1800 <= wm
+    }
+    assert got_rows >= must_emit, (
+        f"missing {len(must_emit - got_rows)} sessions due before the final "
+        f"watermark"
+    )
+    assert got_rows <= want_rows, "emitted a session the batch twin doesn't have"
+    assert len(got_rows) > len(must_emit) * 0.5  # sanity: emissions happened
