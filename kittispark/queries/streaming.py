@@ -215,3 +215,92 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermark=None: the backfill's landing files are not time-ordered
     # (see module docstring); production keeps the default 2h watermark.
     return _drain(S.purchases_after_clicks(stream, watermark=None), "append")
+
+
+_ORDERED_LANDING: dict[str, str] = {}
+
+
+def events_landing_dir_ordered(spark: SparkSession, sf_dir: str) -> str:
+    """Landing dir with files in strict event-time order (sequential
+    one-slice-at-a-time writes -> increasing mtimes, which is how the
+    file stream source orders batches), plus a final SENTINEL file:
+    one far-future event per user. The sentinel batch closes every
+    real session in-batch (gap rule), so the tracker's emissions are
+    exactly the batch sessionization — value-checkable by the oracle.
+    """
+    path = _ORDERED_LANDING.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    events = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="kittispark-landing-ordered-")
+    path = os.path.join(root, "events")
+    secs = events.withColumn("__s", F.col("ts").cast("double"))
+    n = 4
+    bounds = secs.approxQuantile("__s", [i / n for i in range(1, n)], 0.0)
+    lo = None
+    for i in range(n):
+        hi = bounds[i] if i < n - 1 else None
+        part = secs
+        if lo is not None:
+            part = part.filter(F.col("__s") > lo)
+        if hi is not None:
+            part = part.filter(F.col("__s") <= hi)
+        part.drop("__s").coalesce(1).write.mode("append").parquet(path)
+        lo = hi
+    sentinel_ts = F.timestamp_seconds(
+        F.lit(int(secs.agg(F.max("__s")).collect()[0][0]) + 7 * 86400)
+    )
+    (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).alias("event_id"),
+            sentinel_ts.alias("ts"),
+            "user_id",
+            F.lit("__sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+    _ORDERED_LANDING[sf_dir] = path
+    return path
+
+
+@register(
+    "stream_session_tracker",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    doc="Custom stateful sessionizer (applyInPandasWithState + event-"
+    "time timeouts) run across 5 micro-batches; a sentinel batch of "
+    "far-future per-user events closes every real session, so the "
+    "emitted rows equal batch sessionization exactly — the custom "
+    "stateful operator is VALUE-checked by the oracle, not just "
+    "row-counted.",
+    tags=("streaming", "stateful"),
+)
+def stream_session_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = S.read_events_stream(
+        spark, events_landing_dir_ordered(spark, sf_dir), max_files_per_trigger=1
+    )
+    return _drain(S.session_tracker(stream, watermark="30 minutes"), "append")
