@@ -1,0 +1,98 @@
+"""Randomized property tests for the composed operators: placement
+transforms (salting) must never change results; resampling must obey
+grid arithmetic and forward-fill semantics."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from kittispark.operators.asof import resample_ffill
+from kittispark.operators.skew import salted_join
+
+rows = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(0, 99)), min_size=0, max_size=25
+)
+dim = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(0, 9)),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(fat=rows, slim=dim)
+def test_salted_join_always_equals_plain_join(spark, fat, slim):
+    fdf = spark.createDataFrame(
+        [(k, v) for k, v in fat] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, d) for k, d in slim] or [(None, None)], "k int, d int"
+    ).filter(F.col("k").isNotNull())
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, fdf.join(sdf, "k", how).select("v", "d").collect()),
+            key=repr,
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(fdf, sdf, on="k", how=how, n_salts=4, salt_from="v")
+                .select("v", "d")
+                .collect(),
+            ),
+            key=repr,
+        )
+        assert salted == plain, how
+
+
+obs = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 1000)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=obs)
+def test_resample_ffill_grid_and_fill_properties(spark, points):
+    step = 60
+    df = spark.createDataFrame(
+        [(k, float(ts), float(k * 1000 + ts)) for k, ts in points],
+        "k int, ts double, v double",
+    )
+    out = resample_ffill(df, on="k", ts="ts", value="v", step_s=step).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    per_key_pts: dict[int, list[int]] = {}
+    for k, ts in points:
+        per_key_pts.setdefault(k, []).append(ts)
+    assert set(by_key) == set(per_key_pts)
+    for k, rs in by_key.items():
+        lo = (min(per_key_pts[k]) // step) * step
+        hi = max(per_key_pts[k])
+        want_n = (hi - lo) // step + 1
+        assert len(rs) == want_n, (k, len(rs), want_n)
+        # grid is exactly the arithmetic sequence
+        got_ts = sorted(r["grid_ts"] for r in rs)
+        assert got_ts == [lo + i * step for i in range(int(want_n))]
+        # forward fill: value at each grid point is the observation
+        # with the greatest ts <= grid point (None before the first)
+        for r in rs:
+            past = [ts for ts in per_key_pts[k] if ts <= r["grid_ts"]]
+            if not past:
+                assert r["v"] is None
+            else:
+                assert r["v"] == float(k * 1000 + max(past))
