@@ -1118,3 +1118,103 @@ def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("custkey").alias("n_keys"),
         )
     )
+
+
+@register(
+    "scalar_subquery_avg_qty",
+    oracle="""
+    WITH thresh AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l JOIN thresh p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < p.qty_thresh
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery decorrelated into "
+    "a per-part aggregate re-joined to the detail (reference analog: "
+    "J2 aggregate-to-detail rejoin, data_pipeline.py:29-30). The "
+    "per-part averages table is orders of magnitude smaller than "
+    "lineitem, so it broadcasts; at 100 TB the fact side never "
+    "shuffles.",
+    tags=("join", "agg", "subquery"),
+)
+def scalar_subquery_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WHERE o_totalprice > 250000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (ntile / percent_rank / "
+    "cume_dist) per priority class; ordering key is made unique with "
+    "the orderkey tiebreak so ntile is deterministic. One shuffle on "
+    "the partition key, sort within partitions — no global sort.",
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@register(
+    "argmax_best_order",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS best_order,
+           round(o_totalprice, 2) AS best_price
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Argmax per group via max_by over a (price, orderkey) struct — "
+    "a single partial+final hash aggregation with NO sort and NO "
+    "window shuffle-and-sort; ties broken by orderkey so the result "
+    "is deterministic. The SQL twin spells the same semantics with "
+    "row_number, the classic formulation max_by replaces at scale.",
+    tags=("agg", "argmax"),
+)
+def argmax_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ordkey = F.struct("o_totalprice", "o_orderkey")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("best_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )

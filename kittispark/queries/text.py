@@ -211,3 +211,48 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("[0-9]").alias("has_digit"),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_non_vowel"),
     )
+
+
+@register(
+    "hash_split_sample",
+    oracle="""
+    WITH b AS (
+        SELECT lang, n_chars,
+               instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           count(*) FILTER (WHERE bucket < 13)  AS n_train,
+           count(*) FILTER (WHERE bucket >= 13) AS n_holdout,
+           round(avg(n_chars) FILTER (WHERE bucket < 13), 2)
+               AS train_avg_chars
+    FROM b GROUP BY lang
+    """,
+    doc="Deterministic hash-based train/holdout split (the standard "
+    "way to carve reproducible splits from a 100 TB corpus without a "
+    "global shuffle or a stored assignment table): bucket 0-15 from "
+    "the first md5 hex nibble of the stable doc_id, train = buckets "
+    "0-12 (~81%). Pure map-side expression — the only shuffle is the "
+    "final tiny per-lang rollup; identical rows land in the same "
+    "split on every engine and every run.",
+    tags=("text", "sampling"),
+)
+def hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    train = bucket < 13
+    return docs.withColumn("is_train", train).groupBy("lang").agg(
+        F.count(F.when(F.col("is_train"), 1)).alias("n_train"),
+        F.count(F.when(~F.col("is_train"), 1)).alias("n_holdout"),
+        F.round(
+            F.avg(F.when(F.col("is_train"), F.col("n_chars"))), 2
+        ).alias("train_avg_chars"),
+    )
