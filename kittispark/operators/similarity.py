@@ -68,18 +68,21 @@ def cosine_topk(
     baseline every ANN variant is measured against."""
     from pyspark.sql import Window as W
 
+    # Norms are precomputed per ROW before the pair join — bit-identical
+    # to cosine() per pair (same fold on the same data) but 1 array fold
+    # per pair instead of 3.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -144,18 +147,28 @@ def ann_lsh_topk(
     """
     from pyspark.sql import Window as W
 
-    c = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), dim, num_planes, num_tables)))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), dim, num_planes, num_tables)))
+    c = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(vec_col).alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), dim, num_planes, num_tables)))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), dim, num_planes, num_tables)))
+    )
     scored = (
         c.join(F.broadcast(q), "tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -316,7 +329,7 @@ def ann_ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
         F.element_at("__c", 1).alias("cid"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     q = (
         _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe)
         .select(
@@ -324,11 +337,16 @@ def ann_ivf_topk(
             as_double(vec_col).alias("qv"),
             F.explode("__c").alias("cid"),
         )
+        .withColumn("qn", norm(F.col("qv")))
     )
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
