@@ -170,11 +170,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tokens.select("doc_id").distinct().count()
-    scored = tf.join(df, "term").select(
+    # n_docs as a 1-row aggregate cross-joined in (broadcast nested
+    # loop), not an eager .count(): one Spark job instead of two.
+    n = tokens.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf_raw"),
+        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf_raw"),
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
     return (
