@@ -48,8 +48,20 @@ def main() -> None:
     spark = get_spark("kittispark-bench")
     qs = reg.queries()
 
-    # Warm the JVM + parquet footers with a trivial action.
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm the JVM + parquet footers, and spawn the Arrow Python
+    # workers (reused across queries via spark.python.worker.reuse)
+    # with a trivial pandas_udf action, so no single query is charged
+    # the one-time interpreter startup.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _warm(s):
+        return s
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        _warm(F.col("n_nationkey"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
