@@ -1218,3 +1218,51 @@ def argmax_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", ordkey).alias("best_order"),
         F.round(F.max("o_totalprice"), 2).alias("best_price"),
     )
+
+
+@register(
+    "median_mode_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 2) AS median_price,
+           mode(o_orderpriority)          AS top_priority,
+           count(*)                       AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Ordered-set aggregates per group: exact interpolated median "
+    "(percentile 0.5) and mode (most frequent value). Both run as "
+    "one hash aggregation; the fixture has a unique per-group "
+    "frequency winner, so mode is engine-independent.",
+    tags=("agg",),
+)
+def median_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.mode("o_orderpriority").alias("top_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "sorted_array_agg",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderpriority)) AS priorities,
+           count(*) AS n_orders
+    FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    """,
+    doc="Row-to-array aggregation: collect each customer's order "
+    "priorities into a sorted array (collect_list + sort_array — the "
+    "per-key sequence-building step of every features-per-entity "
+    "pipeline). Sorting inside the aggregate makes the array "
+    "deterministic under any row order, so it is safe under "
+    "partitioned, order-free execution.",
+    tags=("agg", "array"),
+)
+def sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -258,3 +258,47 @@ def hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("is_train"), F.col("n_chars"))), 2
         ).alias("train_avg_chars"),
     )
+
+
+@register(
+    "stratified_sample_rates",
+    oracle="""
+    SELECT doc_id, lang,
+           (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+    FROM documents
+    WHERE (instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (instr('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        < CASE lang WHEN 'en' THEN 64 WHEN 'es' THEN 128 ELSE 256 END
+    """,
+    doc="Stratified sampling with per-class rates (downsample the "
+    "dominant language: en 25%, es 50%, rest 100%) — the sampleBy "
+    "shape rebalancing a training corpus. The keep decision is a "
+    "deterministic hash bucket (0-255 from the first md5 byte of the "
+    "stable doc_id), not an RNG draw: a pure map-side filter with no "
+    "shuffle and no stored assignment, reproducible on any engine at "
+    "any parallelism.",
+    tags=("text", "sampling"),
+)
+def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    hexpos = lambda i: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), i, 1),
+        )
+        - 1
+    )
+    bucket = hexpos(1) * 16 + hexpos(2)
+    threshold = (
+        F.when(F.col("lang") == "en", 64)
+        .when(F.col("lang") == "es", 128)
+        .otherwise(256)
+    )
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < threshold
+    )
