@@ -1223,23 +1223,36 @@ def argmax_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "median_mode_agg",
     oracle="""
-    SELECT o_orderstatus,
-           round(median(o_totalprice), 2) AS median_price,
-           mode(o_orderpriority)          AS top_priority,
-           count(*)                       AS n_orders
-    FROM orders GROUP BY o_orderstatus
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o_orderstatus, o_orderpriority AS top_priority
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY n DESC, o_orderpriority ASC) AS rk FROM c)
+        WHERE rk = 1
+    )
+    SELECT o.o_orderstatus,
+           round(median(o.o_totalprice), 2) AS median_price,
+           any_value(m.top_priority)        AS top_priority,
+           count(*)                         AS n_orders
+    FROM orders o JOIN m USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
     """,
     doc="Ordered-set aggregates per group: exact interpolated median "
-    "(percentile 0.5) and mode (most frequent value). Both run as "
-    "one hash aggregation; the fixture has a unique per-group "
-    "frequency winner, so mode is engine-independent.",
+    "(percentile 0.5) and deterministic mode (most frequent value, "
+    "lowest value on frequency ties). Both run in one hash "
+    "aggregation; the SQL twin spells mode's tie-break out as a "
+    "count + row_number subquery because DuckDB's mode() leaves ties "
+    "engine-defined.",
     tags=("agg",),
 )
 def median_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.median("o_totalprice"), 2).alias("median_price"),
-        F.mode("o_orderpriority").alias("top_priority"),
+        F.mode("o_orderpriority", deterministic=True).alias("top_priority"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
