@@ -302,3 +302,31 @@ def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < threshold
     )
+
+
+@register(
+    "bpe_pretoken_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                ' ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+                AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-style pre-tokenization count: the GPT-2 pre-tokenizer "
+    "shape (leading space attaches to the following word; letter "
+    "runs, case-boundary splits, digit runs, and punctuation runs "
+    "are separate tokens), restricted to the lookahead-free regex "
+    "subset Java regex and RE2 share. A narrow map-side projection — "
+    "the cost model of tokenizer-aware corpus budgeting at 100 TB.",
+    tags=("text",),
+)
+def bpe_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pat = r" ?[a-z]+| ?[A-Z][a-z]*| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+        F.size(tokens_col("text")).alias("n_ws_tokens"),
+    )
