@@ -144,6 +144,12 @@ def minhash_lsh_candidates(
     (band_id, band_hash) buckets, dedupe pairs. The join key is the
     band hash — a skew-safe 8-byte key; AQE splits any hot bucket.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature elements "
+            "and weaken the sketch"
+        )
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes)
     band_arr = F.array(

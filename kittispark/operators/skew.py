@@ -39,7 +39,18 @@ def salted_join(
     `salt_from`: a fat-side column whose values are well-distributed
     within a key (an id, a timestamp) — salting hashes it so runs are
     deterministic. Without one, a uniform random salt is used (still
-    correct: the salt only routes rows)."""
+    correct: the salt only routes rows).
+
+    Only fat-side-preserving join types are allowed: the slim side is
+    replicated once per salt before the join, so 'right'/'full_outer'
+    would emit each unmatched slim row n_salts times."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)} (got {how!r}): "
+            "the slim side is replicated per salt, so right/full outer "
+            "joins would duplicate unmatched slim-side rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     overlap = set(fat.columns) & set(slim.columns) - set(keys)
     if overlap:

@@ -924,18 +924,32 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # sketch estimate — tolerance asserted in tests, not hash
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_custs,
+           count(*) AS n_orders,
+           1 AS estimate_within_3pct
+    FROM orders
+    """,
     doc="HyperLogLog++ distinct-count sketch over customers/orders — "
     "the single-pass mergeable cardinality aggregate for 100 TB "
     "(exact distinct shuffles every key; the sketch merges partials). "
-    "rsd=0.01; tests assert <3% relative error vs exact.",
+    "rsd=0.01. Oracle-checkable form: the exact countDistinct is "
+    "hash-compared, and the HLL estimate is folded into a boolean "
+    "relative-error bound (<=3%) that the SQL twin asserts as 1.",
     tags=("agg", "sketch"),
 )
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_custs"),
+    agg = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_custs")) / F.col("exact_custs")
+    return agg.select(
+        "exact_custs",
+        "n_orders",
+        (rel_err <= 0.03).cast("int").alias("estimate_within_3pct"),
     )
 
 
@@ -1261,7 +1275,7 @@ def median_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted_array_agg",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
            count(*) AS n_orders
     FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
     """,
@@ -1270,12 +1284,16 @@ def median_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-key sequence-building step of every features-per-entity "
     "pipeline). Sorting inside the aggregate makes the array "
     "deterministic under any row order, so it is safe under "
-    "partitioned, order-free execution.",
+    "partitioned, order-free execution. The array is serialized with "
+    "'|' on both sides because the gate's canonicalizer hashes scalar "
+    "cells, not list cells.",
     tags=("agg", "array"),
 )
 def sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderpriority")), "|"
+        ).alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )

@@ -140,12 +140,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 50 AND t.term <> ''
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tokens),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
     scored AS (
         SELECT tf.doc_id, tf.term,
-               tf.tf * ln(n.n_docs / df.df) AS tfidf
-        FROM tf JOIN df USING (term) CROSS JOIN n
+               tf.tf * ln(n.n_docs /
+                   (count(*) OVER (PARTITION BY tf.term))) AS tfidf
+        FROM tf CROSS JOIN n
     )
     SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -154,10 +154,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """,
     doc="tf-idf top-3 terms per document (docs 0-49): tokenize with a "
-    "shared [^a-z]+ regex, tf per (doc,term), idf = ln(N/df) with df "
-    "via distinct-doc count, deterministic rank tiebreak. The "
-    "aggregation skeleton of every bag-of-words feature pipeline — "
-    "two shuffles (doc-term, term), both partial-aggregated.",
+    "shared [^a-z]+ regex, tf per (doc,term), idf = ln(N/df), "
+    "deterministic rank tiebreak. The aggregation skeleton of every "
+    "bag-of-words feature pipeline. ONE tokenize pass: df comes from a "
+    "window over tf (tf already has one row per (doc,term), so "
+    "count(*) per term IS the document frequency) and N comes from the "
+    "raw documents table — branching df/N off `tokens` instead would "
+    "re-scan and re-explode the corpus per branch, because column "
+    "pruning specializes each branch's scan and defeats ReuseExchange.",
     tags=("text",),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,11 +173,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    # n_docs as a 1-row aggregate cross-joined in (broadcast nested
-    # loop), not an eager .count(): one Spark job instead of two.
-    n = tokens.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
-    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
+    # Document frequency as a window over tf — tf has one row per
+    # (doc, term), so count(*) per term IS df, and the corpus is
+    # tokenized exactly once (a groupBy branch would re-scan it).
+    df_w = F.count(F.lit(1)).over(W.partitionBy("term"))
+    # n_docs from the raw documents table (no tokenize), as a 1-row
+    # aggregate cross-joined in (broadcast nested loop), not an eager
+    # .count(): one Spark job instead of two.
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.withColumn("df", df_w).crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf_raw"),

@@ -42,6 +42,11 @@ def test_identical_docs_are_lsh_candidates(spark, with_clone):
     assert (0, 1_000_000) in pairs
 
 
+def test_lsh_rejects_indivisible_bands(spark, with_clone):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(with_clone, num_hashes=16, bands=5)
+
+
 def test_identical_docs_jaccard_is_one(spark, with_clone):
     rows = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

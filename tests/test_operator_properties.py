@@ -4,6 +4,7 @@ grid arithmetic and forward-fill semantics."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -50,6 +51,14 @@ def test_salted_join_always_equals_plain_join(spark, fat, slim):
             key=repr,
         )
         assert salted == plain, how
+
+
+def test_salted_join_rejects_slim_preserving_how(spark):
+    fdf = spark.createDataFrame([(1, 1)], "k int, v int")
+    sdf = spark.createDataFrame([(1, 2)], "k int, d int")
+    for how in ("right", "full_outer", "full"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fdf, sdf, on="k", how=how)
 
 
 obs = st.lists(
