@@ -5,13 +5,18 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced with a count() action (no driver collection of
 result data beyond the count), timed wall-clock after a warm-up of
-the session itself.
+the session itself. Every query runs $SPARK_GRAFT_BENCH_ITERS times
+(default 3, min 1) and reports the MEDIAN — single-run noise on a
+shared box is ±40% per query, which would make round-over-round
+regression detection impossible. The first iteration carries plan
+compile; the median is the steady-state number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -63,12 +68,16 @@ def main() -> None:
         _warm(F.col("n_nationkey"))
     ).count()
 
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        runs = []
+        for _ in range(iters):
+            start = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -80,6 +89,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iterations": iters,
             }
         )
     )

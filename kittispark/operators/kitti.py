@@ -223,7 +223,7 @@ def analyze(
     scales = frame_z_scale(pts)
     pts_rescaled = rescale_z(pts, scales)
 
-    p = pts_rescaled.agg(*_minmax(pts_rescaled, ["x", "y", "z", "intensity"])).collect()[0]
+    p_agg = pts_rescaled.agg(*_minmax(pts_rescaled, ["x", "y", "z", "intensity"]))
 
     real = labels.filter(F.col("label") != "DontCare")
     # Locations with z rescale on index 2 only (data_pipeline.py:40-41)
@@ -238,12 +238,19 @@ def analyze(
             "dim_l",
         )
     )
-    d = loc.agg(*_minmax(loc, ["dim_h", "dim_w", "dim_l", "lx", "ly", "lz"])).collect()[0]
+    d_agg = loc.agg(*_minmax(loc, ["dim_h", "dim_w", "dim_l", "lx", "ly", "lz"]))
 
     corners = bbox_corners(real).join(F.broadcast(scales), "frame_id").select(
         "cx", "cy", (F.col("cz") - F.col("z_scale")).alias("cz")
     )
-    oc = corners.agg(*_minmax(corners, ["cx", "cy", "cz"])).collect()[0]
+    oc_agg = corners.agg(*_minmax(corners, ["cx", "cy", "cz"]))
+
+    # ONE action for the whole envelope: the three 1-row aggregates
+    # are cross-joined (1x1x1 — broadcast nested loop over single
+    # rows, no data movement) and collected together, so the driver
+    # launches one job instead of three. Column names are disjoint
+    # across the branches, so the row exposes all ~40 scalars at once.
+    p = d = oc = p_agg.crossJoin(d_agg).crossJoin(oc_agg).collect()[0]
 
     # --- driver-side postprocess on ~40 scalars (P13/P14) ---
     min_point = (p["min_x"], p["min_y"], p["min_z"], p["min_intensity"])

@@ -107,22 +107,38 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 2024) -> 
     return bucket
 
 
-def lsh_table_buckets(
-    vec: Column, dim: int, num_planes: int, num_tables: int, seed: int = 2024
-) -> Column:
-    """array<struct<t,b>> of (table id, bucket id) — one sign sketch
-    per table, each from its own plane set. AND-width = num_planes
-    (precision), OR-width = num_tables (recall): a pair is a candidate
-    if it collides in ANY table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                lsh_bucket(vec, dim, num_planes, seed + t * num_planes).alias("b"),
-            )
-            for t in range(num_tables)
-        ]
-    )
+def _lsh_buckets_udf(df: DataFrame, vec_col: str, out_col: str, dim: int,
+                     num_planes: int, num_tables: int, seed: int = 2024,
+                     bc=None) -> DataFrame:
+    """Attach array<long> of per-table sign-sketch bucket ids in one
+    vectorized pass: ONE broadcast (num_tables*num_planes, dim) plane
+    matrix and ONE numpy GEMM per Arrow batch. Bit-compatible with
+    lsh_bucket (same seeded planes, first plane = MSB), but the plan
+    is a single pandas_udf instead of a num_tables*num_planes*dim
+    literal expression tree — that tree took ~11 s to COMPILE and ran
+    interpreted per element."""
+    from pyspark.sql import types as T
+
+    if bc is None:
+        planes = np.array(
+            [
+                _hyperplane(dim, seed + t * num_planes + p)
+                for t in range(num_tables)
+                for p in range(num_planes)
+            ],
+            dtype="float64",
+        )
+        bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(num_planes - 1, -1, -1)).astype("int64")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype("float64")
+        bits = (m @ bc.value.T) >= 0
+        b = (bits.reshape(len(m), num_tables, num_planes) * weights).sum(axis=2)
+        return pd.Series(list(b.astype("int64")))
+
+    return df.withColumn(out_col, buckets(F.col(vec_col)))
 
 
 def ann_lsh_topk(
@@ -140,28 +156,40 @@ def ann_lsh_topk(
     (OR-amplification — a single table's recall decays as buckets get
     fine; the union keeps it high while each table stays selective).
 
-    At 100 TB the exploded (t, b) pairs are precomputed and the corpus
-    is written bucketed by them, so a query reads num_tables buckets
+    At 100 TB the (t, b) pairs are precomputed and the corpus is
+    written bucketed by them, so a query reads num_tables buckets
     instead of the full corpus; candidate dedup is a shuffle on
     (query, neighbor) bounded by candidate volume, not corpus size.
+    Bucket ids come from one broadcast-GEMM pandas_udf pass (shared
+    plane broadcast between corpus and queries).
     """
     from pyspark.sql import Window as W
 
-    c = (
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(vec_col).alias("cv"),
+    planes = np.array(
+        [
+            _hyperplane(dim, 2024 + t * num_planes + p)
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype="float64",
+    )
+    bc = vectors.sparkSession.sparkContext.broadcast(planes)
+
+    def tb(df, id_alias, v_alias, n_alias):
+        out = df.select(
+            F.col(id_col).alias(id_alias), as_double(vec_col).alias(v_alias)
+        ).withColumn(n_alias, norm(F.col(v_alias)))
+        out = _lsh_buckets_udf(
+            out, v_alias, "__b", dim, num_planes, num_tables, bc=bc
         )
-        .withColumn("cn", norm(F.col("cv")))
-        .withColumn("tb", F.explode(lsh_table_buckets(F.col("cv"), dim, num_planes, num_tables)))
-    )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-        .withColumn("qn", norm(F.col("qv")))
-        .withColumn("tb", F.explode(lsh_table_buckets(F.col("qv"), dim, num_planes, num_tables)))
-    )
+        return out.select(
+            "*", F.posexplode("__b").alias("t", "b")
+        ).drop("__b")
+
+    c = tb(vectors, "neighbor_id", "cv", "cn")
+    q = tb(queries, "query_id", "qv", "qn")
     scored = (
-        c.join(F.broadcast(q), "tb")
+        c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
@@ -187,28 +215,32 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
-    Exhaustive half-matrix, computed as broadcast-GEMM: the normalized
-    corpus matrix is broadcast once, and each Arrow batch of rows is
-    scored against it with one numpy matmul (BLAS). This is the same
-    distribution shape as a broadcast hash join — row side stays
-    partitioned, small side replicated — and beats the pair-explosion
-    join (12.5M interpreted zip_with folds at 5k vectors: ~74 s; this:
-    <1 s). Fits corpora to ~1M x 64 in executor memory; beyond that,
-    block the corpus and join on block-pair ids (or prefilter with
-    lsh_bucket) — documented scale path."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    Exhaustive half-matrix as a DISTRIBUTED block-pair GEMM — block
+    matrix multiplication, the layout every distributed all-pairs
+    similarity system uses:
 
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype="int64")
-    mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = vectors.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat))
+    1. Each row hashes to one of `n_blocks` blocks.
+    2. A row of block b is shipped to every block-pair group it
+       participates in: (b, j) for j >= b as the A side and (i, b)
+       for i <= b as the B side — replication factor n_blocks + 1.
+    3. ``applyInPandas`` over (gi, gj) runs ONE numpy matmul (BLAS)
+       between the two blocks and emits pairs above the threshold.
+
+    Nothing is ever collected to the driver; each task holds exactly
+    two blocks, so executor memory is bounded by
+    2 * (corpus_rows / n_blocks) * dim * 8 bytes — at 100 TB, raise
+    `n_blocks` so a block fits (shuffle volume grows linearly with
+    n_blocks, the standard blocked-GEMM trade). Within a diagonal
+    group (gi == gj) the id_a < id_b guard keeps the half matrix; a
+    cross pair lives in exactly one group and is emitted
+    min-id-first. The threshold keeps OUTPUT bounded; compute is
+    honestly O(n^2/2) dot products — that exhaustiveness is the
+    point of this operator (LSH/IVF are the sub-quadratic paths)."""
+    from pyspark.sql import types as T
 
     schema = T.StructType(
         [
@@ -218,25 +250,51 @@ def cosine_near_dup_pairs(
         ]
     )
 
-    def kernel(batches):
-        all_ids, all_mat = bc.value
-        for pdf_in in batches:
-            q_ids = pdf_in[id_col].to_numpy(dtype="int64")
-            q = np.stack(pdf_in[vec_col].to_numpy()).astype("float64")
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T
-            rows_i, cols_j = np.nonzero(
-                (sims >= threshold) & (q_ids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": q_ids[rows_i],
-                    "id_b": all_ids[cols_j],
-                    "sim": np.round(sims[rows_i, cols_j], 4),
-                }
-            )
+    base = vectors.select(
+        F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v")
+    ).withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    a_side = base.select(
+        F.col("bid").alias("gi"),
+        F.explode(F.sequence(F.col("bid"), F.lit(n_blocks - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+        "id",
+        "v",
+    )
+    b_side = base.select(
+        F.explode(F.sequence(F.lit(0), F.col("bid"))).alias("gi"),
+        F.col("bid").alias("gj"),
+        F.lit(1).alias("side"),
+        "id",
+        "v",
+    )
+    both = a_side.unionByName(b_side)
 
-    return vectors.select(id_col, vec_col).mapInPandas(kernel, schema)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(pdf["gi"].iat[0]), int(pdf["gj"].iat[0])
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        a_ids = a["id"].to_numpy(dtype="int64")
+        b_ids = b["id"].to_numpy(dtype="int64")
+        am = np.stack(a["v"].to_numpy()).astype("float64")
+        bm = np.stack(b["v"].to_numpy()).astype("float64")
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = am @ bm.T
+        hit = sims >= threshold
+        if gi == gj:
+            hit &= a_ids[:, None] < b_ids[None, :]
+        ii, jj = np.nonzero(hit)
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "sim": np.round(sims[ii, jj], 4)}
+        )
+
+    return both.groupBy("gi", "gj").applyInPandas(kernel, schema)
 
 
 # --------------------------------------------------------------------------
@@ -244,17 +302,20 @@ def cosine_near_dup_pairs(
 # --------------------------------------------------------------------------
 
 
-def _assign_nearest(df: DataFrame, cents, vec_col: str, out_col: str, nprobe: int = 1
-                    ) -> DataFrame:
+def _assign_nearest(df: DataFrame, cents, vec_col: str, out_col: str, nprobe: int = 1,
+                    bc=None) -> DataFrame:
     """Attach the ids of the `nprobe` nearest centroids (by cosine,
     ties to the lowest id) as `out_col` (array<int>). Vectorized
     Arrow-batched kernel over a broadcast centroid matrix — the
-    assignment is a GEMM, not a per-row loop."""
+    assignment is a GEMM, not a per-row loop. Pass `bc` (an existing
+    broadcast of the NORMALIZED centroid matrix) to share one
+    broadcast across several assignment passes."""
     from pyspark.sql import types as T
 
-    sc = df.sparkSession.sparkContext
-    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    bc = sc.broadcast(norm_c)
+    if bc is None:
+        sc = df.sparkSession.sparkContext
+        norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        bc = sc.broadcast(norm_c)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest(v: pd.Series) -> pd.Series:
@@ -325,13 +386,18 @@ def ann_ivf_topk(
     from pyspark.sql import Window as W
 
     cents = ivf_train_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
-    c = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1).select(
+    # One broadcast of the normalized centroid matrix, shared by the
+    # corpus and query assignment passes (two pandas_udf kernels, one
+    # payload shipped).
+    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = vectors.sparkSession.sparkContext.broadcast(norm_c)
+    c = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1, bc=bc).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
         F.element_at("__c", 1).alias("cid"),
     ).withColumn("cn", norm(F.col("cv")))
     q = (
-        _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe)
+        _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe, bc=bc)
         .select(
             F.col(id_col).alias("query_id"),
             as_double(vec_col).alias("qv"),

@@ -70,16 +70,18 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          >= 0.55
+          >= 0.45
     """,
-    doc="Embedding-cosine near-duplicate pairs over the half matrix "
-    "(threshold keeps output bounded; LSH bucket join is the 100 TB "
-    "path — see ann_lsh_topk).",
+    doc="Embedding-cosine near-duplicate pairs over the half matrix, "
+    "computed as a distributed block-pair GEMM (applyInPandas per "
+    "block pair, nothing collected to the driver — see "
+    "operators.similarity.cosine_near_dup_pairs). Threshold keeps "
+    "output bounded; LSH bucket join is the sub-quadratic path.",
     tags=("similarity", "dedup"),
 )
 def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.55)
+    return cosine_near_dup_pairs(emb, threshold=0.45)
 
 
 @register(

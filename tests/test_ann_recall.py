@@ -8,7 +8,12 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from kittispark.operators.similarity import ann_ivf_topk, ann_lsh_topk, cosine_topk
+from kittispark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
 from kittispark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -38,6 +43,31 @@ def test_lsh_recall(emb, exact):
     got = _pairs(ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5))
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, f"LSH recall {recall:.2f} below floor"
+
+
+def _dup_pairs(df):
+    return {(r["id_a"], r["id_b"], r["sim"]) for r in df.collect()}
+
+
+def test_near_dup_blocking_invariant(emb):
+    """The block-pair GEMM must emit exactly the same pairs for any
+    block count — blocking is a physical layout, not a semantics
+    change. n_blocks=1 is the degenerate single-GEMM case."""
+    one = _dup_pairs(cosine_near_dup_pairs(emb, threshold=0.4, n_blocks=1))
+    eight = _dup_pairs(cosine_near_dup_pairs(emb, threshold=0.4, n_blocks=8))
+    assert one == eight
+    assert len(one) > 0, "threshold 0.4 should yield pairs at sf0.001"
+
+
+def test_near_dup_finds_planted_clone(emb, spark):
+    base = emb.select("vec_id", "embedding")
+    clone = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = _dup_pairs(
+        cosine_near_dup_pairs(base.unionByName(clone), threshold=0.999)
+    )
+    assert (0, 1_000_000, 1.0) in out
 
 
 def test_ivf_returns_k_per_query(emb):
