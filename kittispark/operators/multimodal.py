@@ -2,10 +2,19 @@
 columns with typed metadata (north-star per BASELINE.json).
 
 The Spark-side machinery — schema, Arrow batch shape, partitioning,
-UDF signatures — is real and tested; the actual media decoding is
-stubbed (`decode_stub`) because codec libraries are not in this
-container. Swapping in a real decoder changes one function body, not
-the pipeline.
+UDF signatures — is real and tested. Two REAL stdlib codecs are
+implemented (no codec libraries exist in this container, so the
+formats chosen are the ones parseable with `struct` alone):
+
+- WAV / RIFF PCM16 (`encode_wav_pcm16` / `decode_wav`): canonical
+  44-byte header writer + a chunk-walking parser (handles extra
+  chunks, validates fmt), samples out as int16 numpy.
+- PPM P6 (`encode_ppm` / `decode_ppm`): ASCII header (with comment
+  handling) + raw RGB plane.
+
+Only video decode remains a marked stub (`decode_stub`) — there is no
+stdlib video codec; the dispatch point (`decode_media`) is where a
+real one plugs in.
 
 Design for 100 TB of media:
 - payloads live in a `binary` column next to typed metadata, so
@@ -22,8 +31,10 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -62,11 +73,101 @@ def pack_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) ->
     )
 
 
+# --------------------------------------------------------------------------
+# Real stdlib codecs
+# --------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int = 16_000,
+                     n_channels: int = 1) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + little-endian PCM16 data.
+    A real WAV file — any audio tool opens the output."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, n_channels, sample_rate, byte_rate, block_align, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE parser: validates the RIFF container, walks
+    chunks (skipping any non-fmt/data chunk, honoring odd-size
+    padding), checks PCM16, and unpacks samples to int16 numpy."""
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF file: too short")
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "samples": samples,
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+    }
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6), maxval 255 — a real image file."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Real PPM (P6) parser: tokenized ASCII header with comment
+    support, then the raw RGB plane as (h, w, 3) numpy."""
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval);
+    # '#' comments run to end-of-line
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    n = width * height * 3
+    pixels = np.frombuffer(payload[pos : pos + n], dtype="uint8").reshape(
+        height, width, 3
+    )
+    return {"pixels": pixels, "width": width, "height": height}
+
+
 def decode_stub(payload: bytes) -> dict:
-    """Placeholder for a real image/audio decoder (PIL/soundfile not
-    installed in this container). Deterministic fake so the pipeline
-    is testable end-to-end: derives a fixed 4-dim feature and fake
-    dims from the bytes. Replace body with a real decode to go live."""
+    """MARKED STUB for video (no stdlib video codec exists).
+    Deterministic fake so the pipeline is testable end-to-end: derives
+    a fixed 4-dim feature and fake dims from the bytes. Replace body
+    with a real decode to go live."""
     if payload is None:
         raise NotImplementedError("real decode requires codec libs; payload missing")
     n = len(payload)
@@ -78,24 +179,64 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def decode_media(media_type: str, payload: bytes) -> dict:
+    """Dispatch point: REAL decode for audio (WAV) and image (PPM);
+    video falls through to the marked stub. Returns the uniform
+    feature dict extract_features emits.
+
+    Audio feature = [n_samples, sample_rate, mean, rms]; width carries
+    n_channels, height is null. Image feature = [mean_r, mean_g,
+    mean_b, brightness] with real decoded dims."""
+    if media_type == "audio":
+        wav = decode_wav(payload)
+        s = wav["samples"].astype("float64")
+        n = len(s)
+        mean = float(s.mean()) if n else 0.0
+        rms = float(np.sqrt((s * s).mean())) if n else 0.0
+        return {
+            "feature": [float(n), float(wav["sample_rate"]), mean, rms],
+            "width": wav["n_channels"],
+            "height": None,
+        }
+    if media_type == "image":
+        img = decode_ppm(payload)
+        chan = img["pixels"].astype("float64").reshape(-1, 3)
+        means = chan.mean(axis=0) if len(chan) else np.zeros(3)
+        return {
+            "feature": [means[0], means[1], means[2], float(means.mean())],
+            "width": img["width"],
+            "height": img["height"],
+        }
+    return decode_stub(payload)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, typed feature
-    rows out. The batch loop is the real contract a decoder plugs
-    into; `decode_stub` is the marked stub."""
+    rows out. Dispatches on media_type — WAV and PPM payloads get a
+    REAL decode (see decode_media); video uses the marked stub."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            feats = [
+                decode_media(t, p)
+                for t, p in zip(pdf["media_type"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
                     "feature": [f["feature"] for f in feats],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
+                    "width": pd.array(
+                        [f["width"] for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [f["height"] for f in feats], dtype="Int32"
+                    ),
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        kernel, FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2, max_frames: int = 4) -> DataFrame:

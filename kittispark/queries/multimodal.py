@@ -1,17 +1,86 @@
-"""Multimodal-column queries: the documents table's text re-encoded
-as a binary payload column exercises the real plumbing (binary type,
-JVM-side metadata, Arrow batch boundary); decode itself is a marked
-stub (kittispark.operators.multimodal.decode_stub).
+"""Multimodal-column queries over binary payload columns.
+
+`media_feature_extract` and `media_image_decode` are REAL decode
+paths: deterministic PCM16 samples / RGB planes are synthesized from
+doc_id, encoded to genuine WAV (RIFF) / PPM (P6) bytes, and decoded
+back by the stdlib parsers in kittispark.operators.multimodal — the
+DuckDB oracle recomputes the expected features in closed form from
+doc_id, so the gate value-checks the whole encode->parse->feature
+roundtrip. Only video decode remains a marked stub
+(operators.multimodal.decode_stub).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kittispark.registry import register
 from kittispark.queries._util import t
-from kittispark.operators.multimodal import extract_features, pack_media
+from kittispark.operators.multimodal import (
+    encode_ppm,
+    encode_wav_pcm16,
+    extract_features,
+    pack_media,
+)
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic PCM16 synth per doc_id, encoded as REAL WAV
+    bytes: n = 50 + id%13 samples, s_i = (((id*31 + i*7) % 201) - 100)
+    * 50, 16 kHz mono. The closed form is what the SQL oracle
+    recomputes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                i = np.arange(50 + d % 13, dtype="int64")
+                s = (((d * 31 + i * 7) % 201) - 100) * 50
+                payloads.append(encode_wav_pcm16(s, sample_rate=16_000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInPandas(
+        kernel, _PAYLOAD_SCHEMA
+    )
+
+
+def _synth_ppm_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic RGB plane per doc_id, encoded as REAL PPM (P6)
+    bytes: w = 4 + id%5, h = 3 + id%4, byte_j = (id*13 + j*11) % 256."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                j = np.arange(w * h * 3, dtype="int64")
+                rgb = ((d * 13 + j * 11) % 256).astype("uint8").tobytes()
+                payloads.append(encode_ppm(w, h, rgb))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInPandas(
+        kernel, _PAYLOAD_SCHEMA
+    )
 
 
 @register(
@@ -40,28 +109,86 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_extract",
-    oracle=None,  # stubbed decoder — rows-only check
-    doc="mapInPandas feature extraction over binary payloads (Arrow "
-    "batches in, typed features out). Decoder is a deterministic "
-    "stub; the batch contract, schema, and partitioning are the real "
-    "100 TB machinery.",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST((((doc_id * 31 + i * 7) % 201) - 100) * 50 AS DOUBLE) AS v
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, 50 + doc_id % 13 - 1))
+                      AS i) g
+        WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS DOUBLE) AS n_samples,
+           16000.0 AS sample_rate,
+           round(avg(v), 6) AS mean_amp,
+           round(sqrt(avg(v * v)), 6) AS rms_amp,
+           1 AS n_channels
+    FROM s GROUP BY doc_id
+    """,
+    doc="REAL audio decode roundtrip: deterministic PCM16 samples are "
+    "encoded to genuine RIFF/WAVE bytes and parsed back by the "
+    "chunk-walking stdlib decoder (operators.multimodal.decode_wav) "
+    "inside mapInPandas; the oracle recomputes n_samples/mean/rms in "
+    "closed form from doc_id, so hash-match proves the binary parse "
+    "is bit-correct — not just that rows came back.",
     tags=("multimodal", "udf"),
 )
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = pack_media(
-        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
-        "doc_id",
-        "payload",
-        "text",
+        _synth_wav_payloads(docs), "doc_id", "payload", "audio"
     )
     feats = extract_features(media)
     return feats.select(
         "media_id",
-        F.element_at("feature", 1).alias("f0"),
-        F.element_at("feature", 2).alias("f1"),
+        F.element_at("feature", 1).alias("n_samples"),
+        F.element_at("feature", 2).alias("sample_rate"),
+        F.round(F.element_at("feature", 3), 6).alias("mean_amp"),
+        F.round(F.element_at("feature", 4), 6).alias("rms_amp"),
+        F.col("width").alias("n_channels"),
+    )
+
+
+@register(
+    "media_image_decode",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, j,
+               CAST((doc_id * 13 + j * 11) % 256 AS DOUBLE) AS v
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+                 0, (4 + doc_id % 5) * (3 + doc_id % 4) * 3 - 1)) AS j) g
+        WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           round(avg(v) FILTER (j % 3 = 0), 6) AS mean_r,
+           round(avg(v) FILTER (j % 3 = 1), 6) AS mean_g,
+           round(avg(v) FILTER (j % 3 = 2), 6) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode roundtrip: deterministic RGB planes are "
+    "encoded to genuine PPM (P6) bytes and parsed back by the stdlib "
+    "header parser (operators.multimodal.decode_ppm); the oracle "
+    "recomputes per-channel means in closed form from doc_id — "
+    "hash-match proves decoded dims AND pixel values.",
+    tags=("multimodal", "udf"),
+)
+def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = pack_media(
+        _synth_ppm_payloads(docs), "doc_id", "payload", "image"
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
         "width",
         "height",
+        F.round(F.element_at("feature", 1), 6).alias("mean_r"),
+        F.round(F.element_at("feature", 2), 6).alias("mean_g"),
+        F.round(F.element_at("feature", 3), 6).alias("mean_b"),
     )
 
 
