@@ -285,3 +285,57 @@ def simhash_near_dup_candidates(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    the cluster-resolution stage of every dedup pipeline (candidate
+    pairs -> duplicate CLUSTERS -> one survivor per cluster).
+
+    Returns (node, comp) where comp is the smallest node id reachable
+    from the node; only nodes appearing in an edge are emitted
+    (callers coalesce isolated rows to their own id).
+
+    Shape per round: one equi-join (labels onto the bidirected edge
+    list) + one min hash-agg — both partial-aggregated shuffles on the
+    node key. Labels only ever decrease, so sum(comp) is a strictly
+    decreasing convergence witness: one cheap scalar action per round
+    instead of a change-detection join. Rounds needed = graph
+    diameter; dedup-cluster graphs are shallow (near-clique bundles),
+    so this converges in 2-3 rounds. localCheckpoint() truncates the
+    growing lineage each round — without it, round k re-plans k
+    joins deep and the DAG compounds (the classic iterative-algorithm
+    trap). At cluster scale swap in checkpoint() on durable storage
+    for fault tolerance; the alternating large-star/small-star
+    contraction is the published fix if a pathological long-chain
+    graph ever shows up."""
+    bi = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bi = bi.unionByName(
+        bi.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    bi = bi.localCheckpoint()
+
+    labels = bi.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = bi.join(labels, bi["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from kittispark.registry import register
 from kittispark.queries._util import t
 from kittispark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signature,
@@ -90,6 +91,61 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Duplicate-CLUSTER resolution — the stage after candidate "
+    "generation that every dedup pipeline needs: 3-gram-Jaccard "
+    "near-dup pairs become edges, connected components assign each "
+    "document its cluster (min reachable id), singletons keep their "
+    "own id. Spark side is iterative min-label propagation "
+    "(operators.dedup.connected_components: join + min-agg per round, "
+    "localCheckpoint lineage truncation, sum-of-labels convergence "
+    "witness); the oracle computes true transitive closure with a "
+    "recursive CTE, so hash-match proves the fixpoint is exact.",
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comps = connected_components(edges, src="doc_a", dst="doc_b")
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).join(
+        comps, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 @register(

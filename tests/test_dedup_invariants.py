@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kittispark.operators.dedup import (
+    connected_components,
     minhash_lsh_candidates,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -61,3 +62,33 @@ def test_identical_docs_are_simhash_candidates(spark, with_clone):
         for r in simhash_near_dup_candidates(with_clone).collect()
     }
     assert (0, 1_000_000) in pairs
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["node"], r["comp"])
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_chain_propagates_min_across_hops(spark):
+    # 1-2-3-4-5: min label must travel 4 hops, not 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {(n, 1) for n in (1, 2, 3, 4, 5)}
+
+
+def test_cc_two_components_stay_separate(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_cc_star_and_direction_insensitive(spark):
+    # edges listed high->low: bidirecting must make direction moot
+    got = _cc(spark, [(9, 1), (8, 1), (7, 1)])
+    assert got == {(1, 1), (7, 1), (8, 1), (9, 1)}
+
+
+def test_cc_only_edge_nodes_emitted(spark):
+    got = _cc(spark, [(5, 6)])
+    assert got == {(5, 5), (6, 5)}
