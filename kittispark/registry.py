@@ -45,29 +45,55 @@ _QUERY_MODULES = (
     "kittispark.queries.windows",
 )
 
-# Queries with a green (hash_match) driver verdict in a prior round
-# (CORRECTNESS_r01.json). queries()/oracle_sql() list unverified
-# queries first so the driver's 50-query window always covers the
-# freshest signal; already-green queries fill the remaining slots as
-# regression rechecks. Update this set each round from CORRECTNESS_r{N}.
-_DRIVER_GREEN = frozenset({
-    "anti_join_not_exists", "argmax_best_order", "array_functions",
-    "box_filter_conjunctive", "case_when_bucketing", "category_filter_in",
-    "corner_explode", "correlation_stats", "date_functions", "distinct_agg",
-    "envelope_minmax", "first_last_value", "full_outer_join",
-    "group_count_stats", "group_cube", "group_rollup",
-    "grouping_sets_explicit", "join_three_way", "json_extract_group",
-    "lag_delta", "left_outer_join", "map_literal_lookup", "math_functions",
-    "median_mode_agg", "moving_avg_time_range", "null_handling",
-    "null_safe_join", "order_by_limit", "percentile_per_group",
-    "pivot_conditional_agg", "q1_pricing_summary", "q3_top_orders",
-    "q5_region_revenue", "range_join_nonequi", "rank_functions",
-    "rescale_by_percentile", "running_sum", "salted_skew_join",
-    "scalar_subquery_avg_qty", "semi_join_exists", "set_except",
-    "set_intersect", "set_union_distinct", "string_functions",
-    "topk_per_group", "union_all_counts", "unpivot_measures",
-    "window_distribution",
-})
+# Queries with a green (hash_match) driver verdict, mapped to the
+# LAST round that verdict was issued (CORRECTNESS_r{N}.json).
+# queries()/oracle_sql() list never-green queries first so the
+# driver's 50-query window always covers the freshest signal; banked
+# greens fill the remaining slots LEAST-RECENTLY-VERIFIED FIRST
+# (round-robin recheck — ADVICE r2: a fixed fresh-first/banked-last
+# order left ~41 greens permanently unrechecked while their shared
+# operators kept changing). Update this map each round.
+_DRIVER_GREEN: dict[str, int] = {
+    # round 1 greens not re-adjudicated since
+    **{n: 1 for n in (
+        "anti_join_not_exists", "argmax_best_order", "array_functions",
+        "box_filter_conjunctive", "case_when_bucketing",
+        "category_filter_in", "corner_explode", "correlation_stats",
+        "date_functions", "first_last_value", "full_outer_join",
+        "group_cube", "group_rollup", "grouping_sets_explicit",
+        "join_three_way", "lag_delta", "left_outer_join",
+        "map_literal_lookup", "math_functions", "median_mode_agg",
+        "moving_avg_time_range", "null_handling", "null_safe_join",
+        "order_by_limit", "pivot_conditional_agg", "q3_top_orders",
+        "q5_region_revenue", "range_join_nonequi", "rank_functions",
+        "running_sum", "salted_skew_join", "scalar_subquery_avg_qty",
+        "semi_join_exists", "set_except", "set_intersect",
+        "set_union_distinct", "string_functions", "topk_per_group",
+        "union_all_counts", "unpivot_measures", "window_distribution",
+    )},
+    # round 2 greens (CORRECTNESS_r02.json hash_match rows)
+    **{n: 2 for n in (
+        "token_count", "text_quality", "lang_id_heuristic",
+        "doc_fingerprint", "tfidf_top_terms", "regexp_functions",
+        "hash_split_sample", "stratified_sample_rates",
+        "bpe_pretoken_count", "dedup_exact", "dedup_exact_survivors",
+        "ngram_jaccard_pairs", "dedup_cluster_assign", "dedup_digest",
+        "cosine_topk_bruteforce", "cosine_near_dup",
+        "cutout_count_stats", "axis_remap_projection",
+        "envelope_combine", "binary_metadata", "media_feature_extract",
+        "media_image_decode", "media_frame_sample",
+        "stream_tumbling_counts", "stream_sliding_avg",
+        "stream_session_counts", "stream_dedup_exactonce",
+        "stream_running_user_stats", "stream_stream_interval_join",
+        "stream_session_tracker", "tumbling_window_counts",
+        "sessionization", "event_type_stats", "asof_join_latest_click",
+        "resample_ffill_grid", "approx_count_distinct",
+        "sorted_array_agg", "percentile_per_group",
+        "rescale_by_percentile", "json_extract_group",
+        "q1_pricing_summary", "envelope_minmax", "group_count_stats",
+        "distinct_agg",
+    )},
+}
 
 
 @dataclass(frozen=True)
@@ -97,12 +123,18 @@ def _load_all() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All specs, driver-unverified first (stable within each group by
-    registration order) — see _DRIVER_GREEN."""
+    """All specs, never-green first (stable within each group by
+    registration order), then banked greens least-recently-verified
+    first — so every green is re-adjudicated within ~2 rounds even
+    though the driver window is smaller than the registry."""
     _load_all()
     fresh = {n: s for n, s in _REGISTRY.items() if n not in _DRIVER_GREEN}
-    banked = {n: s for n, s in _REGISTRY.items() if n in _DRIVER_GREEN}
-    return {**fresh, **banked}
+    order = {n: i for i, n in enumerate(_REGISTRY)}
+    banked_names = sorted(
+        (n for n in _REGISTRY if n in _DRIVER_GREEN),
+        key=lambda n: (_DRIVER_GREEN[n], order[n]),
+    )
+    return {**fresh, **{n: _REGISTRY[n] for n in banked_names}}
 
 
 _SHIPPED: set[str] = set()
