@@ -34,16 +34,24 @@ BBOX_COLORS = {
 DEFAULT_CLASSES = tuple(c for c in BBOX_COLORS if c != "DontCare")
 
 
-def frame_points_pdf(points: DataFrame, frame_id: str, max_points: int | None = None):
-    """The E3 data path: partition-pruned single-frame lookup ->
-    Arrow toPandas. `max_points` caps driver transfer for huge frames
-    (deterministic: lowest (x, y, z) first)."""
+def frame_points_df(
+    points: DataFrame, frame_id: str, max_points: int | None = None
+) -> DataFrame:
+    """The E3 query plan: partition-pruned single-frame lookup.
+    `max_points` caps driver transfer for huge frames —
+    deterministic even under coordinate ties because intensity joins
+    the sort key (lowest (x, y, z, intensity) first)."""
     df = points.filter(F.col("frame_id") == frame_id).select(
         "x", "y", "z", "intensity"
     )
     if max_points is not None:
-        df = df.orderBy("x", "y", "z").limit(max_points)
-    return df.toPandas()
+        df = df.orderBy("x", "y", "z", "intensity").limit(max_points)
+    return df
+
+
+def frame_points_pdf(points: DataFrame, frame_id: str, max_points: int | None = None):
+    """The E3 data path: frame_points_df -> Arrow toPandas."""
+    return frame_points_df(points, frame_id, max_points).toPandas()
 
 
 def frame_labels_pdf(
