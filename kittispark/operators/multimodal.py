@@ -106,8 +106,15 @@ def decode_wav(payload: bytes) -> dict:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if pos + 8 + csize > len(payload):
+            raise ValueError(
+                f"chunk {cid!r} size {csize} exceeds payload "
+                f"({len(payload) - pos - 8} bytes remain)"
+            )
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short ({len(body)} < 16 bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -117,6 +124,8 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
+    if len(data) % 2:
+        raise ValueError(f"odd PCM16 data chunk length ({len(data)} bytes)")
     samples = np.frombuffer(data, dtype="<i2")
     return {
         "samples": samples,
@@ -163,30 +172,57 @@ def decode_ppm(payload: bytes) -> dict:
     return {"pixels": pixels, "width": width, "height": height}
 
 
-def decode_stub(payload: bytes) -> dict:
-    """MARKED STUB for video (no stdlib video codec exists).
-    Deterministic fake so the pipeline is testable end-to-end: derives
-    a fixed 4-dim feature and fake dims from the bytes. Replace body
-    with a real decode to go live."""
-    if payload is None:
-        raise NotImplementedError("real decode requires codec libs; payload missing")
-    n = len(payload)
-    head = sum(payload[:16]) if n else 0
-    return {
-        "feature": [float(n), float(head), float(payload[0] if n else 0), float(n % 251)],
-        "width": (head % 64) + 1,
-        "height": (n % 64) + 1,
-    }
+_MPPM_MAGIC = b"MPPM"
+
+
+def encode_mppm(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """Motion-PPM container: `MPPM` magic + uint32 frame count, then
+    per frame a uint32 length prefix + a complete PPM (P6) image.
+    Every frame is a standalone, standards-valid PPM — the container
+    is pure stdlib framing, so video decode needs no codec library."""
+    parts = [_MPPM_MAGIC, struct.pack("<I", len(frames))]
+    for width, height, rgb in frames:
+        ppm = encode_ppm(width, height, rgb)
+        parts.append(struct.pack("<I", len(ppm)))
+        parts.append(ppm)
+    return b"".join(parts)
+
+
+def decode_mppm(payload: bytes) -> list[dict]:
+    """Real MPPM parser: validates magic and per-frame length
+    prefixes against the remaining payload, then decodes each frame
+    with the PPM parser. Returns the per-frame dicts of decode_ppm
+    in container order."""
+    if payload is None or payload[:4] != _MPPM_MAGIC:
+        raise ValueError("not an MPPM container")
+    if len(payload) < 8:
+        raise ValueError("MPPM truncated before frame count")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    frames, pos = [], 8
+    for i in range(n_frames):
+        if pos + 4 > len(payload):
+            raise ValueError(f"MPPM truncated at frame {i} length prefix")
+        (flen,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if pos + flen > len(payload):
+            raise ValueError(
+                f"MPPM frame {i} length {flen} exceeds remaining payload"
+            )
+        frames.append(decode_ppm(payload[pos : pos + flen]))
+        pos += flen
+    return frames
 
 
 def decode_media(media_type: str, payload: bytes) -> dict:
-    """Dispatch point: REAL decode for audio (WAV) and image (PPM);
-    video falls through to the marked stub. Returns the uniform
+    """Dispatch point: REAL decode for audio (WAV), image (PPM), and
+    video (MPPM — length-prefixed PPM frames). Returns the uniform
     feature dict extract_features emits.
 
     Audio feature = [n_samples, sample_rate, mean, rms]; width carries
     n_channels, height is null. Image feature = [mean_r, mean_g,
-    mean_b, brightness] with real decoded dims."""
+    mean_b, brightness] with real decoded dims. Video feature =
+    [n_frames, mean over all pixels, mean of first frame, mean of
+    last frame] with the first frame's dims."""
     if media_type == "audio":
         wav = decode_wav(payload)
         s = wav["samples"].astype("float64")
@@ -207,7 +243,21 @@ def decode_media(media_type: str, payload: bytes) -> dict:
             "width": img["width"],
             "height": img["height"],
         }
-    return decode_stub(payload)
+    if media_type == "video":
+        frames = decode_mppm(payload)
+        planes = [f["pixels"].astype("float64").ravel() for f in frames]
+        allpx = np.concatenate(planes) if planes else np.zeros(0)
+        return {
+            "feature": [
+                float(len(frames)),
+                float(allpx.mean()) if len(allpx) else 0.0,
+                float(planes[0].mean()) if planes else 0.0,
+                float(planes[-1].mean()) if planes else 0.0,
+            ],
+            "width": frames[0]["width"] if frames else None,
+            "height": frames[0]["height"] if frames else None,
+        }
+    raise ValueError(f"unknown media_type: {media_type!r}")
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -236,6 +286,59 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
         kernel, FEATURE_SCHEMA
+    )
+
+
+_VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("src_frame", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("frame_mean", T.DoubleType(), False),
+        T.StructField("frame_ppm", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_nth: int = 2, max_frames: int = 4
+) -> DataFrame:
+    """REAL decoded frame sampling over MPPM video payloads (1 -> N):
+    every `every_nth` container frame, capped at `max_frames`, is
+    DECODED and re-emitted as a standalone PPM plus its dims and
+    pixel mean — the decode/frame-sample/re-encode shape of a video
+    training pipeline. mapInPandas keeps it Arrow-batched and fully
+    distributed; batch memory is bounded by
+    spark.sql.files.maxPartitionBytes like every blob kernel here."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in _VIDEO_FRAME_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_mppm(payload)
+                for fi, t in enumerate(range(0, len(frames), every_nth)):
+                    if fi >= max_frames:
+                        break
+                    fr = frames[t]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(fi)
+                    out["src_frame"].append(t)
+                    out["width"].append(fr["width"])
+                    out["height"].append(fr["height"])
+                    out["frame_mean"].append(
+                        float(fr["pixels"].astype("float64").mean())
+                    )
+                    out["frame_ppm"].append(
+                        encode_ppm(
+                            fr["width"], fr["height"], fr["pixels"].tobytes()
+                        )
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, _VIDEO_FRAME_SCHEMA
     )
 
 

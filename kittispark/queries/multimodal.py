@@ -1,13 +1,14 @@
 """Multimodal-column queries over binary payload columns.
 
-`media_feature_extract` and `media_image_decode` are REAL decode
-paths: deterministic PCM16 samples / RGB planes are synthesized from
-doc_id, encoded to genuine WAV (RIFF) / PPM (P6) bytes, and decoded
-back by the stdlib parsers in kittispark.operators.multimodal — the
-DuckDB oracle recomputes the expected features in closed form from
-doc_id, so the gate value-checks the whole encode->parse->feature
-roundtrip. Only video decode remains a marked stub
-(operators.multimodal.decode_stub).
+`media_feature_extract`, `media_image_decode`, `media_video_decode`,
+and `media_video_frames` are REAL decode paths: deterministic PCM16
+samples / RGB planes / multi-frame videos are synthesized from
+doc_id, encoded to genuine WAV (RIFF) / PPM (P6) / MPPM
+(length-prefixed PPM frames) bytes, and decoded back by the stdlib
+parsers in kittispark.operators.multimodal — the DuckDB oracle
+recomputes the expected features in closed form from doc_id, so the
+gate value-checks the whole encode->parse->feature roundtrip. No
+decode stubs remain.
 """
 
 from __future__ import annotations
@@ -24,10 +25,12 @@ from pyspark.sql import types as T
 from kittispark.registry import register
 from kittispark.queries._util import t
 from kittispark.operators.multimodal import (
+    encode_mppm,
     encode_ppm,
     encode_wav_pcm16,
     extract_features,
     pack_media,
+    sample_video_frames,
 )
 
 _PAYLOAD_SCHEMA = T.StructType(
@@ -189,6 +192,129 @@ def media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("mean_r"),
         F.round(F.element_at("feature", 2), 6).alias("mean_g"),
         F.round(F.element_at("feature", 3), 6).alias("mean_b"),
+    )
+
+
+def _synth_mppm_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-frame video per doc_id, encoded as a REAL
+    MPPM container of PPM (P6) frames: n_frames = 1 + id%3, all
+    frames w = 3 + id%4 by h = 2 + id%3, frame t pixel byte j =
+    (id*7 + t*31 + j*5) % 256."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 4, 2 + d % 3
+                j = np.arange(w * h * 3, dtype="int64")
+                frames = [
+                    (w, h, ((d * 7 + t * 31 + j * 5) % 256).astype("uint8").tobytes())
+                    for t in range(1 + d % 3)
+                ]
+                payloads.append(encode_mppm(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInPandas(
+        kernel, _PAYLOAD_SCHEMA
+    )
+
+
+_VIDEO_PX_CTE = """
+    px AS (
+        SELECT doc_id, t, j,
+               CAST((doc_id * 7 + t * 31 + j * 5) % 256 AS DOUBLE) AS v
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS t) g1,
+             LATERAL (SELECT unnest(generate_series(
+                 0, (3 + doc_id % 4) * (2 + doc_id % 3) * 3 - 1)) AS j) g2
+        WHERE doc_id < 200
+    )
+"""
+
+
+@register(
+    "media_video_decode",
+    oracle=f"""
+    WITH {_VIDEO_PX_CTE}
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 3 AS DOUBLE) AS n_frames,
+           round(avg(v), 6) AS mean_all,
+           round(avg(v) FILTER (t = 0), 6) AS mean_first,
+           round(avg(v) FILTER (t = doc_id % 3), 6) AS mean_last,
+           CAST(3 + doc_id % 4 AS INT) AS width,
+           CAST(2 + doc_id % 3 AS INT) AS height
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL video decode roundtrip (the former stub, now live): "
+    "deterministic multi-frame pixel planes are encoded into a "
+    "genuine MPPM container (length-prefixed PPM frames) and parsed "
+    "back by the stdlib container walker + per-frame PPM decoder "
+    "(operators.multimodal.decode_mppm) inside mapInPandas; the "
+    "oracle recomputes frame count, per-frame and all-frame pixel "
+    "means, and dims in closed form from doc_id — hash-match proves "
+    "the container framing AND every decoded pixel (integer-valued "
+    "sums are exact in double, so both engines' means agree bit-for-"
+    "bit after round 6).",
+    tags=("multimodal", "udf"),
+)
+def media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = pack_media(_synth_mppm_payloads(docs), "doc_id", "payload", "video")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).alias("n_frames"),
+        F.round(F.element_at("feature", 2), 6).alias("mean_all"),
+        F.round(F.element_at("feature", 3), 6).alias("mean_first"),
+        F.round(F.element_at("feature", 4), 6).alias("mean_last"),
+        "width",
+        "height",
+    )
+
+
+@register(
+    "media_video_frames",
+    oracle=f"""
+    WITH {_VIDEO_PX_CTE}
+    SELECT doc_id AS media_id,
+           CAST(t // 2 AS INT) AS frame_idx,
+           CAST(t AS INT) AS src_frame,
+           CAST(3 + doc_id % 4 AS INT) AS width,
+           CAST(2 + doc_id % 3 AS INT) AS height,
+           round(avg(v), 6) AS frame_mean,
+           CAST((3 + doc_id % 4) * (2 + doc_id % 3) * 3 AS INT) AS n_rgb_bytes
+    FROM px WHERE t % 2 = 0 GROUP BY doc_id, t
+    """,
+    doc="REAL decoded video frame sampling (1 -> N UDTF shape): every "
+    "2nd MPPM frame (max 4) is decoded, its pixel mean computed, and "
+    "the frame re-encoded as a standalone PPM whose payload size is "
+    "emitted; the oracle reproduces the sampling arithmetic and "
+    "per-frame means in closed form — value-checking decode, "
+    "sampling, and re-encode together.",
+    tags=("multimodal", "udf"),
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = pack_media(_synth_mppm_payloads(docs), "doc_id", "payload", "video")
+    return sample_video_frames(media).select(
+        "media_id",
+        "frame_idx",
+        "src_frame",
+        "width",
+        "height",
+        F.round("frame_mean", 6).alias("frame_mean"),
+        (F.octet_length("frame_ppm") - F.octet_length(
+            F.concat(
+                F.lit("P6\n"),
+                F.col("width").cast("string"),
+                F.lit(" "),
+                F.col("height").cast("string"),
+                F.lit("\n255\n"),
+            )
+        )).alias("n_rgb_bytes"),
     )
 
 

@@ -93,6 +93,26 @@ def test_decode_media_dispatch():
     assert img["feature"][:3] == [10.0, 20.0, 30.0]
     assert (img["width"], img["height"]) == (1, 1)
 
-    # video stays the marked stub — still answers deterministically
-    vid = decode_media("video", b"\x01\x02\x03")
-    assert vid["feature"][0] == 3.0
+    # video is a REAL decode now: MPPM container of PPM frames
+    from kittispark.operators.multimodal import decode_mppm, encode_mppm
+
+    frames = [
+        (1, 1, bytes([10, 20, 30])),
+        (1, 1, bytes([40, 50, 60])),
+    ]
+    payload = encode_mppm(frames)
+    vid = decode_media("video", payload)
+    assert vid["feature"][0] == 2.0  # n_frames
+    assert vid["feature"][1] == 35.0  # mean over all pixels
+    assert vid["feature"][2] == 20.0  # first frame mean
+    assert vid["feature"][3] == 50.0  # last frame mean
+    assert (vid["width"], vid["height"]) == (1, 1)
+    decoded = decode_mppm(payload)
+    assert [f["pixels"].tobytes() for f in decoded] == [f[2] for f in frames]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MPPM"):
+        decode_media("video", b"\x01\x02\x03")
+    with _pytest.raises(ValueError, match="exceeds remaining"):
+        decode_mppm(payload[:-2])
