@@ -221,13 +221,23 @@ _ORDERED_LANDING: dict[str, str] = {}
 
 
 def events_landing_dir_ordered(spark: SparkSession, sf_dir: str) -> str:
-    """Landing dir with files in strict event-time order (sequential
-    one-slice-at-a-time writes -> increasing mtimes, which is how the
-    file stream source orders batches), plus a final SENTINEL file:
-    one far-future event per user. The sentinel batch closes every
-    real session in-batch (gap rule), so the tracker's emissions are
-    exactly the batch sessionization — value-checkable by the oracle.
-    """
+    """Landing dir whose files batch in strict event-time order, plus
+    a final SENTINEL file: one far-future event per user. The
+    sentinel batch closes every real session (gap rule), so the
+    tracker's emissions are exactly the batch sessionization —
+    value-checkable by the oracle.
+
+    ONE range-partitioned scan materializes the time-ordered files
+    (partition i of repartitionByRange holds the i-th ascending time
+    range, with the partition index in the output file name) —
+    replacing the former 4 sequential filtered passes with
+    coalesce(1) single-task writes. The sentinel's max-ts scalar
+    rides the plan via a 1-row cross join instead of a driver
+    collect; its coalesce(1) is a ~|users|-row dim write, not a data
+    path. The file stream source orders batches by modification
+    time, so the mtimes are stamped explicitly ascending (range
+    files in partition order, sentinel last) rather than relying on
+    write latency."""
     path = _ORDERED_LANDING.get(sf_dir)
     if path is not None and os.path.isdir(path):
         return path
@@ -235,27 +245,21 @@ def events_landing_dir_ordered(spark: SparkSession, sf_dir: str) -> str:
     root = tempfile.mkdtemp(prefix="kittispark-landing-ordered-")
     path = os.path.join(root, "events")
     secs = events.withColumn("__s", F.col("ts").cast("double"))
-    n = 4
-    bounds = secs.approxQuantile("__s", [i / n for i in range(1, n)], 0.0)
-    lo = None
-    for i in range(n):
-        hi = bounds[i] if i < n - 1 else None
-        part = secs
-        if lo is not None:
-            part = part.filter(F.col("__s") > lo)
-        if hi is not None:
-            part = part.filter(F.col("__s") <= hi)
-        part.drop("__s").coalesce(1).write.mode("append").parquet(path)
-        lo = hi
-    sentinel_ts = F.timestamp_seconds(
-        F.lit(int(secs.agg(F.max("__s")).collect()[0][0]) + 7 * 86400)
+    (
+        secs.repartitionByRange(_N_LANDING_FILES, "__s")
+        .drop("__s")
+        .write.mode("overwrite")
+        .parquet(path)
     )
+    range_files = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    mx = secs.agg(F.floor(F.max("__s")).alias("mx"))
     (
         events.select("user_id")
         .distinct()
+        .crossJoin(mx)
         .select(
             F.lit(-1).alias("event_id"),
-            sentinel_ts.alias("ts"),
+            F.timestamp_seconds(F.col("mx") + 7 * 86400).alias("ts"),
             "user_id",
             F.lit("__sentinel").alias("event_type"),
             F.lit(0.0).alias("value"),
@@ -265,6 +269,15 @@ def events_landing_dir_ordered(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("append")
         .parquet(path)
     )
+    sentinel_files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and f not in set(range_files)
+    )
+    base = os.path.getmtime(path)
+    for k, fname in enumerate(range_files + sentinel_files):
+        stamp = base + 10.0 * (k + 1)
+        os.utime(os.path.join(path, fname), (stamp, stamp))
     _ORDERED_LANDING[sf_dir] = path
     return path
 
