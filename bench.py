@@ -90,6 +90,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iterations": iters,
+                # Methodology: r01 was a SINGLE cold run (plan compile
+                # charged to each query); r02+ report the median of
+                # `iterations` runs (steady state). Compare r01 numbers
+                # to later rounds only with that break in mind.
+                "methodology": "median_of_iterations_steady_state",
             }
         )
     )

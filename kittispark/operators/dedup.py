@@ -302,6 +302,7 @@ def connected_components(
         "comp", F.col("node")
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = bi.join(labels, bi["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
@@ -314,6 +315,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Silent partial labels would surface only as a confusing
+        # oracle hash mismatch downstream; fail loudly instead (a
+        # graph this deep wants the large-star/small-star contraction).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (graph diameter exceeds the label-"
+            "propagation budget); raise max_iter or switch to "
+            "large-star/small-star contraction"
+        )
     return labels

@@ -102,14 +102,24 @@ def axis_align(df: DataFrame, x: str = "x", y: str = "y", z: str = "z") -> DataF
     ).select(*df.columns)
 
 
-def frame_z_scale(points: DataFrame, percentage: float = 0.05) -> DataFrame:
-    """Per-frame exact percentile of z (reference np.percentile(z, 5),
-    data_pipeline.py:29). Exact `percentile` for golden parity; at
-    100 TB switch to percentile_approx (single-pass, mergeable) —
-    same call site, documented trade-off (SURVEY §7.4)."""
-    return points.groupBy("frame_id").agg(
-        F.percentile("z", percentage).alias("z_scale")
+def frame_z_scale(
+    points: DataFrame,
+    percentage: float = 0.05,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-frame percentile of z (reference np.percentile(z, 5),
+    data_pipeline.py:29). Exact `percentile` (default) for golden
+    parity; `approx=True` IS the documented 100 TB switch — the
+    single-pass mergeable percentile_approx sketch at the same call
+    site (SURVEY §7.4). The switch itself is driver-verified by the
+    rescale_by_percentile_approx query's error-bounded oracle."""
+    agg = (
+        F.percentile_approx("z", percentage, accuracy)
+        if approx
+        else F.percentile("z", percentage)
     )
+    return points.groupBy("frame_id").agg(agg.alias("z_scale"))
 
 
 def rescale_z(

@@ -112,11 +112,15 @@ def _lsh_buckets_udf(df: DataFrame, vec_col: str, out_col: str, dim: int,
                      bc=None) -> DataFrame:
     """Attach array<long> of per-table sign-sketch bucket ids in one
     vectorized pass: ONE broadcast (num_tables*num_planes, dim) plane
-    matrix and ONE numpy GEMM per Arrow batch. Bit-compatible with
-    lsh_bucket (same seeded planes, first plane = MSB), but the plan
-    is a single pandas_udf instead of a num_tables*num_planes*dim
-    literal expression tree — that tree took ~11 s to COMPILE and ran
-    interpreted per element."""
+    matrix and ONE numpy GEMM per Arrow batch. Seed/layout-compatible
+    with lsh_bucket (same seeded planes, first plane = MSB) — NOT
+    guaranteed bit-compatible: BLAS summation order can differ from
+    the expression fold, so a dot product within a ulp of 0 may flip
+    a sign bit. Both sides of a bucket join must therefore use the
+    SAME implementation (they do: ann_lsh_topk buckets corpus and
+    queries through this kernel). The win over the expression tree: a
+    num_tables*num_planes*dim literal tree took ~11 s to COMPILE and
+    ran interpreted per element."""
     from pyspark.sql import types as T
 
     if bc is None:
@@ -133,6 +137,8 @@ def _lsh_buckets_udf(df: DataFrame, vec_col: str, out_col: str, dim: int,
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         m = np.stack(v.to_numpy()).astype("float64")
         bits = (m @ bc.value.T) >= 0
         b = (bits.reshape(len(m), num_tables, num_planes) * weights).sum(axis=2)
