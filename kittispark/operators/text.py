@@ -111,3 +111,57 @@ def doc_fingerprint_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    bucket_width: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the GPT-style pretraining
+    layout: documents are laid end to end in stable id order and the
+    token stream is cut into fixed-`budget` training sequences; each
+    doc reports the first/last sequence it lands in.
+
+    The global ordered cumulative sum is computed the 100 TB-safe way
+    (NO single-task global window): deterministic id-range buckets
+    (floor(id / bucket_width)) are each cum-summed independently in a
+    partitioned window, then the per-bucket totals — one row per
+    bucket — get a tiny running-offset window and broadcast-join back.
+    Two shuffles bounded by the bucket count, all heavy work
+    partition-parallel; at cluster scale bucket_width is the existing
+    range-partition layout, so pass one's shuffle disappears too.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_width).alias("__b"),
+    )
+    wb = (
+        W.partitionBy("__b")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = base.withColumn("__cum_in_b", F.sum("n_tokens").over(wb))
+    totals = base.groupBy("__b").agg(F.sum("n_tokens").alias("__btot"))
+    # One row per bucket: the running offset over buckets is a
+    # bounded driver-scale window, not a data-scale one.
+    wo = W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__btot").over(wo), F.lit(0)).alias("__off")
+    )
+    joined = base.join(F.broadcast(offsets), "__b")
+    cum_before = F.col("__off") + F.col("__cum_in_b") - F.col("n_tokens")
+    first_seq = F.floor(cum_before / budget)
+    last_seq = F.floor((cum_before + F.col("n_tokens") - 1) / budget)
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+    )

@@ -1,0 +1,187 @@
+"""End-to-end LLM training-data pipeline operators beyond the
+per-family queries: sequence packing (the pretraining batch layout),
+decontamination (train/eval n-gram overlap), and the composed
+corpus-prep pipeline (dedup -> quality filter -> split -> rollup).
+
+All three are pure JVM column expressions / equi-joins with full
+DuckDB oracle twins — value-adjudicated by the driver like every
+other component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+from kittispark.operators.dedup import shingle_rows
+from kittispark.operators.text import pack_sequences
+
+
+@register(
+    "sequence_pack_chunks",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens AS cb
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cb // 256 AS BIGINT) AS first_seq,
+           CAST((cb + n_tokens - 1) // 256 AS BIGINT) AS last_seq,
+           CAST((cb + n_tokens - 1) // 256 - cb // 256 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+    doc="Concat-then-chunk sequence packing (GPT-style pretraining "
+    "layout): docs laid end to end in id order, token stream cut "
+    "into 256-token sequences; per doc the first/last sequence "
+    "spanned. Spark side computes the global ordered cumsum WITHOUT "
+    "a single-task global window (bucketed two-pass: partitioned "
+    "window + tiny bucket-offset broadcast — "
+    "operators.text.pack_sequences); the oracle uses the plain "
+    "global window, so hash-match proves the distributed cumsum "
+    "equals the sequential one.",
+    tags=("llm-pipeline", "text"),
+)
+def sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=256, bucket_width=64)
+
+
+@register(
+    "contamination_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                        || ' ' || toks[i + 3] || ' ' || toks[i + 4]
+               )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    hits AS (
+        SELECT e.doc_id AS eval_doc_id,
+               count(DISTINCT t.doc_id) AS n_train_overlap
+        FROM sh e JOIN sh t
+          ON e.shingle = t.shingle AND e.doc_id >= 450 AND t.doc_id < 450
+        GROUP BY 1
+    )
+    SELECT d.doc_id AS eval_doc_id,
+           coalesce(h.n_train_overlap, 0) AS n_train_overlap,
+           coalesce(h.n_train_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.eval_doc_id = d.doc_id
+    WHERE d.doc_id >= 450
+    """,
+    doc="Decontamination check — the train/eval overlap sweep every "
+    "pretraining corpus needs: eval docs (id >= 450) are flagged "
+    "when they share any 5-gram with a training doc. Inverted-index "
+    "shape (distinct shingles -> equi-join on shingle), so cost is "
+    "output-bounded, not |train| x |eval|; the oracle reproduces the "
+    "shingle join in SQL, including zero-overlap eval rows.",
+    tags=("llm-pipeline", "dedup"),
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sh_eval = (
+        shingle_rows(docs.filter(F.col("doc_id") >= 450), n=5)
+        .distinct()
+        .select(F.col("doc_id").alias("eval_doc_id"), "sh")
+    )
+    sh_train = (
+        shingle_rows(docs.filter(F.col("doc_id") < 450), n=5)
+        .distinct()
+        .select(F.col("doc_id").alias("train_doc_id"), "sh")
+    )
+    hits = (
+        sh_eval.join(sh_train, "sh")
+        .groupBy("eval_doc_id")
+        .agg(F.count_distinct("train_doc_id").alias("n_train_overlap"))
+    )
+    evals = docs.filter(F.col("doc_id") >= 450).select(
+        F.col("doc_id").alias("eval_doc_id")
+    )
+    return evals.join(hits, "eval_doc_id", "left").select(
+        "eval_doc_id",
+        F.coalesce("n_train_overlap", F.lit(0)).alias("n_train_overlap"),
+        (F.coalesce("n_train_overlap", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+@register(
+    "llm_corpus_prep",
+    oracle="""
+    WITH survivors AS (
+        SELECT * FROM documents d
+        WHERE doc_id = (SELECT min(doc_id) FROM documents d2
+                        WHERE d2.text = d.text)
+    ),
+    quality AS (
+        SELECT *, len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr
+        FROM survivors
+    ),
+    kept AS (
+        SELECT *,
+               instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                   AS is_train
+        FROM quality
+        WHERE n_tokens >= 5 AND ttr >= 0.3
+    )
+    SELECT lang, is_train,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM kept GROUP BY lang, is_train
+    """,
+    doc="The composed corpus-prep pipeline a pretraining run actually "
+    "executes, end to end in ONE lazy plan: exact-dedup survivors "
+    "(min-id per text, window-free semi-join) -> quality filter "
+    "(min length + type/token ratio) -> deterministic md5-nibble "
+    "train/holdout split -> per (lang, split) doc/token rollup. "
+    "Every stage is a previously-verified operator; this entry "
+    "verifies their COMPOSITION (column flow, filter ordering, "
+    "join keys) against a single SQL twin.",
+    tags=("llm-pipeline", "text", "dedup"),
+)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents")
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(keep, ["text", "doc_id"], "left_semi")
+    toks = tokens_col("text")
+    quality = survivors.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("ttr"),
+    )
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    kept = quality.filter((F.col("n_tokens") >= 5) & (F.col("ttr") >= 0.3))
+    return (
+        kept.withColumn("is_train", bucket < 13)
+        .groupBy("lang", "is_train")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
