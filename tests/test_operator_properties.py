@@ -105,3 +105,23 @@ def test_resample_ffill_grid_and_fill_properties(spark, points):
                 assert r["v"] is None
             else:
                 assert r["v"] == float(k * 1000 + max(past))
+
+
+def test_pack_sequences_bucket_invariance(spark):
+    """The bucketed two-pass cumsum must equal the sequential layout
+    for ANY bucket width — the distributed-equals-sequential property
+    the 100 TB path relies on."""
+    from kittispark.operators.text import pack_sequences
+    from tests.conftest import SF_SMOKE
+    from kittispark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = sorted(
+        tuple(r) for r in pack_sequences(docs, budget=256, bucket_width=64).collect()
+    )
+    for width in (1, 7, 500):
+        alt = sorted(
+            tuple(r)
+            for r in pack_sequences(docs, budget=256, bucket_width=width).collect()
+        )
+        assert alt == base, f"packing differs at bucket_width={width}"
