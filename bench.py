@@ -68,7 +68,11 @@ def main() -> None:
         _warm(F.col("n_nationkey"))
     ).count()
 
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    # 5 iterations (was 3): same-session spread between two back-to-
+    # back 3-iter runs measured up to 1.7x on single queries; the
+    # wider median window costs ~30 s and stabilizes round-over-round
+    # comparison.
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
