@@ -289,6 +289,50 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_y", T.IntegerType(), False),
+        T.StructField("out_x", T.IntegerType(), False),
+        T.StructField("r", T.IntegerType(), False),
+        T.StructField("g", T.IntegerType(), False),
+        T.StructField("b", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize over PPM payloads (decode -> nearest-neighbor
+    sample -> per-pixel rows): out pixel (x, y) takes source pixel
+    (floor(x*w_in/out_w), floor(y*h_in/out_h)) — the standard
+    nearest-neighbor map, fully integer so an SQL oracle reproduces
+    it exactly. Emitted as one row per output pixel (1 -> out_w*out_h
+    UDTF shape); a re-encode variant would call encode_ppm on the
+    gathered plane instead. Arrow-batched mapInPandas, numpy fancy
+    indexing — no per-pixel Python loop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ox = np.arange(out_w)
+        oy = np.arange(out_h)
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in _RESIZE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(payload)
+                sx = (ox * img["width"]) // out_w
+                sy = (oy * img["height"]) // out_h
+                resized = img["pixels"][np.ix_(sy, sx)]  # (out_h, out_w, 3)
+                yy, xx = np.meshgrid(oy, ox, indexing="ij")
+                out["media_id"].extend([mid] * (out_w * out_h))
+                out["out_y"].extend(yy.ravel())
+                out["out_x"].extend(xx.ravel())
+                out["r"].extend(resized[:, :, 0].ravel())
+                out["g"].extend(resized[:, :, 1].ravel())
+                out["b"].extend(resized[:, :, 2].ravel())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(kernel, _RESIZE_SCHEMA)
+
+
 _VIDEO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -319,6 +319,39 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_image_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(oy AS INT) AS out_y,
+           CAST(ox AS INT) AS out_x,
+           CAST((doc_id * 13 + (((oy * (3 + doc_id % 4)) // 2) * (4 + doc_id % 5)
+                 + (ox * (4 + doc_id % 5)) // 3) * 3 * 11) % 256 AS INT) AS r,
+           CAST((doc_id * 13 + ((((oy * (3 + doc_id % 4)) // 2) * (4 + doc_id % 5)
+                 + (ox * (4 + doc_id % 5)) // 3) * 3 + 1) * 11) % 256 AS INT) AS g,
+           CAST((doc_id * 13 + ((((oy * (3 + doc_id % 4)) // 2) * (4 + doc_id % 5)
+                 + (ox * (4 + doc_id % 5)) // 3) * 3 + 2) * 11) % 256 AS INT) AS b
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, 1)) AS oy) g1,
+         LATERAL (SELECT unnest(generate_series(0, 2)) AS ox) g2
+    WHERE doc_id < 200
+    """,
+    doc="REAL image resize roundtrip: PPM payloads are decoded and "
+    "nearest-neighbor resized to 3x2 (source pixel = "
+    "floor(out*in/out_dim), integer arithmetic), one row per output "
+    "pixel; the oracle recomputes EVERY output pixel's RGB from the "
+    "closed-form source plane — per-pixel value proof of the "
+    "decode+resize kernel, not a summary statistic.",
+    tags=("multimodal", "udf"),
+)
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.multimodal import resize_images
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = pack_media(_synth_ppm_payloads(docs), "doc_id", "payload", "image")
+    return resize_images(media, out_w=3, out_h=2)
+
+
+@register(
     "media_frame_sample",
     oracle="""
     WITH m AS (
