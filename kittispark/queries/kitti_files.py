@@ -286,12 +286,12 @@ def kitti_points_bin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _calib_chain_sql() -> str:
-    """Generate the DuckDB twin of the P1-P5 calibration chain + P6
-    axis remap: cam = Tr[3x4] . (x,y,z,1); rect = R0[3x3] . cam;
-    out = (rect0, rect2, -rect1). Matrix cells are inlined closed
-    forms of (frame, row, col) — same dyadic values the calib files
-    carry."""
+def _rect_exprs() -> tuple[str, str, str]:
+    """DuckDB expressions for the P1-P5 chain + P6 axis remap over a
+    `pts` row (f, x, y, z): cam = Tr[3x4] . (x,y,z,1); rect =
+    R0[3x3] . cam; out = (rect0, rect2, -rect1). Matrix cells are
+    inlined closed forms of (frame, row, col) — the same dyadic
+    values the calib files carry."""
 
     def tr(k: int, j: int) -> str:
         return f"(CAST((f*7 + {k}*5 + {j}*3) % 17 - 8 AS DOUBLE) * 0.25)"
@@ -307,12 +307,17 @@ def _calib_chain_sql() -> str:
         f"({r0(i, 0)}*{cam[0]} + {r0(i, 1)}*{cam[1]} + {r0(i, 2)}*{cam[2]})"
         for i in range(3)
     ]
+    return rect[0], rect[2], f"-{rect[1]}"
+
+
+def _calib_chain_sql() -> str:
+    x, y, z = _rect_exprs()
     return f"""
     WITH {_PTS_CTE}
     SELECT frame_id, pt_key,
-           {rect[0]} AS x,
-           {rect[2]} AS y,
-           -{rect[1]} AS z
+           {x} AS x,
+           {y} AS y,
+           {z} AS z
     FROM pts
     """
 
@@ -372,3 +377,158 @@ def kitti_frame_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = kitti_fixture_root(spark, sf_dir)
     pts = read_points(spark, os.path.join(root, "velodyne"))
     return frame_points_df(pts, "000003", max_points=40)
+
+
+def _cutout_sql() -> str:
+    x, y, z = _rect_exprs()
+    return f"""
+    WITH {_PTS_CTE},
+    tr AS (
+        SELECT frame_id, {x} AS x, {y} AS y, {z} AS z FROM pts
+    ),
+    filtered AS (
+        SELECT frame_id FROM tr
+        WHERE x > -50 AND y > -50 AND z > -50
+          AND x <  50 AND y <  50 AND z <  50
+    ),
+    per_frame AS (
+        SELECT frame_id, count(*) AS n FROM filtered GROUP BY frame_id
+    )
+    SELECT min(n) AS min_points,
+           CAST(round(avg(n), 0) AS BIGINT) AS avg_points,
+           max(n) AS max_points,
+           count(*) AS n_frames
+    FROM per_frame
+    """
+
+
+@register(
+    "kitti_cutout_roundtrip",
+    oracle=_cutout_sql(),
+    doc="E2 end to end ON THE REAL FILE PATH (reference "
+    "gen_cut_out_dataset, data_pipeline.py:67-84): .bin fixture "
+    "files -> binary scan -> calib-file parse -> P1-P5 chain -> P6 "
+    "remap -> 6-way box containment -> per-frame counts folded to "
+    "the exact min/round(avg)/max stats the reference prints. The "
+    "oracle recomputes the whole chain in closed form (dyadic, so "
+    "exact); previously E2 was driver-verified only via relational "
+    "analogs (cutout_count_stats).",
+    tags=("kitti-files",),
+)
+def kitti_cutout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.kitti import cutout_pipeline, frame_count_stats
+
+    root = kitti_fixture_root(spark, sf_dir)
+    points = read_points(spark, os.path.join(root, "velodyne"))
+    calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
+    cut = cutout_pipeline(
+        points, calib_wide, lo=(-50.0, -50.0, -50.0), hi=(50.0, 50.0, 50.0)
+    )
+    return frame_count_stats(cut).select(
+        "min_points", "avg_points", "max_points", "n_frames"
+    )
+
+
+def _envelope_sql() -> str:
+    x, y, z = _rect_exprs()
+    return f"""
+    WITH {_PTS_CTE},
+    tr AS (
+        SELECT frame_id, {x} AS x, {y} AS y, {z} AS z FROM pts
+    ),
+    zs AS (
+        SELECT frame_id, quantile_cont(z, 0.05) AS z5 FROM tr GROUP BY frame_id
+    ),
+    penv AS (
+        SELECT min(t.x) AS min_x, max(t.x) AS max_x,
+               min(t.y) AS min_y, max(t.y) AS max_y,
+               min(t.z - s.z5) AS min_z, max(t.z - s.z5) AS max_z
+        FROM tr t JOIN zs s ON t.frame_id = s.frame_id
+    ),
+    lbl AS (
+        SELECT lpad(CAST(doc_id % 8 AS VARCHAR), 6, '0') AS frame_id,
+               2.0 + CAST(doc_id % 12 AS DOUBLE) * 0.25 AS dim_l,
+               CAST((doc_id * 3) % 40 - 20 AS DOUBLE) * 0.5 AS loc_x,
+               CAST((doc_id * 5) % 12 - 6 AS DOUBLE) * 0.25 AS loc_y,
+               CAST(doc_id % 50 AS DOUBLE) * 0.5 + 2.0 AS loc_z
+        FROM documents
+        WHERE doc_id < {_N_DOCS} AND doc_id % 4 <> 3
+    ),
+    lenv AS (
+        SELECT max(l.dim_l) AS max_dim_l,
+               min(l.loc_x) AS min_lx, max(l.loc_x) AS max_lx,
+               min(l.loc_z - s.z5) AS min_lz, max(l.loc_z - s.z5) AS max_lz
+        FROM lbl l JOIN zs s ON l.frame_id = s.frame_id
+    )
+    SELECT round(greatest(p.min_x, e.min_lx - e.max_dim_l), 6) AS env_lo_x,
+           round(least(p.max_x, e.max_lx + e.max_dim_l), 6)    AS env_hi_x,
+           round(greatest(p.min_z, e.min_lz - e.max_dim_l), 6) AS env_lo_z,
+           round(least(p.max_z, e.max_lz + e.max_dim_l), 6)    AS env_hi_z
+    FROM penv p, lenv e
+    """
+
+
+@register(
+    "kitti_analysis_envelope",
+    oracle=_envelope_sql(),
+    doc="E1 analysis ON THE REAL FILE PATH (reference get_analysis, "
+    "data_pipeline.py:8-64): .bin + calib + label fixture files "
+    "through scan -> calibration chain -> per-frame 5th-percentile "
+    "ground-plane rescale (A5/P7, applied to points AND the labels' "
+    "z locations — the J2 cross-relation rejoin) -> two extrema "
+    "branches (A1 points, A2/A3 label dims/locations, DontCare "
+    "filtered per P9) -> P13 greatest/least envelope combine on the "
+    "1-row cross join. The oracle recomputes everything in closed "
+    "form incl. the interpolated percentile (quantile_cont == "
+    "Spark's exact percentile, proven by percentile_per_group).",
+    tags=("kitti-files",),
+)
+def kitti_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.kitti import frame_z_scale
+
+    root = kitti_fixture_root(spark, sf_dir)
+    points = read_points(spark, os.path.join(root, "velodyne"))
+    calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
+    tr = axis_align(apply_calibration(points, calib_wide))
+    zs = frame_z_scale(tr)
+    resc = tr.join(F.broadcast(zs), "frame_id").select(
+        "x", "y", (F.col("z") - F.col("z_scale")).alias("z")
+    )
+    penv = resc.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
+    labels = read_labels(spark, os.path.join(root, "label_2")).filter(
+        F.col("label") != "DontCare"
+    )
+    lenv = (
+        labels.join(F.broadcast(zs), "frame_id")
+        .select(
+            "dim_l",
+            "loc_x",
+            (F.col("loc_z") - F.col("z_scale")).alias("loc_z_resc"),
+        )
+        .agg(
+            F.max("dim_l").alias("max_dim_l"),
+            F.min("loc_x").alias("min_lx"),
+            F.max("loc_x").alias("max_lx"),
+            F.min("loc_z_resc").alias("min_lz"),
+            F.max("loc_z_resc").alias("max_lz"),
+        )
+    )
+    return penv.crossJoin(lenv).select(
+        F.round(
+            F.greatest("min_x", F.col("min_lx") - F.col("max_dim_l")), 6
+        ).alias("env_lo_x"),
+        F.round(
+            F.least("max_x", F.col("max_lx") + F.col("max_dim_l")), 6
+        ).alias("env_hi_x"),
+        F.round(
+            F.greatest("min_z", F.col("min_lz") - F.col("max_dim_l")), 6
+        ).alias("env_lo_z"),
+        F.round(
+            F.least("max_z", F.col("max_lz") + F.col("max_dim_l")), 6
+        ).alias("env_hi_z"),
+    )
