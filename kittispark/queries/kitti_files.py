@@ -532,3 +532,38 @@ def kitti_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("max_z", F.col("max_lz") + F.col("max_dim_l")), 6
         ).alias("env_hi_z"),
     )
+
+
+@register(
+    "kitti_datasource_scan",
+    oracle=f"""
+    WITH {_PTS_CTE}
+    SELECT frame_id, pt_key, x, y, z FROM pts
+    """,
+    doc="S2 via the Spark 4 Python Data Source (the engine-native "
+    "scan, sources/datasource.py): format('kitti_points') plans "
+    "bounded file groups on the driver and decodes float32 .bin "
+    "bytes straight into Arrow RecordBatches on executors — the "
+    "long-term scan form SURVEY §2.1 S2 names. Same closed-form "
+    "oracle as kitti_points_bin_roundtrip, so BOTH scan "
+    "implementations (binaryFile+mapInPandas and the DataSource) "
+    "carry independent driver verdicts against identical bytes.",
+    tags=("kitti-files", "datasource"),
+)
+def kitti_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.sources.datasource import register as register_ds
+
+    root = kitti_fixture_root(spark, sf_dir)
+    register_ds(spark)
+    pts = (
+        spark.read.format("kitti_points")
+        .option("files_per_partition", "4")
+        .load(os.path.join(root, "velodyne"))
+    )
+    return pts.select(
+        "frame_id",
+        F.col("intensity").cast("long").alias("pt_key"),
+        "x",
+        "y",
+        "z",
+    )
