@@ -174,3 +174,55 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     ann = ann_ivf_topk(emb, queries, k=5)
     return _ann_recall_df(ann, cosine_topk(emb, queries, k=5), floor=2)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH mm AS (
+        SELECT vec_id,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               CAST(list_max(embedding) AS DOUBLE) AS vmax,
+               embedding
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id, vmin, vmax,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CASE WHEN vmax = vmin
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x ->
+                     CAST(floor(((CAST(x AS DOUBLE) - vmin) * 127.0)
+                                / (vmax - vmin)) AS INT))
+           END AS q_codes
+    FROM mm
+    """,
+    doc="Int8 scalar quantization of the embedding column (the "
+    "compression step before shipping vectors to an ANN index at "
+    "100 TB): per-vector min/max affine codes in [0,127], computed "
+    "element-wise with the identical double-precision expression "
+    "((x - vmin) * 127.0) / (vmax - vmin) on both engines, so floor "
+    "is bit-exact and the oracle needs no tolerance. Pure map-side "
+    "transform over the array column — no shuffle, no Python.",
+    tags=("similarity", "llm-pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    vmin = F.array_min("embedding").cast("double")
+    vmax = F.array_max("embedding").cast("double")
+    mm = emb.select("vec_id", vmin.alias("vmin"), vmax.alias("vmax"), "embedding")
+    code = lambda x: F.floor(  # noqa: E731
+        ((x.cast("double") - F.col("vmin")) * F.lit(127.0))
+        / (F.col("vmax") - F.col("vmin"))
+    ).cast("int")
+    return mm.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.size("embedding").alias("n_dims"),
+        F.when(
+            F.col("vmax") == F.col("vmin"),
+            F.transform("embedding", lambda x: F.lit(0)),
+        )
+        .otherwise(F.transform("embedding", code))
+        .alias("q_codes"),
+    )

@@ -313,6 +313,179 @@ def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redaction",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id,
+               text || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.com',
+                              CAST(doc_id % 3 AS INT))
+                    || repeat(' call +1-555-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              CAST(doc_id % 2 AS INT)) AS t
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+[0-9]-[0-9]{3}-[0-9]{4}'))
+                AS INT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(t,
+                    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                    '\+[0-9]-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                AS INT) AS redacted_len,
+           right(regexp_replace(regexp_replace(t,
+                    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                    '\+[0-9]-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), 40)
+               AS redacted_tail
+    FROM raw
+    """,
+    doc="PII scrubbing: detect and redact email addresses and phone "
+    "numbers with shared Java-regex/RE2 class patterns (the standard "
+    "pre-release pass over a training corpus). The corpus text has no "
+    "PII, so a deterministic per-doc contact string is appended first "
+    "(doc_id%3 emails, doc_id%2 phones) — counts, redacted length, "
+    "and the redacted tail are then exactly reproducible on both "
+    "engines. Pure map-side regexp expressions, no shuffle.",
+    tags=("text", "llm-pipeline"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"\+[0-9]-[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.expr("repeat(' u' || CAST(doc_id AS STRING) || '@ex.com', "
+               "CAST(doc_id % 3 AS INT))"),
+        F.expr("repeat(' call +1-555-' || lpad(CAST(doc_id % 10000 AS STRING),"
+               " 4, '0'), CAST(doc_id % 2 AS INT))"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(phone), 0)).alias("n_phones"),
+        F.length(red).alias("redacted_len"),
+        F.right(red, F.lit(40)).alias("redacted_tail"),
+    )
+
+
+@register(
+    "top_bigram_repetition",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1])) AS bigram
+        FROM documents WHERE doc_id < 200
+    ),
+    counts AS (
+        SELECT doc_id, bigram, count(*) AS bigram_count
+        FROM grams GROUP BY doc_id, bigram
+    )
+    SELECT doc_id, bigram AS top_bigram,
+           CAST(bigram_count AS INT) AS top_count,
+           CAST(n_bigrams AS INT) AS n_bigrams
+    FROM (SELECT *,
+                 sum(bigram_count) OVER (PARTITION BY doc_id) AS n_bigrams,
+                 row_number() OVER (PARTITION BY doc_id
+                     ORDER BY bigram_count DESC, bigram) AS rk
+          FROM counts)
+    WHERE rk = 1
+    """,
+    doc="Gopher-style repetition signal: the most frequent word bigram "
+    "per document with its count and the total bigram count (the "
+    "top-2-gram-fraction quality rule, kept as exact integers so the "
+    "oracle needs no float tolerance; ties broken by lexicographic "
+    "bigram). Bigrams are built JVM-side by zipping the token array "
+    "with its tail (transform over a slice — no self-join), then one "
+    "hash-agg per (doc, bigram) and a per-doc window for the argmax; "
+    "partitioning by doc_id keeps both shuffles on the same key.",
+    tags=("text", "llm-pipeline"),
+)
+def top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens_col("text")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+    )
+    w_doc = W.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        "bigram",
+        "bigram_count",
+        F.sum("bigram_count").over(w_doc).alias("n_bigrams_l"),
+        F.row_number()
+        .over(w_doc.orderBy(F.desc("bigram_count"), F.asc("bigram")))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "doc_id",
+        F.col("bigram").alias("top_bigram"),
+        F.col("bigram_count").cast("int").alias("top_count"),
+        F.col("n_bigrams_l").cast("int").alias("n_bigrams"),
+    )
+
+
+@register(
+    "lang_balance_quota",
+    oracle="""
+    WITH quota AS (
+        SELECT min(c) AS q
+        FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM ranked CROSS JOIN quota WHERE rk <= q
+    """,
+    doc="Language rebalancing by uniform quota: every language is "
+    "downsampled to the size of the smallest language class (the "
+    "multilingual-corpus balancing step before training). Selection "
+    "order is a deterministic md5 hash of the stable doc_id — a "
+    "reproducible uniform draw with no RNG state — and the quota is a "
+    "1-row aggregate broadcast against the ranked rows, so the only "
+    "data-sized shuffle is the per-lang window partitioning.",
+    tags=("text", "sampling", "llm-pipeline"),
+)
+def lang_balance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    quota = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("q"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", rk.alias("rk"))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rk") <= F.col("q"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+@register(
     "bpe_pretoken_count",
     oracle=r"""
     SELECT doc_id,
