@@ -175,3 +175,36 @@ def test_calib_chain_broadcasts_calibration(plans):
     plan = plans("kitti_calib_chain")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_mapside_only(plans):
+    # Pure regexp projection: filter pushed to the scan, zero shuffles.
+    plan = plans("pii_redaction")
+    assert "LessThan(doc_id,300)" in plan
+    assert shuffle_exchanges(plan) == 0
+
+
+def test_embedding_quantize_mapside_only(plans):
+    # Array transform is element-wise: filter pushed, zero shuffles.
+    plan = plans("embedding_quantize_int8")
+    assert "LessThan(vec_id,200)" in plan
+    assert shuffle_exchanges(plan) == 0
+
+
+def test_top_bigram_two_shuffles_pushed(plans):
+    # explode -> hash-agg on (doc_id,bigram) -> window on doc_id:
+    # exactly two shuffles, doc filter at the scan, no join at all.
+    plan = plans("top_bigram_repetition")
+    assert "LessThan(doc_id,200)" in plan
+    assert shuffle_exchanges(plan) == 2
+    assert "Join" not in plan
+
+
+def test_lang_balance_quota_broadcasts_quota(plans):
+    # The 1-row quota aggregate must broadcast against the ranked
+    # rows (nested-loop on a single-row build side), never sort-merge;
+    # data-sized shuffles: 1 window + 2 on the tiny per-lang rollup.
+    plan = plans("lang_balance_quota")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchanges(plan) == 3
