@@ -345,3 +345,109 @@ def percentile_approx_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_tol"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "merge_upsert_snapshot",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id AS key, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events) WHERE rk = 1
+    ),
+    base AS (
+        SELECT c_custkey AS key, c_acctbal AS val
+        FROM customer WHERE c_custkey BETWEEN 50 AND 250
+    )
+    SELECT COALESCE(b.key, c.key) AS key,
+           CASE WHEN c.key IS NULL THEN b.val ELSE c.value END AS val,
+           CASE WHEN c.key IS NULL THEN 'keep'
+                WHEN b.key IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+    WHERE NOT (b.key IS NOT NULL AND c.key IS NOT NULL
+               AND c.event_type = 'error')
+      AND NOT (b.key IS NULL AND c.event_type = 'error')
+    """,
+    doc="MERGE INTO executed as one full-outer key join (the CDC "
+    "upsert shape: WHEN MATCHED AND op='error' DELETE / WHEN MATCHED "
+    "UPDATE / WHEN NOT MATCHED INSERT, with unmatched deletes a "
+    "no-op). Changes = latest event per key via one window pass with "
+    "a deterministic (ts, event_id) tiebreak. Both sides shuffle on "
+    "the merge key only — the same co-partitioned plan a Delta/"
+    "Iceberg MERGE compiles to at 100 TB, with no driver-side state.",
+    tags=("join", "cdc"),
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    customer = t(spark, sf_dir, "customer")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    changes = (
+        events.select(
+            F.col("user_id").alias("key"),
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    base = customer.filter(F.col("c_custkey").between(50, 250)).select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val")
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.key") == F.col("c.key"), "full_outer")
+    matched_delete = (
+        F.col("b.key").isNotNull()
+        & F.col("c.key").isNotNull()
+        & (F.col("c.event_type") == "error")
+    )
+    unmatched_delete = F.col("b.key").isNull() & (F.col("c.event_type") == "error")
+    return merged.filter(~matched_delete & ~unmatched_delete).select(
+        F.coalesce(F.col("b.key"), F.col("c.key")).alias("key"),
+        F.when(F.col("c.key").isNull(), F.col("b.val"))
+        .otherwise(F.col("c.value"))
+        .alias("val"),
+        F.when(F.col("c.key").isNull(), "keep")
+        .when(F.col("b.key").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+    SELECT user_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'view'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Type-2 slowly-changing-dimension build: each change event "
+    "opens a validity interval [valid_from, valid_to) closed by the "
+    "next change (lead over event time with a deterministic event_id "
+    "tiebreak); the open interval is the current row. One window "
+    "shuffle partitioned by the dimension key — the standard "
+    "history-table materialization a warehouse pipeline derives from "
+    "a 100 TB change log. Epochs floor()ed identically on both "
+    "engines (DuckDB CAST rounds, Spark's truncates).",
+    tags=("window", "cdc"),
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "value",
+        F.col("ts").cast("long").alias("valid_from"),
+        nxt.cast("long").alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        nxt.isNull().alias("is_current"),
+    )
