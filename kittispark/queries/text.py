@@ -486,6 +486,67 @@ def lang_balance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter_composite",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           list_filter([
+               CASE WHEN n_tokens < 50 THEN 'too_short' END,
+               CASE WHEN n_tokens > 120 THEN 'too_long' END,
+               CASE WHEN n_distinct * 10 < n_tokens * 3
+                    THEN 'low_diversity' END,
+               CASE WHEN n_nonspace > n_tokens * 8 THEN 'long_words' END
+           ], x -> x IS NOT NULL) AS reasons,
+           (n_tokens >= 50 AND n_tokens <= 120
+            AND n_distinct * 10 >= n_tokens * 3
+            AND n_nonspace <= n_tokens * 8) AS keep
+    FROM m
+    """,
+    doc="Composite pretraining quality filter (the Gopher-rule shape): "
+    "length band, type/token-ratio floor, and mean-word-length "
+    "ceiling, each emitting its rule name into a reasons array; keep "
+    "= no rule fired. Thresholds are compared as cross-multiplied "
+    "integers (TTR < 0.3 as n_distinct*10 < n_tokens*3) so the "
+    "verdict is exact on every engine — no float tolerance in a "
+    "drop/keep decision that gates corpus membership. Map-side only.",
+    tags=("text", "llm-pipeline"),
+)
+def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long")
+        .alias("n_nonspace"),
+    )
+    rules = [
+        (F.col("n_tokens") < 50, "too_short"),
+        (F.col("n_tokens") > 120, "too_long"),
+        (F.col("n_distinct") * 10 < F.col("n_tokens") * 3, "low_diversity"),
+        (F.col("n_nonspace") > F.col("n_tokens") * 8, "long_words"),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, name) for cond, name in rules])
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )
+
+
+@register(
     "bpe_pretoken_count",
     oracle=r"""
     SELECT doc_id,
