@@ -1,0 +1,102 @@
+"""Synthesize a larger scale factor from an existing testdata dir by
+replicating the FACT tables k times with disjoint key ranges
+(dimension tables are copied unchanged, so every join key still
+resolves). This exists because the driver's testdata tops out at
+sf0.1: the scaling audit (SCALING.md) needs a bigger step to separate
+per-query fixed cost from the data-dependent term.
+
+Key remapping keeps referential integrity where queries rely on it:
+- lineitem.l_orderkey and orders.o_orderkey shift together by
+  i * (max_orderkey + 1), so the orders<->lineitem join fans out
+  correctly (each copy joins only its own copy);
+- orders.o_custkey / lineitem part+supp keys are left as-is (they
+  point into the unchanged dimension tables);
+- events.event_id shifts by i * (max_id + 1); ts shifts by i days so
+  window/sessionization queries see proportionally more buckets, and
+  user_id is left as-is (same user population, k x denser activity).
+
+Usage: python scripts/gen_scale_synth.py SRC_DIR DST_DIR K
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+COPY_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "documents",
+    "embeddings",
+)
+
+
+def generate(src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY_TABLES:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    max_ok = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+            SELECT o.* EXCLUDE (o_orderkey),
+                   o.o_orderkey + i.range * {max_ok} AS o_orderkey
+            FROM read_parquet('{src}/orders.parquet') o
+            CROSS JOIN range({k}) i
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT l.* EXCLUDE (l_orderkey),
+                   l.l_orderkey + i.range * {max_ok} AS l_orderkey
+            FROM read_parquet('{src}/lineitem.parquet') l
+            CROSS JOIN range({k}) i
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    # events is written with pyarrow, not DuckDB: the driver's
+    # events.parquet carries TIMESTAMP(NANOS) and the engine's events
+    # reader (sources/tables._load_events) expects that layout, but
+    # DuckDB's parquet writer downcasts timestamps to micros.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{src}/events.parquet")
+    max_ev = pa.compute.max(tbl["event_id"]).as_py() + 1
+    day_ns = 86_400_000_000_000
+    copies = []
+    for i in range(k):
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl[name].combine_chunks()
+            if name == "event_id":
+                col = pa.compute.add(col, i * max_ev)
+            elif name == "ts":
+                shifted = pa.compute.add(col.cast(pa.int64()), i * day_ns)
+                col = shifted.cast(pa.timestamp("ns"))
+            cols[name] = col
+        copies.append(pa.table(cols))
+    out = pa.concat_tables(copies)
+    pq.write_table(out, f"{dst}/events.parquet", store_schema=False)
+    for t in ("orders", "lineitem", "events"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    generate(src, dst, k)
