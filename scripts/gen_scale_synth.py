@@ -32,8 +32,6 @@ COPY_TABLES = (
     "customer",
     "supplier",
     "part",
-    "documents",
-    "embeddings",
 )
 
 
@@ -66,6 +64,42 @@ def generate(src: str, dst: str, k: int) -> None:
         ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
+    # documents/embeddings are 500 rows at EVERY driver SF, so the
+    # LLM-pipeline queries never see a scale step without this: each
+    # copy appends a distinct token (docs become near- but not exact
+    # duplicates across copies — the corpus shape near-dedup exists
+    # for) and nudges the vector by a copy-specific epsilon (distinct
+    # but clustered embeddings). n_chars is recomputed to stay true.
+    max_doc = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+            SELECT d.* EXCLUDE (doc_id, text, n_chars),
+                   d.doc_id + i.range * {max_doc} AS doc_id,
+                   d.text || ' c' || i.range AS text,
+                   length(d.text || ' c' || i.range) AS n_chars
+            FROM read_parquet('{src}/documents.parquet') d
+            CROSS JOIN range({k}) i
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    max_vec = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+            SELECT e.* EXCLUDE (vec_id, embedding),
+                   e.vec_id + i.range * {max_vec} AS vec_id,
+                   CAST(list_transform(e.embedding,
+                        x -> x + 0.0001 * i.range) AS FLOAT[]) AS embedding
+            FROM read_parquet('{src}/embeddings.parquet') e
+            CROSS JOIN range({k}) i
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
     # events is written with pyarrow, not DuckDB: the driver's
     # events.parquet carries TIMESTAMP(NANOS) and the engine's events
     # reader (sources/tables._load_events) expects that layout, but
@@ -90,7 +124,7 @@ def generate(src: str, dst: str, k: int) -> None:
         copies.append(pa.table(cols))
     out = pa.concat_tables(copies)
     pq.write_table(out, f"{dst}/events.parquet", store_schema=False)
-    for t in ("orders", "lineitem", "events"):
+    for t in ("orders", "lineitem", "events", "documents", "embeddings"):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
         ).fetchone()[0]
