@@ -430,3 +430,97 @@ def ann_ivf_topk(
         )
         .filter(F.col("rk") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF as a persisted, partition-pruned index (the 100 TB serving path)
+# --------------------------------------------------------------------------
+
+
+def ivf_write_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout ann_ivf_topk only documents: train
+    centroids (bounded sample), assign every vector its nearest
+    centroid, and write the corpus PARTITIONED BY cid plus the
+    centroid matrix as a side artifact. At 100 TB this runs once per
+    index build; `ann_ivf_topk_indexed` then reads nprobe/C of the
+    data per query batch via plain parquet partition pruning — no
+    re-assignment, no full scan, no special index format."""
+    spark = vectors.sparkSession
+    cents = ivf_train_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
+    assigned = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        F.element_at("__c", 1).alias("cid"),
+    )
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF top-k from a persisted index: load the centroid
+    matrix (tiny), assign each query its nprobe lists, and scan ONLY
+    those cid partitions (`cid IN (...)` is a partition filter — the
+    scan never touches the other C-nprobe directories). The probed
+    cid set is collected driver-side from the query batch: bounded by
+    min(n_queries * nprobe, C) scalars, the price of turning a 1/C
+    partition prune into a static scan filter. Results are identical
+    to ann_ivf_topk run in-memory with the same parameters (same
+    training determinism, same tiebreaks) — pinned by tests."""
+    from pyspark.sql import Window as W
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(norm_c)
+    q = (
+        _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe, bc=bc)
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double(vec_col).alias("qv"),
+            F.explode("__c").alias("cid"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cid").isin(probed))
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )

@@ -226,3 +226,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.transform("embedding", code))
         .alias("q_codes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index (built once per process+sf_dir, like the KITTI
+# file fixtures) — lets the driver adjudicate the partition-pruned
+# serving path, not just the in-memory operator.
+# --------------------------------------------------------------------------
+
+_IVF_INDEX_ROOT: dict[str, str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from kittispark.operators.similarity import ivf_write_index
+
+    cached = _IVF_INDEX_ROOT.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="kittispark-ivf-")
+    ivf_write_index(t(spark, sf_dir, "embeddings"), root)
+    _IVF_INDEX_ROOT[sf_dir] = root
+    return root
+
+
+@register(
+    "ann_ivf_indexed_match",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_served,
+           TRUE AS index_matches_inmemory
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="Driver-adjudicated gate for the PERSISTED IVF index "
+    "(operators.similarity.ivf_write_index / ann_ivf_topk_indexed): "
+    "the corpus is written partitioned by centroid id once per "
+    "process, then served with `cid IN (probed)` partition pruning — "
+    "the scan touches nprobe/C of the index, the layout that makes "
+    "IVF work at 100 TB. Per query the served rows must equal the "
+    "in-memory operator on every column (ids, rounded sims, ranks); "
+    "a training/assignment/pruning divergence flips "
+    "index_matches_inmemory and fails the closed-form hash.",
+    tags=("similarity",),
+)
+def ann_ivf_indexed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import ann_ivf_topk, ann_ivf_topk_indexed
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = _ivf_index_path(spark, sf_dir)
+    served = ann_ivf_topk_indexed(spark, idx, queries, k=5, nprobe=2)
+    inmem = ann_ivf_topk(emb, queries, k=5, nprobe=2)
+    matched = (
+        served.join(inmem, ["query_id", "neighbor_id", "sim", "rk"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        served.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_served"))
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            "n_served",
+            (
+                (F.col("n_served") == 5)
+                & (F.coalesce(F.col("n_matched"), F.lit(0)) == 5)
+            ).alias("index_matches_inmemory"),
+        )
+    )

@@ -76,3 +76,49 @@ def test_ivf_returns_k_per_query(emb):
              out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(n == 5 for n in per_q.values())
+
+
+def test_ivf_indexed_equals_inmemory_and_prunes(spark, tmp_path_factory):
+    """The persisted cid-partitioned index must (a) serve bit-identical
+    results to the in-memory operator (same training determinism and
+    tiebreaks) and (b) actually skip the unprobed partitions — the
+    point of the layout."""
+    import contextlib
+    import io
+
+    from kittispark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from kittispark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_write_index(emb, idx)
+
+    served = ann_ivf_topk_indexed(spark, idx, queries, k=5, nprobe=2)
+    inmem = ann_ivf_topk(emb, queries, k=5, nprobe=2)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inmem.collect())
+    )
+
+    # partition pruning: the scan reads fewer files than the index has
+    n_part_dirs = len(
+        [p for p in __import__("os").listdir(f"{idx}/corpus") if p.startswith("cid=")]
+    )
+    touched = (
+        spark.read.parquet(f"{idx}/corpus")
+        .filter(F.col("cid").isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert touched < n_part_dirs
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(f"{idx}/corpus").filter(
+            F.col("cid").isin([0, 1])
+        ).explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
