@@ -1297,3 +1297,80 @@ def sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS key, o_totalprice AS price FROM orders
+    ),
+    b AS (
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice * 1.25
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT -o_orderkey AS key, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT COALESCE(a.key, b.key) AS key,
+           CASE WHEN b.key IS NULL THEN 'removed'
+                WHEN a.key IS NULL THEN 'added'
+                ELSE 'changed' END AS action,
+           a.price AS old_price,
+           b.price AS new_price
+    FROM a FULL OUTER JOIN b ON a.key = b.key
+    WHERE a.key IS NULL OR b.key IS NULL OR a.price <> b.price
+    """,
+    doc="Snapshot diff / table versioning: classify every key of two "
+    "table versions as added, removed, or changed (unchanged rows "
+    "drop out) via one full-outer join on the key — the reconcile "
+    "primitive behind incremental loads and data-quality audits of "
+    "100 TB table pairs; both sides shuffle once on the join key and "
+    "unchanged rows never leave the executors. The second snapshot "
+    "is synthesized deterministically from the first (x1.25 price "
+    "bump on keys %7 — a single IEEE multiply, bit-identical in both "
+    "engines; drop %13, add negated %17) so both engines derive the "
+    "same pair of versions from one stored table.",
+    tags=("join", "cdc"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_totalprice") * 1.25,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 17 == 0).select(
+                (-F.col("o_orderkey")).alias("key"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    av, bv = a.alias("a"), b.alias("b")
+    joined = av.join(bv, F.col("a.key") == F.col("b.key"), "full_outer")
+    return joined.filter(
+        F.col("a.key").isNull()
+        | F.col("b.key").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+    ).select(
+        F.coalesce(F.col("a.key"), F.col("b.key")).alias("key"),
+        F.when(F.col("b.key").isNull(), "removed")
+        .when(F.col("a.key").isNull(), "added")
+        .otherwise("changed")
+        .alias("action"),
+        F.col("a.price").alias("old_price"),
+        F.col("b.price").alias("new_price"),
+    )
