@@ -27,6 +27,11 @@ def plans(spark):
     qs = registry.queries()
 
     def plan_of(name: str) -> str:
+        # Other test modules cache base tables (session-scoped
+        # fixtures); a cached table substitutes InMemoryTableScan for
+        # the parquet scan and hides the pushdown we're pinning.
+        # Audit the plan a fresh consumer would get.
+        spark.catalog.clearCache()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             qs[name](spark, SF).explain("formatted")
