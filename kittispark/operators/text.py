@@ -113,6 +113,144 @@ def doc_fingerprint_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adjacent-token bigram rows ``(doc_id, w1, w2)`` with
+    multiplicity, built as ONE narrow projection (transform over an
+    index sequence + explode) — no shuffle, no UDF. A doc with n
+    tokens yields n-1 bigrams; single-token docs yield none.
+    """
+    toks = tokens_col(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document — the
+    perplexity-proxy filter of a pretraining pipeline, with the LM
+    estimated from the corpus itself in the same lazy plan.
+
+    MLE conditional probability p(w2|w1) = c(w1,w2) / c(w1,*), both
+    counted over bigram starts, so every bigram in every doc has a
+    defined, positive probability (no smoothing needed). The doc
+    score is the mean log-probability of its bigrams (higher = more
+    predictable text).
+
+    Shape: one explode projection feeding two hash aggregations
+    (bigram counts, start counts) that re-join the bigram stream on
+    (w1, w2) / (w1) — all equi-joins on token keys. At 100 TB the LM
+    tables are vocab-bounded (<< corpus), so AQE broadcasts them;
+    nothing here is driver-side.
+    """
+    bg = bigram_rows(df, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
+        .select("doc_id", (F.log(F.col("n2") / F.col("n1"))).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+def prune_frequent_tokens(
+    df: DataFrame, max_df_frac: float = 0.6, text_col: str = "text"
+) -> DataFrame:
+    """Boilerplate pruning (the C4-style move, token-granular):
+    tokens whose document frequency exceeds ``max_df_frac`` of the
+    corpus are dropped from every document, and each document's text
+    is reassembled IN ORDER from the survivors.
+
+    Order preservation without a per-doc window: positions ride
+    along through posexplode, and the rebuild is
+    ``array_sort(collect_list(struct(pos, tok)))`` inside a hash
+    agg — collect_list order is nondeterministic across tasks, the
+    sort makes the result exact. Per-doc arrays are document-sized,
+    not corpus-sized, so executor memory is bounded by the longest
+    doc (same contract as any collect_list reassembly).
+
+    The boilerplate set is df-bounded (tokens in > max_df_frac of
+    docs — at most vocab-sized, in practice tiny) and is broadcast
+    into a left_anti join; the corpus-size scalar joins in as a
+    1-row broadcast, so the whole thing is explode -> two hash aggs
+    -> broadcast anti-join -> hash agg.
+    """
+    base = df.select(
+        "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    boiler = (
+        base.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("__n_docs") * max_df_frac)
+        .select("tok")
+    )
+    kept = base.join(F.broadcast(boiler), "tok", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("pruned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    orig = df.select("doc_id", F.size(tokens_col(text_col)).alias("n_orig"))
+    return orig.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_orig") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, vocab_size: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Top-V vocabulary coverage / OOV rate per document.
+
+    The vocabulary is the ``vocab_size`` most frequent tokens by
+    total corpus count (ties broken by token ascending, so the cut
+    is deterministic). Per doc: token instances outside the vocab
+    and the OOV fraction. The vocab is V rows -> broadcast; the
+    top-V itself is a TakeOrderedAndProject over the token-count
+    agg, not a global sort.
+    """
+    base = df.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("tok")
+    )
+    vocab = (
+        base.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    flagged = base.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,

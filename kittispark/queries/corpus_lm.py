@@ -1,0 +1,187 @@
+"""Corpus-statistics / language-model queries for the LLM
+training-data pipeline: bigram-LM quality scoring (perplexity-proxy
+filtering), boilerplate token pruning with ordered reassembly,
+vocabulary-coverage (OOV) profiling, and temperature-weighted data
+mixture computation.
+
+All four are pure JVM column expressions + hash aggregations with
+full DuckDB oracle twins. They model the corpus-hygiene stages that
+sit between dedup and packing in a real pretraining pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+from kittispark.operators.text import (
+    bigram_lm_scores,
+    prune_frequent_tokens,
+    tokens_col,
+    vocab_coverage,
+)
+
+
+@register(
+    "bigram_lm_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM tok,
+             LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(n2 / n1)), 6) AS avg_logprob
+    FROM bg b
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    GROUP BY b.doc_id
+    """,
+    doc="Corpus-trained bigram-LM scoring — the perplexity-proxy "
+    "quality filter of a pretraining pipeline, with the LM estimated "
+    "from the corpus itself inside the same lazy plan: MLE "
+    "p(w2|w1) = c(w1,w2)/c(w1,*) over bigram starts, doc score = "
+    "mean log-prob of its bigrams. One explode projection feeds two "
+    "hash aggs whose (vocab-bounded) outputs re-join the bigram "
+    "stream on token keys — AQE broadcasts them at scale. Oracle "
+    "recomputes the counts and the log mean in SQL.",
+    tags=("llm-pipeline", "text"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "boilerplate_token_prune",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, toks[i] AS tok, i AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+        SELECT tok FROM tok, nd GROUP BY tok, n_docs
+        HAVING count(DISTINCT doc_id) > n_docs * 0.6
+    ),
+    reb AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS pruned_text,
+               count(*) AS n_kept
+        FROM tok WHERE tok NOT IN (SELECT tok FROM boiler)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.pruned_text, '') AS pruned_text,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0)
+                AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="Boilerplate pruning (C4-style, token-granular): tokens with "
+    "document frequency > 60% of the corpus are dropped everywhere "
+    "and each doc's text is reassembled IN ORDER from the survivors "
+    "(array_sort(collect_list(struct(pos, tok))) — exact despite "
+    "collect_list's task-order nondeterminism). The boilerplate set "
+    "is vocab-bounded and broadcast into a left_anti join; docs "
+    "losing every token still come back (empty text). Oracle rebuilds "
+    "with string_agg ORDER BY pos — hash match proves the ordered "
+    "reassembly byte-for-byte.",
+    tags=("llm-pipeline", "text"),
+)
+def boilerplate_token_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prune_frequent_tokens(
+        t(spark, sf_dir, "documents"), max_df_frac=0.6
+    )
+
+
+@register(
+    "vocab_oov_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM tok GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 30
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                              THEN 0 ELSE 1 END) AS DOUBLE) / count(*),
+                 6) AS oov_rate
+    FROM tok GROUP BY doc_id
+    """,
+    doc="Vocabulary-coverage profiling: the 30 most frequent tokens "
+    "(ties broken token-ascending, so the cut is deterministic) form "
+    "the vocab; per doc, the count and fraction of token instances "
+    "outside it — the OOV-rate signal tokenizer/vocab decisions are "
+    "made from. Top-V compiles to TakeOrderedAndProject over the "
+    "token-count agg (no global sort) and the V-row vocab is "
+    "broadcast into the instance stream.",
+    tags=("llm-pipeline", "text"),
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage(t(spark, sf_dir, "documents"), vocab_size=30)
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+               sum(CAST(n_tokens AS DOUBLE)) AS total_tokens
+        FROM s
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+           round((sqrt(CAST(n_tokens AS DOUBLE)) / z)
+                 / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+               AS upsample_factor
+    FROM s, tot
+    """,
+    doc="Temperature-weighted data-mixture computation (alpha = 0.5, "
+    "the multilingual-pretraining standard): per-language token "
+    "counts, sampling weight n^alpha / sum(n^alpha), and the "
+    "upsample factor vs the natural distribution (how much a "
+    "low-resource language is boosted). One hash agg to language "
+    "granularity; the normalizer is a 1-row broadcast cross join.",
+    tags=("llm-pipeline", "text"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+        F.sum(F.col("n_tokens").cast("double")).alias("total_tokens"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    natural = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(w / natural, 6).alias("upsample_factor"),
+    )

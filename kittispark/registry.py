@@ -36,6 +36,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "kittispark.queries.kitti_files",
     "kittispark.queries.llm_pipeline",
+    "kittispark.queries.corpus_lm",
     "kittispark.queries.text",
     "kittispark.queries.dedup",
     "kittispark.queries.similarity",

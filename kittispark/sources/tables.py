@@ -38,17 +38,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects. Read nanos as long and convert to a microsecond
-    timestamp with integer division (`div`, not `/`: the nanos epoch
-    ~2^60 would lose precision through a double). Truncation to
-    micros matches what DuckDB does with the same file, so oracle
-    comparisons agree."""
+    """events.parquet has carried two physical layouts for ``ts``
+    across driver generations: TIMESTAMP(NANOS) (which Spark's
+    parquet reader rejects unless nanos are read as long) and plain
+    TIMESTAMP(MICROS). Branch on the type actually read so both
+    work. For the nanos layout, convert with integer division
+    (`div`, not `/`: the nanos epoch ~2^60 would lose precision
+    through a double); truncation to micros matches what DuckDB does
+    with the same file, so oracle comparisons agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # timestamp_ntz layout: cast to session-tz TIMESTAMP (UTC per
+        # session.py) so downstream plans and collected values are
+        # identical to the nanos path.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
