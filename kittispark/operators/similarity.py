@@ -524,3 +524,59 @@ def ann_ivf_topk_indexed(
         )
         .filter(F.col("rk") <= k)
     )
+
+
+def kmeans_lloyd_step(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column, fully
+    declarative — the clustering primitive under IVF index builds and
+    semantic-dedup bucketing.
+
+    Deterministic seeding: the k lowest-id vectors are the initial
+    centroids (no runtime randomness, so the plan is reproducible and
+    SQL-checkable). Assignment is argmin squared-L2 over the
+    broadcast k-row centroid table (tie -> lowest centroid id, via a
+    struct-ordered min_by in ONE hash agg — no per-vector window);
+    the update step re-averages each dimension of the assigned
+    vectors (posexplode -> (cid, dim) hash agg).
+
+    Output: one row per (cid, dim) with the updated centroid
+    coordinate and the cluster population. At 100 TB the centroid
+    side stays k rows (broadcast) and both aggs are partial+final
+    hash aggregations; nothing collects to the driver.
+    """
+    cents = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+        )
+    )
+    v = as_double(vec_col)
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vec_id"), "cid", d2.alias("d2")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("cid")
+    )
+    asg = best.join(
+        emb.select(F.col(id_col).alias("vec_id"), v.alias("v")), "vec_id"
+    )
+    upd = (
+        asg.select("cid", F.posexplode("v").alias("dim0", "x"))
+        .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+    )
+    cnt = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return upd.join(F.broadcast(cnt), "cid").select(
+        "cid", F.col("dim").cast("int").alias("dim"), "centroid_val", "n_assigned"
+    )

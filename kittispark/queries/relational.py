@@ -1374,3 +1374,80 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.price").alias("old_price"),
         F.col("b.price").alias("new_price"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): a pure scan-side "
+    "query — three conjunctive predicates that all push into the "
+    "parquet reader (PushedFilters on shipdate/discount/quantity) "
+    "feeding one partial+final agg with NO shuffle of any wide "
+    "data. The canonical 'filter early' showcase: at 100 TB this "
+    "reads only the min/max-pruned row groups of 4 columns.",
+    tags=("relational", "tpch"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "bloom_prune_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="Semi-join with an explicit broadcast Bloom pre-filter "
+    "(operators/bloom.py): urgent-order keys build a sorted "
+    "bit-position set (pmod(xxhash64(key, seed), m), k=3, pure "
+    "codegen expressions) that is broadcast to prune lineitem BEFORE "
+    "the shuffle; an exact left_semi confirms survivors, so the "
+    "result equals the plain semi-join the oracle computes — the "
+    "filter changes data movement, never the answer. This is the "
+    "shuffle-avoidance pattern for selective joins at 100 TB (the "
+    "explicit form of Spark's runtime row-level bloom filter).",
+    tags=("relational", "join", "scale"),
+)
+def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.bloom import bloom_pruned_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    matched = bloom_pruned_semi_join(
+        li, urgent, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -297,3 +297,55 @@ def ann_ivf_indexed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("index_matches_inmemory"),
         )
     )
+
+
+@register(
+    "kmeans_lloyd_step",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM e0
+    ),
+    e0 AS (
+        SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(
+                   generate_series(1, len(e.v)),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+               )) AS d2
+        FROM e, c
+    ),
+    best AS (
+        SELECT vec_id, cid FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    asg AS (SELECT b.cid, e.v FROM best b JOIN e USING (vec_id)),
+    upd AS (
+        SELECT cid, i AS dim, round(avg(v[i]), 6) AS centroid_val
+        FROM asg,
+             LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+        GROUP BY cid, i
+    ),
+    cnt AS (SELECT cid, count(*) AS n_assigned FROM best GROUP BY cid)
+    SELECT u.cid, CAST(u.dim AS INT) AS dim, u.centroid_val,
+           CAST(cnt.n_assigned AS BIGINT) AS n_assigned
+    FROM upd u JOIN cnt USING (cid)
+    """,
+    doc="One Lloyd iteration of k-means (k=8, seeded by the 8 "
+    "lowest-id vectors — deterministic, SQL-checkable): argmin "
+    "squared-L2 assignment against the broadcast centroid table "
+    "(tie -> lowest cid via struct-ordered min_by, one hash agg, no "
+    "per-vector window), then per-(cluster, dimension) re-averaging "
+    "via posexplode. The clustering primitive under IVF builds / "
+    "semantic dedup, value-adjudicated per coordinate. Scale shape: "
+    "k-row broadcast + two partial/final hash aggs.",
+    tags=("similarity", "clustering"),
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import kmeans_lloyd_step as step
+
+    return step(t(spark, sf_dir, "embeddings"), k=8)
