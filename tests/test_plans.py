@@ -213,3 +213,68 @@ def test_lang_balance_quota_broadcasts_quota(plans):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert shuffle_exchanges(plan) == 3
+
+
+def test_q6_pure_scan_single_shuffle(plans):
+    # TPC-H Q6: every predicate reaches the parquet reader and the
+    # only exchange is the 1-row global-agg combine.
+    plan = plans("q6_forecast_revenue")
+    for pf in (
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.08)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pf in plan, f"missing pushed filter {pf}"
+    assert shuffle_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_bloom_prune_broadcasts_filter_and_build(plans):
+    # The bit-position set rides a 1-row broadcast (nested-loop on a
+    # single-row build side); the priority filter reaches the orders
+    # scan; the exact confirm stays a broadcast equi-join — nothing
+    # sort-merges and the probe side is never shuffled whole.
+    plan = plans("bloom_prune_semi_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_broadcast_lm_tables(plans):
+    # The vocab-bounded LM tables must re-join the bigram stream as
+    # broadcast equi-joins, never sort-merge or cross.
+    plan = plans("bigram_lm_score")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_prune_broadcast_anti(plans):
+    # The df-bounded boilerplate set is the broadcast side of the
+    # anti-join; the corpus-size scalar is a 1-row broadcast.
+    plan = plans("boilerplate_token_prune")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_docs scalar
+    assert "BroadcastHashJoin" in plan        # anti + reassembly joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_oov_topv_no_global_sort(plans):
+    # Top-V vocabulary must compile to TakeOrderedAndProject (heap
+    # top-k), not a full Sort, and join back as a broadcast.
+    plan = plans("vocab_oov_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.MULTILINE)) == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_centroids_broadcast(plans):
+    # Centroid side must broadcast into the distance cross join and
+    # the k-row population join; assignment agg may sort-aggregate
+    # (struct-ordered min_by) but nothing sort-merge-joins.
+    plan = plans("kmeans_lloyd_step")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
