@@ -119,17 +119,24 @@ def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     index sequence + explode) — no shuffle, no UDF. A doc with n
     tokens yields n-1 bigrams; single-token docs yield none.
     """
-    toks = tokens_col(text_col)
+    # Materialize the token array as a bound column FIRST: a lambda
+    # that closes over the raw split(...) expression re-evaluates the
+    # split on every element access (O(n^2) re-tokenization per doc,
+    # measured 10x wall on the corpus); element_at on a materialized
+    # array column is O(1).
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
+    )
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size("__toks") - 1),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at("__toks", i).alias("w1"),
+            F.element_at("__toks", i + 1).alias("w2"),
         ),
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
-    ).select("doc_id", "bg.w1", "bg.w2")
+    return base.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
 
 
 def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -143,18 +150,20 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     score is the mean log-probability of its bigrams (higher = more
     predictable text).
 
-    Shape: one explode projection feeding two hash aggregations
-    (bigram counts, start counts) that re-join the bigram stream on
-    (w1, w2) / (w1) — all equi-joins on token keys. At 100 TB the LM
-    tables are vocab-bounded (<< corpus), so AQE broadcasts them;
-    nothing here is driver-side.
+    Shape: ONE explode + hash agg builds the bigram count table c2;
+    the start-count table c1 is the (cheap) rollup of c2, not a
+    second pass over the corpus. Both are vocab-bounded (<< corpus)
+    and explicitly broadcast back onto the bigram stream, so the
+    stream itself is never shuffled by token key — only the final
+    per-doc agg shuffles, and common-word skew never lands on a
+    single reducer. Nothing here is driver-side.
     """
     bg = bigram_rows(df, text_col)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    scored = (
-        bg.join(c2, ["w1", "w2"]).join(c1, ["w1"])
-        .select("doc_id", (F.log(F.col("n2") / F.col("n1"))).alias("lp"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    lm = F.broadcast(c2.join(c1, "w1"))
+    scored = bg.join(lm, ["w1", "w2"]).select(
+        "doc_id", (F.log(F.col("n2") / F.col("n1"))).alias("lp")
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -410,13 +410,18 @@ def top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = tokens_col("text")
+    # bind the token array to a column before the lambda touches it —
+    # a lambda closing over the raw split() expression re-tokenizes
+    # the doc on every element access (O(n^2) per doc)
+    base = docs.select(
+        "doc_id", tokens_col("text").alias("__toks")
+    )
     bigrams = F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        F.slice("__toks", 1, F.size("__toks") - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at("__toks", i + 2)),
     )
     counts = (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("bigram_count"))
     )

@@ -100,16 +100,24 @@ def generate(src: str, dst: str, k: int) -> None:
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-    # events is written with pyarrow, not DuckDB: the driver's
-    # events.parquet carries TIMESTAMP(NANOS) and the engine's events
-    # reader (sources/tables._load_events) expects that layout, but
-    # DuckDB's parquet writer downcasts timestamps to micros.
+    # events is written with pyarrow, not DuckDB, so the synthetic
+    # file keeps the SOURCE file's exact timestamp unit (driver
+    # generations have shipped both TIMESTAMP(NANOS) and
+    # TIMESTAMP(MICROS); the engine's events reader branches on the
+    # layout it reads). The +i-day shift is computed in the source
+    # column's own unit so copies land one day apart either way.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{src}/events.parquet")
     max_ev = pa.compute.max(tbl["event_id"]).as_py() + 1
-    day_ns = 86_400_000_000_000
+    ts_type = tbl.schema.field("ts").type
+    day_units = {
+        "ns": 86_400_000_000_000,
+        "us": 86_400_000_000,
+        "ms": 86_400_000,
+        "s": 86_400,
+    }[ts_type.unit]
     copies = []
     for i in range(k):
         cols = {}
@@ -118,8 +126,8 @@ def generate(src: str, dst: str, k: int) -> None:
             if name == "event_id":
                 col = pa.compute.add(col, i * max_ev)
             elif name == "ts":
-                shifted = pa.compute.add(col.cast(pa.int64()), i * day_ns)
-                col = shifted.cast(pa.timestamp("ns"))
+                shifted = pa.compute.add(col.cast(pa.int64()), i * day_units)
+                col = shifted.cast(ts_type)
             cols[name] = col
         copies.append(pa.table(cols))
     out = pa.concat_tables(copies)
