@@ -451,3 +451,138 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS conversion_rate
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase, each "
+    "step strictly after the previous): per-step user counts and "
+    "end-to-end conversion rate. Each stage is a type-filtered "
+    "min-ts agg REJOINED to the event stream (the J2 "
+    "aggregate-to-detail pattern) so ordering is enforced by "
+    "comparison, not by a per-user sort; all joins are equi-joins "
+    "on user_id and the stage tables shrink monotonically.",
+    tags=("events", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_view_click_purchase",
+            F.round(
+                F.col("n_view_click_purchase").cast("double") / F.col("n_view"), 6
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT)
+               AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort analysis: users bucketed by first-activity "
+    "day, activity counted per (cohort, day-offset) cell — the "
+    "classic retention triangle. One per-user min-date agg rejoined "
+    "to the stream (equi-join on user_id), then a distinct-count "
+    "rollup; dates emitted as strings so both engines agree on the "
+    "representation.",
+    tags=("events", "analytics"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) * 50 AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram of the event value column (bin width "
+    "50): bin lower bound, count, and in-bin mean. A single "
+    "partial+final hash agg on a computed key — the map-side-combine "
+    "shape a 100 TB histogram needs (bin cardinality, not row "
+    "cardinality, crosses the shuffle).",
+    tags=("events", "analytics"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.floor(F.col("value") / 50) * 50).cast("double").alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
