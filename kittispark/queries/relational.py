@@ -1451,3 +1451,126 @@ def bloom_prune_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q4_priority_order_counts",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 (order-priority checking), adapted to this "
+    "lineitem schema (no commit/receipt dates): orders in a "
+    "half-year window with at least one line item shipped more than "
+    "60 days after the order date, counted by priority. The EXISTS "
+    "compiles to a left_semi join (never inner+distinct) and the "
+    "date window pushes into the orders scan.",
+    tags=("relational", "tpch"),
+)
+def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        # timestamp + interval (not date_add, which would truncate the
+        # time-of-day the oracle's `+ INTERVAL 60 DAY` keeps)
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+               100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END)
+               / sum(l.l_extendedprice * (1 - l.l_discount)), 6
+           ) AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 (promotion effect): share of one month's revenue "
+    "from PROMO-type parts. The month filter pushes into the "
+    "lineitem scan BEFORE the part join, the part side broadcasts, "
+    "and the conditional ratio folds into one partial+final agg.",
+    tags=("relational", "tpch"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "zscore_outlier_stats",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs((e.value - s.mu) / s.sigma)), 6) AS max_abs_z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Per-group z-score outlier screening: group mean/stddev "
+    "(sample) computed once and rejoined to the stream "
+    "(aggregate-to-detail, broadcast group-stats side), events "
+    "flagged beyond 2 sigma, per-group outlier counts and max |z|. "
+    "The anomaly-detection primitive for data-quality monitoring at "
+    "ingest; two hash aggs + one broadcast equi-join.",
+    tags=("events", "analytics"),
+)
+def zscore_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+    )
