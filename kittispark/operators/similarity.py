@@ -580,3 +580,68 @@ def kmeans_lloyd_step(
     return upd.join(F.broadcast(cnt), "cid").select(
         "cid", F.col("dim").cast("int").alias("dim"), "centroid_val", "n_assigned"
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``iters`` Lloyd iterations, chained lazily in one plan:
+    each round re-assigns every vector to its nearest current
+    centroid (broadcast k-row table, struct-ordered min_by) and
+    re-averages; the centroid vector is rebuilt per cluster with an
+    order-restoring array_sort(collect_list(struct(dim, val))) —
+    k rows, so the rebuild agg is trivially small.
+
+    Output is the FINAL per-(cid, dim) coordinate plus the final
+    cluster population — same schema as kmeans_lloyd_step, so the
+    two are drop-in comparable. Iteration count is fixed and small
+    (the production convergence loop adds the scalar-witness pattern
+    connected_components uses); per round the work is one broadcast
+    cross join + two hash aggs, nothing driver-side.
+    """
+    v = as_double(vec_col)
+    base = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    cents = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), v.alias("cv"))
+    )
+    best = None
+    for _ in range(iters):
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", d2.alias("d2")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid")
+        )
+        asg = best.join(base, "vec_id")
+        per_dim = (
+            asg.select("cid", F.posexplode("v").alias("dim0", "x"))
+            .groupBy("cid", F.col("dim0").alias("dim0"))
+            .agg(F.avg("x").alias("val"))
+        )
+        cents = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "val"))),
+                lambda s: s.val,
+            ).alias("cv")
+        )
+    cnt = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    out = cents.select(
+        "cid", F.posexplode("cv").alias("dim0", "centroid_val")
+    )
+    return out.join(F.broadcast(cnt), "cid").select(
+        "cid",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round("centroid_val", 6).alias("centroid_val"),
+        "n_assigned",
+    )

@@ -349,3 +349,66 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kittispark.operators.similarity import kmeans_lloyd_step as step
 
     return step(t(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "kmeans_two_iterations",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    seed AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT e.vec_id, s.cid,
+               list_sum(list_transform(
+                   generate_series(1, len(e.v)),
+                   i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])
+               )) AS d2
+        FROM e, seed s
+    ),
+    b1 AS (
+        SELECT vec_id, cid FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    cent1 AS (
+        SELECT b.cid, i.i AS dim, avg(e.v[i.i]) AS val
+        FROM b1 b JOIN e USING (vec_id),
+             LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) i
+        GROUP BY b.cid, i.i
+    ),
+    d2t AS (
+        SELECT e.vec_id, c.cid,
+               sum((e.v[c.dim] - c.val) * (e.v[c.dim] - c.val)) AS d2
+        FROM e, cent1 c GROUP BY 1, 2
+    ),
+    b2 AS (
+        SELECT vec_id, cid FROM d2t
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    cent2 AS (
+        SELECT b.cid, i.i AS dim, round(avg(e.v[i.i]), 6) AS centroid_val
+        FROM b2 b JOIN e USING (vec_id),
+             LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) i
+        GROUP BY b.cid, i.i
+    ),
+    cnt AS (SELECT cid, count(*) AS n_assigned FROM b2 GROUP BY cid)
+    SELECT c.cid, CAST(c.dim AS INT) AS dim, c.centroid_val,
+           CAST(n.n_assigned AS BIGINT) AS n_assigned
+    FROM cent2 c JOIN cnt n USING (cid)
+    """,
+    doc="TWO chained Lloyd iterations in one lazy plan "
+    "(operators.similarity.kmeans_centroids): iteration 1's "
+    "unrounded centroids feed iteration 2's assignment, so this "
+    "adjudicates the iterate-reassign-reaverage COMPOSITION, not "
+    "just one step — the convergence path a production clustering "
+    "run takes. Oracle replays both rounds in SQL; assignments are "
+    "argmin with lowest-cid tie-break in both engines.",
+    tags=("similarity", "clustering"),
+)
+def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import kmeans_centroids
+
+    return kmeans_centroids(t(spark, sf_dir, "embeddings"), k=8, iters=2)

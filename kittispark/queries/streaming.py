@@ -317,3 +317,31 @@ def stream_session_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, events_landing_dir_ordered(spark, sf_dir), max_files_per_trigger=1
     )
     return _drain(S.session_tracker(stream, watermark="30 minutes"), "append")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'unknown') AS mktsegment,
+           e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join (the lookup-dimension pattern "
+    "every ingest pipeline has): the event stream left-joins a "
+    "broadcast customer snapshot per micro-batch — the stream side "
+    "never shuffles for the join, unmatched events survive as "
+    "'unknown' — then rolls up per (segment, type). Drained "
+    "available-now across 4 micro-batch files; the oracle is the "
+    "batch twin, so the streaming join path itself is "
+    "value-adjudicated.",
+    tags=("streaming",),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    res = S.enrich_counts(_stream(spark, sf_dir), dim, watermark=None)
+    return _drain(res, "complete")

@@ -1,6 +1,7 @@
 from kittispark.streaming.ops import (
     EVENTS_SCHEMA,
     dedup_stream,
+    enrich_counts,
     purchases_after_clicks,
     read_events_stream,
     run_available_now,
@@ -14,6 +15,7 @@ from kittispark.streaming.ops import (
 __all__ = [
     "EVENTS_SCHEMA",
     "dedup_stream",
+    "enrich_counts",
     "purchases_after_clicks",
     "read_events_stream",
     "run_available_now",

@@ -100,6 +100,32 @@ def tumbling_counts(
     )
 
 
+def enrich_counts(
+    events: DataFrame, dim: DataFrame, watermark: str | None = None
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a
+    broadcast dimension snapshot (the lookup-table pattern — user
+    profile, experiment assignment, geo map), then roll up per
+    (segment, event_type). The static side is planned once per
+    micro-batch and broadcast, so the stream never shuffles for the
+    join; unmatched events keep flowing with segment='unknown'
+    (left join — enrichment must not drop traffic)."""
+    src = _with_watermark(events, watermark)
+    joined = src.join(
+        F.broadcast(dim), src["user_id"] == dim["c_custkey"], "left"
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("mktsegment"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def sliding_value_avg(
     events: DataFrame,
     window: str = "10 minutes",
