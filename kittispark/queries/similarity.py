@@ -412,3 +412,107 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kittispark.operators.similarity import kmeans_centroids
 
     return kmeans_centroids(t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "semantic_dedup_clustered",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))) AS nv
+        FROM embeddings
+    ),
+    seed AS (
+        SELECT vec_id AS cid, nv AS cv FROM e ORDER BY vec_id LIMIT 8
+    ),
+    d1 AS (
+        SELECT e.vec_id, s.cid,
+               list_sum(list_transform(
+                   generate_series(1, len(e.nv)),
+                   i -> (e.nv[i] - s.cv[i]) * (e.nv[i] - s.cv[i])
+               )) AS d2
+        FROM e, seed s
+    ),
+    asg AS (
+        SELECT vec_id, cid FROM d1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+               list_dot_product(ea.nv, eb.nv) AS sim
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+    )
+    SELECT id_a, id_b, CAST(cid AS BIGINT) AS cid, round(sim, 4) AS sim
+    FROM pairs WHERE sim > 0.45
+    """,
+    doc="Semantic near-dedup, cluster-bucketed — the scale path for "
+    "embedding dedup: vectors are assigned to deterministic-seed "
+    "k-means cells (broadcast argmin, same seeding the kmeans "
+    "queries adjudicate) and candidate pairs form ONLY within a "
+    "cell, so the all-pairs O(n^2) becomes sum of per-cell "
+    "quadratics (with cid-partitioned layout at 100 TB the pair "
+    "join is shuffle-free). Assignment and scoring run on UNIT "
+    "vectors (spherical cells — L2 over raw vectors would split "
+    "high-cosine pairs differing in magnitude); pairs above cosine "
+    "0.45 are reported "
+    "with their cell; the oracle replays assignment AND scoring in "
+    "SQL, so bucketing and the similarity cut are value-checked. "
+    "Recall caveat vs exhaustive cosine_near_dup is inherent to "
+    "bucketing (cross-cell pairs unseen) — that exhaustive twin is "
+    "adjudicated separately.",
+    tags=("similarity", "dedup", "clustering"),
+)
+def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import as_double, dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    # spherical form: assignment AND scoring run on unit vectors, so
+    # the bucketing geometry matches the cosine it serves (L2 cells
+    # over raw vectors would split high-cosine pairs that differ in
+    # magnitude) and the pair score is a plain dot product
+    # materialize vector and norm as bound columns before the lambda
+    # (a lambda closing over the raw expressions would re-reduce the
+    # array per element — the O(n^2)-closure pitfall)
+    base = (
+        emb.select("vec_id", v.alias("__v"))
+        .select("vec_id", "__v", norm(F.col("__v")).alias("__n"))
+        .select(
+            "vec_id",
+            F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),
+        )
+    )
+    cents = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("nv").alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+    sided = asg.join(base, "vec_id")
+    a = sided.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("nv").alias("va")
+    )
+    b = sided.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("nv").alias("vb")
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cid", dot(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") > 0.45)
+        .select("id_a", "id_b", "cid", F.round("sim", 4).alias("sim"))
+    )
