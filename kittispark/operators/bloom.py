@@ -35,6 +35,12 @@ def bloom_filter_build(
     ``m``-bit filter as ``m/64`` bigint words (dense — absent words
     materialize as 0), built with one hash agg over the bit
     positions."""
+    if m <= 0 or m % 64 != 0:
+        raise ValueError(
+            f"bloom size m must be a positive multiple of 64, got {m}: "
+            "m // 64 would drop the final partial word and its bits "
+            "(false negatives / out-of-range probes)"
+        )
     n_words = m // 64
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col), m, k))).alias("p")

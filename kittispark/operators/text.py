@@ -123,15 +123,18 @@ def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # that closes over the raw split(...) expression re-evaluates the
     # split on every element access (O(n^2) re-tokenization per doc,
     # measured 10x wall on the corpus); element_at on a materialized
-    # array column is O(1).
+    # array column is O(1). Pairing is slice-based, not
+    # sequence-based: sequence(1, n-1) with n=1 yields the DESCENDING
+    # array [1, 0] (not empty), which would make element_at throw on
+    # single-token docs; slice with length 0 is empty and safe.
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("__toks")
     )
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size("__toks") - 1),
-        lambda i: F.struct(
-            F.element_at("__toks", i).alias("w1"),
-            F.element_at("__toks", i + 1).alias("w2"),
+        F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"),
+            F.element_at("__toks", i + 2).alias("w2"),
         ),
     )
     return base.select("doc_id", F.explode(pairs).alias("bg")).select(

@@ -518,8 +518,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_view_click",
             "n_view_click_purchase",
-            F.round(
-                F.col("n_view_click_purchase").cast("double") / F.col("n_view"), 6
+            # no view-stage users: NULL rate, matching the oracle's
+            # NULL-on-zero-division (ANSI mode would throw)
+            F.when(
+                F.col("n_view") > 0,
+                F.round(
+                    F.col("n_view_click_purchase").cast("double")
+                    / F.col("n_view"),
+                    6,
+                ),
             ).alias("conversion_rate"),
         )
     )

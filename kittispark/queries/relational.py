@@ -1427,10 +1427,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     """,
     doc="Semi-join with an explicit broadcast Bloom pre-filter "
-    "(operators/bloom.py): urgent-order keys build a sorted "
-    "bit-position set (pmod(xxhash64(key, seed), m), k=3, pure "
-    "codegen expressions) that is broadcast to prune lineitem BEFORE "
-    "the shuffle; an exact left_semi confirms survivors, so the "
+    "(operators/bloom.py): urgent-order keys build a packed bitmap "
+    "(array<bigint> words; bit positions pmod(xxhash64(key, seed), "
+    "m), k=3) that is broadcast to prune lineitem BEFORE the "
+    "shuffle with O(1) element_at + shift/mask probes, all codegen "
+    "expressions; an exact left_semi confirms survivors, so the "
     "result equals the plain semi-join the oracle computes — the "
     "filter changes data movement, never the answer. This is the "
     "shuffle-avoidance pattern for selective joins at 100 TB (the "
@@ -1564,7 +1565,11 @@ def zscore_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    # sigma == 0 (constant-valued group): NULL z, matching the
+    # oracle's NULL-on-zero-division — ANSI mode would throw instead
+    z = F.when(
+        F.col("sigma") != 0, F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")

@@ -423,6 +423,7 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                                   embedding::DOUBLE[]))) AS nv
         FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     seed AS (
         SELECT vec_id AS cid, nv AS cv FROM e ORDER BY vec_id LIMIT 8
@@ -477,10 +478,13 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # magnitude) and the pair score is a plain dot product
     # materialize vector and norm as bound columns before the lambda
     # (a lambda closing over the raw expressions would re-reduce the
-    # array per element — the O(n^2)-closure pitfall)
+    # array per element — the O(n^2)-closure pitfall); zero-norm
+    # vectors are excluded on BOTH sides — cosine is undefined for
+    # them, and ANSI mode would turn the division into a crash
     base = (
         emb.select("vec_id", v.alias("__v"))
         .select("vec_id", "__v", norm(F.col("__v")).alias("__n"))
+        .filter(F.col("__n") > 0)
         .select(
             "vec_id",
             F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),

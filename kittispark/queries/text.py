@@ -409,19 +409,12 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from kittispark.operators.text import bigram_rows
+
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    # bind the token array to a column before the lambda touches it —
-    # a lambda closing over the raw split() expression re-tokenizes
-    # the doc on every element access (O(n^2) per doc)
-    base = docs.select(
-        "doc_id", tokens_col("text").alias("__toks")
-    )
-    bigrams = F.transform(
-        F.slice("__toks", 1, F.size("__toks") - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at("__toks", i + 2)),
-    )
     counts = (
-        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        bigram_rows(docs)
+        .select("doc_id", F.concat_ws(" ", "w1", "w2").alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("bigram_count"))
     )

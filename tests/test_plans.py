@@ -271,10 +271,37 @@ def test_vocab_oov_topv_no_global_sort(plans):
     assert "BroadcastHashJoin" in plan
 
 
-def test_kmeans_centroids_broadcast(plans):
+def test_kmeans_lloyd_step_centroids_broadcast(plans):
     # Centroid side must broadcast into the distance cross join and
     # the k-row population join; assignment agg may sort-aggregate
     # (struct-ordered min_by) but nothing sort-merge-joins.
     plan = plans("kmeans_lloyd_step")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_two_iterations_centroids_broadcast(plans):
+    # The chained two-round plan must keep BOTH rounds' centroid
+    # sides broadcast (one nested-loop cross join per round) and
+    # never fall back to a sort-merge join anywhere in the chain.
+    plan = plans("kmeans_two_iterations")
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE)) >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_only_within_cells(plans):
+    # The pair join must be the cid equi-join (per-cell quadratic),
+    # never an all-pairs cross product of the corpus. (The equi-join
+    # itself may legitimately sort-merge in the static plan — both
+    # sides are corpus-sized; with the cid-partitioned layout at
+    # scale it becomes co-partitioned, and AQE can broadcast the
+    # small side at runtime.)
+    plan = plans("semantic_dedup_clustered")
+    assert "CartesianProduct" not in plan
+    # the only nested loops are the broadcast centroid-assignment
+    # cross joins (the 8-row side — the pair-a/pair-b branches each
+    # replay the assignment subtree, so the node may appear twice);
+    # the pair join itself must be an equi-join on cid
+    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
+    assert 1 <= n_bnlj <= 2, n_bnlj
