@@ -2,19 +2,19 @@
 columns with typed metadata (north-star per BASELINE.json).
 
 The Spark-side machinery — schema, Arrow batch shape, partitioning,
-UDF signatures — is real and tested. Two REAL stdlib codecs are
+UDF signatures — is real and tested. Three REAL stdlib codecs are
 implemented (no codec libraries exist in this container, so the
 formats chosen are the ones parseable with `struct` alone):
 
 - WAV / RIFF PCM16 (`encode_wav_pcm16` / `decode_wav`): canonical
   44-byte header writer + a chunk-walking parser (handles extra
-  chunks, validates fmt), samples out as int16 numpy.
+  chunks, validates fmt and chunk bounds), samples out as int16
+  numpy.
 - PPM P6 (`encode_ppm` / `decode_ppm`): ASCII header (with comment
   handling) + raw RGB plane.
-
-Only video decode remains a marked stub (`decode_stub`) — there is no
-stdlib video codec; the dispatch point (`decode_media`) is where a
-real one plugs in.
+- MPPM video (`encode_mppm` / `decode_mppm`): length-prefixed
+  concatenated PPM frames — no decode stubs remain; `decode_media`
+  dispatches all three and raises on unknown types.
 
 Design for 100 TB of media:
 - payloads live in a `binary` column next to typed metadata, so

@@ -371,6 +371,48 @@ def ivf_train_centroids(
     return cents
 
 
+def _assigned_corpus(vectors, cents, vec_col, id_col, bc=None):
+    """Corpus rows assigned to their nearest centroid: (neighbor_id,
+    cv double[], cid). Shared by the in-memory IVF path and the index
+    writer so the persisted layout is bit-identical to the in-memory
+    assignment (a gated invariant of ann_ivf_indexed_match)."""
+    return _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1, bc=bc).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        F.element_at("__c", 1).alias("cid"),
+    )
+
+
+def _score_bucketed_topk(corpus: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Bucket-join cosine top-k: corpus (neighbor_id, cv, cid, cn) x
+    broadcast queries (query_id, qv, cid, qn) -> per-query ranked
+    top-k with the (desc sim, asc neighbor_id) tiebreak and round-4
+    sim. ONE implementation shared by ann_ivf_topk and
+    ann_ivf_topk_indexed — their row-identical output is a gated
+    invariant, so the tiebreak/rounding must never fork."""
+    from pyspark.sql import Window as W
+
+    scored = (
+        corpus.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
 def ann_ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -389,19 +431,15 @@ def ann_ivf_topk(
     nprobe/C of the data — the partition-pruned layout IVF exists
     for. Training cost is n_iter narrow passes; no pair explosion
     anywhere."""
-    from pyspark.sql import Window as W
-
     cents = ivf_train_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
     # One broadcast of the normalized centroid matrix, shared by the
     # corpus and query assignment passes (two pandas_udf kernels, one
     # payload shipped).
     norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     bc = vectors.sparkSession.sparkContext.broadcast(norm_c)
-    c = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1, bc=bc).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-        F.element_at("__c", 1).alias("cid"),
-    ).withColumn("cn", norm(F.col("cv")))
+    c = _assigned_corpus(vectors, cents, vec_col, id_col, bc=bc).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     q = (
         _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe, bc=bc)
         .select(
@@ -411,25 +449,7 @@ def ann_ivf_topk(
         )
         .withColumn("qn", norm(F.col("qv")))
     )
-    scored = (
-        c.join(F.broadcast(q), "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round("sim", 4).alias("sim"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= k)
-    )
+    return _score_bucketed_topk(c, q, k)
 
 
 # --------------------------------------------------------------------------
@@ -454,11 +474,7 @@ def ivf_write_index(
     re-assignment, no full scan, no special index format."""
     spark = vectors.sparkSession
     cents = ivf_train_centroids(vectors, n_centroids, n_iter, id_col, vec_col)
-    assigned = _assign_nearest(vectors, cents, vec_col, "__c", nprobe=1).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-        F.element_at("__c", 1).alias("cid"),
-    )
+    assigned = _assigned_corpus(vectors, cents, vec_col, id_col)
     assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/corpus")
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
@@ -484,8 +500,6 @@ def ann_ivf_topk_indexed(
     partition prune into a static scan filter. Results are identical
     to ann_ivf_topk run in-memory with the same parameters (same
     training determinism, same tiebreaks) — pinned by tests."""
-    from pyspark.sql import Window as W
-
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
     norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
@@ -505,25 +519,7 @@ def ann_ivf_topk_indexed(
         .filter(F.col("cid").isin(probed))
         .withColumn("cn", norm(F.col("cv")))
     )
-    scored = (
-        corpus.join(F.broadcast(q), "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round("sim", 4).alias("sim"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= k)
-    )
+    return _score_bucketed_topk(corpus, q, k)
 
 
 def kmeans_lloyd_step(

@@ -153,21 +153,45 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clone_offset(docs: DataFrame) -> DataFrame:
+    """1-row (__off) = max(doc_id) + 1 — the clone-id offset. Derived
+    from the corpus, NOT a constant: a fixed +1000 collides with real
+    ids on any corpus of > 1000 docs (true at sf0.1's 5000), which
+    would merge clone and original under one id and corrupt the
+    sketch invariants being gated."""
+    return docs.agg((F.max("doc_id") + 1).alias("__off"))
+
+
 def _cloned_docs(docs: DataFrame, n_clones: int = 50) -> DataFrame:
     """The corpus plus exact clones of the first `n_clones` docs under
-    ids +1000 — a deterministic, SQL-reproducible set of known
-    duplicate pairs (doc_id, doc_id+1000) for sketch recall gates
+    ids offset by max(doc_id)+1 — a deterministic, SQL-reproducible
+    set of known duplicate pairs (d, d+off) for sketch recall gates
     (the driver tables themselves carry no exact dups)."""
-    clones = docs.filter(F.col("doc_id") < n_clones).select(
-        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    clones = (
+        docs.filter(F.col("doc_id") < n_clones)
+        .crossJoin(F.broadcast(_clone_offset(docs)))
+        .select((F.col("doc_id") + F.col("__off")).alias("doc_id"), "text")
     )
     return docs.select("doc_id", "text").unionByName(clones)
+
+
+def _clone_pairs(docs: DataFrame, n_clones: int = 50) -> DataFrame:
+    """(doc_a, doc_b) for every known clone pair, original id first."""
+    return (
+        docs.filter(F.col("doc_id") < n_clones)
+        .crossJoin(F.broadcast(_clone_offset(docs)))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + F.col("__off")).alias("doc_b"),
+        )
+    )
 
 
 _CLONED_SQL = """
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        FROM documents WHERE doc_id < 50
 """
 
 
@@ -287,25 +311,24 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_candidates",
     oracle="""
     SELECT doc_id AS doc_a,
-           doc_id + 1000 AS doc_b,
+           doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_b,
            TRUE AS in_candidates
     FROM documents WHERE doc_id < 50
     """,
     doc="SimHash(64-bit) with 16-bit band blocking, driver-"
     "adjudicated on a clone-augmented corpus: identical texts hash to "
     "identical SimHashes, so every known clone pair (doc_id, "
-    "doc_id+1000) MUST appear in the banded candidate set — the "
+    "doc_id+max_id+1) MUST appear in the banded candidate set — the "
     "oracle enumerates those pairs in closed form and asserts "
     "in_candidates TRUE; a broken kernel, banding, or join drops a "
     "pair and fails the hash.",
     tags=("dedup", "udf"),
 )
 def simhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _cloned_docs(t(spark, sf_dir, "documents"))
+    docs = t(spark, sf_dir, "documents")
+    aug = _cloned_docs(docs)
     cands = simhash_near_dup_candidates(aug).withColumn("__hit", F.lit(True))
-    known = aug.filter(F.col("doc_id") >= 1000).select(
-        (F.col("doc_id") - 1000).alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
+    known = _clone_pairs(docs)
     return known.join(cands, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",

@@ -137,7 +137,12 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
                                 written by the S5 sink itself
 
     Content depends only on the doc ids present, so reruns (and the
-    driver's separate oracle pass) agree byte for byte."""
+    driver's separate oracle pass) agree on every VALUE. (Label and
+    calib text files are byte-identical across runs; the .bin files
+    are written by the applyInPandas sink, whose within-frame row
+    order follows shuffle delivery — so .bin bytes may be permuted
+    between runs. The registered queries compare row sets, which is
+    the contract; don't hash the .bin files themselves.)"""
     cached = _FIXTURE_ROOT.get(sf_dir)
     if cached is not None and os.path.isdir(cached):
         return cached
