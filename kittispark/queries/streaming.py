@@ -101,12 +101,16 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket_start,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) * 10000
+                // count(*) AS DOUBLE) / 1000000.0 AS avg_value
     FROM expanded GROUP BY 1
     """,
     doc="Sliding windows (10 min window / 5 min slide) on the streaming "
     "path: each event belongs to exactly two windows, which the oracle "
-    "reproduces by a 2-way bucket expansion.",
+    "reproduces by a 2-way bucket expansion. The average is exact "
+    "integer micros (cents * 10000 div n) converted to double at the "
+    "end — float round(avg, 6) sat on a true midpoint at sf0.1 where "
+    "the engines' rounding disagrees by one ulp.",
     tags=("streaming",),
 )
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

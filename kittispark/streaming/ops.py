@@ -134,12 +134,26 @@ def sliding_value_avg(
 ) -> DataFrame:
     """Sliding event-time window average: each row lands in
     window/slide overlapping windows; state size scales with that
-    ratio (2× here)."""
+    ratio (2× here).
+
+    The average is computed in EXACT integer arithmetic (2-decimal
+    values -> integer cents -> integer micros div count) and only
+    converted to double at the end: `round(avg(double), 6)` sat on a
+    true rounding midpoint at sf0.1 (avg of 32 cent-values is a
+    multiple of 0.0003125) where Spark and DuckDB round() disagree by
+    one ulp — the integer form is bit-identical in both engines."""
     src = _with_watermark(events, watermark)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
-        .select(F.col("w.start").cast("long").alias("bucket_start"), "n", "avg_value")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("__sum_cents"))
+        .select(
+            F.col("w.start").cast("long").alias("bucket_start"),
+            "n",
+            (
+                F.expr("(__sum_cents * 10000) div n").cast("double") / 1000000.0
+            ).alias("avg_value"),
+        )
     )
 
 
