@@ -228,34 +228,36 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b,
-           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
-               AS jaccard,
-           TRUE AS in_candidates
+    SELECT CAST(count(*) AS BIGINT) AS n_high_pairs,
+           TRUE AS recall_ok
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
     """,
     doc="Driver-adjudicated recall gate for MinHash-LSH "
-    "(approx_count_distinct pattern): every pair with exact 3-gram "
-    "Jaccard >= 0.9 must appear in the LSH candidate set "
-    "(P[candidate] = 1-(1-j^2)^8 > 0.9999999 at j=0.9; the seeded "
-    "permutations make the outcome deterministic — verified at both "
-    "SFs). The oracle recomputes the exact high-Jaccard pairs and "
-    "asserts in_candidates TRUE; one missed pair flips the flag and "
-    "fails the hash.",
+    "(approx_count_distinct pattern): of the pairs with exact 3-gram "
+    "Jaccard >= 0.9, at least 99.9% must appear in the LSH candidate "
+    "set (integer test n_recalled*1000 >= n*999 — no float). "
+    "Per-pair P[candidate] = 1-(1-j^2)^8 > 0.999997 at j=0.9, so the "
+    "0.999 floor holds with overwhelming margin at any corpus size — "
+    "unlike a per-pair must-hit, which a single statistical miss "
+    "breaks once high-Jaccard pairs number in the 10^5s (seen at "
+    "sf1synth: 1 miss in 346k pairs). The oracle recomputes the "
+    "exact high-pair count; a dropped pair population or recall "
+    "below floor fails the hash.",
     tags=("dedup",),
 )
 def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     hi = ngram_jaccard_pairs(docs, threshold=0.9)
     cands = minhash_lsh_candidates(docs).withColumn("__hit", F.lit(True))
-    return hi.join(cands, ["doc_a", "doc_b"], "left").select(
-        "doc_a",
-        "doc_b",
-        "jaccard",
-        F.coalesce(F.col("__hit"), F.lit(False)).alias("in_candidates"),
+    flagged = hi.join(cands, ["doc_a", "doc_b"], "left").select(
+        F.coalesce(F.col("__hit"), F.lit(False)).cast("int").alias("hit")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_high_pairs"),
+        (F.sum("hit") * 1000 >= F.count(F.lit(1)) * 999).alias("recall_ok"),
     )
 
 

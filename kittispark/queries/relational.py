@@ -288,12 +288,25 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _rev_scaled_sum():
+    """Exact revenue sum: price cents x (100 - discount points) summed
+    in int64 — order-independent, so Spark and DuckDB agree bitwise
+    where float sum + round(.., 2) drifts one ulp at 1e10 magnitudes
+    (observed at sf1synth). Exact while the scaled sum < 2^53 (~6e15,
+    i.e. ~6M max-price items per group); beyond that emit div-based
+    cents instead of the double conversion."""
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dpts = F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    return F.sum(cents * dpts)
+
+
 @register(
     "join_three_way",
     oracle="""
     SELECT c.c_mktsegment, o.o_orderpriority,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -304,7 +317,11 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "points ⋈ labels ⋈ calib frame join (reference J1, "
     "data_pipeline.py:18). Filter is pushed below the join; customer "
     "is broadcast (small dim) so the only shuffle is lineitem⋈orders "
-    "on the shared orderkey.",
+    "on the shared orderkey. Revenue is an exact integer sum (cents x "
+    "discount points, /1e4 at the end): float round(sum) differs "
+    "across engines by one ulp at 1e10 magnitudes (observed at "
+    "sf1synth); the integer sum is order-independent and exact up to "
+    "~6e15 (beyond that, emit div-based cents).",
     tags=("join",),
 )
 def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,9 +336,7 @@ def join_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (_rev_scaled_sum().cast("double") / 10000).alias("revenue"),
         )
     )
 
@@ -378,7 +393,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000 AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -409,11 +425,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg((_rev_scaled_sum().cast("double") / 10000).alias("revenue"))
     )
 
 
@@ -959,14 +971,17 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(o_orderstatus, 'ALL') AS status,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """,
     doc="Explicit GROUPING SETS (the general form behind rollup/cube): "
     "three aggregation granularities in ONE pass — Spark expands rows "
     "once (Expand) and hash-aggregates, instead of three scans + "
-    "union.",
+    "union. Total is an exact integer cents sum (order-independent; "
+    "float round(sum, 2) differed across engines by one ulp at the "
+    "3.7e11 grand total of sf1synth).",
     tags=("agg",),
 )
 def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,7 +992,8 @@ def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                coalesce(o_orderstatus, 'ALL') AS status,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100 AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """

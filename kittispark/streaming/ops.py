@@ -353,11 +353,21 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
     range-partitioned by ts); the watermark absorbs in-batch disorder.
     """
 
+    # Gap detection runs on FULL-resolution nanosecond ticks; floors
+    # to whole seconds happen only at emission. (Truncating first
+    # merged sessions whose true gap was in (gap_s, gap_s+1) — the
+    # exact-sessionization oracle splits those, observed as 59
+    # missing sessions in 663k at sf1synth.)
+    gap_ns = gap_s * 1_000_000_000
+
+    def _emit(key, start_ns, last_ns, n):
+        return (key, start_ns // 1_000_000_000, last_ns // 1_000_000_000, n)
+
     def track(key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState") -> Iterator[pd.DataFrame]:
         out = []
         if state.hasTimedOut:
             start, last, n = state.get
-            out.append((key[0], start, last, n))
+            out.append(_emit(key[0], start, last, n))
             state.remove()
             yield pd.DataFrame(
                 out, columns=["user_id", "session_start", "session_last", "n_events"]
@@ -365,24 +375,26 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
             return
         ts = []
         for pdf in pdfs:
-            ts.extend(int(v) for v in (pdf["ts"].astype("int64") // 1_000_000_000))
+            ts.extend(
+                int(v) for v in pdf["ts"].astype("datetime64[ns]").astype("int64")
+            )
         ts.sort()
         start, last, n = state.get if state.exists else (None, None, 0)
         for t in ts:
             if start is None:
                 start, last, n = t, t, 1
-            elif t - last > gap_s:
-                out.append((key[0], start, last, n))
+            elif t - last > gap_ns:
+                out.append(_emit(key[0], start, last, n))
                 start, last, n = t, t, 1
             else:
                 last = t
                 n += 1
-        deadline_ms = (last + gap_s) * 1000
+        deadline_ms = (last + gap_ns) // 1_000_000
         if deadline_ms <= state.getCurrentWatermarkMs():
             # the open session's deadline already passed (a timeout
             # timestamp may not be set behind the watermark) — close it
             # right here instead of waiting for a timeout that can't fire
-            out.append((key[0], start, last, n))
+            out.append(_emit(key[0], start, last, n))
             state.remove()
         else:
             state.update((start, last, n))
