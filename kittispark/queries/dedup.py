@@ -162,24 +162,30 @@ def _clone_offset(docs: DataFrame) -> DataFrame:
     return docs.agg((F.max("doc_id") + 1).alias("__off"))
 
 
-def _cloned_docs(docs: DataFrame, n_clones: int = 50) -> DataFrame:
+def _cloned_docs(
+    docs: DataFrame, n_clones: int = 50, off: DataFrame | None = None
+) -> DataFrame:
     """The corpus plus exact clones of the first `n_clones` docs under
     ids offset by max(doc_id)+1 — a deterministic, SQL-reproducible
     set of known duplicate pairs (d, d+off) for sketch recall gates
-    (the driver tables themselves carry no exact dups)."""
+    (the driver tables themselves carry no exact dups). Pass a shared
+    ``off`` (from _clone_offset) when also building _clone_pairs so
+    the scalar is aggregated once per plan."""
     clones = (
         docs.filter(F.col("doc_id") < n_clones)
-        .crossJoin(F.broadcast(_clone_offset(docs)))
+        .crossJoin(F.broadcast(off if off is not None else _clone_offset(docs)))
         .select((F.col("doc_id") + F.col("__off")).alias("doc_id"), "text")
     )
     return docs.select("doc_id", "text").unionByName(clones)
 
 
-def _clone_pairs(docs: DataFrame, n_clones: int = 50) -> DataFrame:
+def _clone_pairs(
+    docs: DataFrame, n_clones: int = 50, off: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) for every known clone pair, original id first."""
     return (
         docs.filter(F.col("doc_id") < n_clones)
-        .crossJoin(F.broadcast(_clone_offset(docs)))
+        .crossJoin(F.broadcast(off if off is not None else _clone_offset(docs)))
         .select(
             F.col("doc_id").alias("doc_a"),
             (F.col("doc_id") + F.col("__off")).alias("doc_b"),
@@ -257,7 +263,12 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.agg(
         F.count(F.lit(1)).alias("n_high_pairs"),
-        (F.sum("hit") * 1000 >= F.count(F.lit(1)) * 999).alias("recall_ok"),
+        # coalesce: sum over zero rows is NULL, but an empty high-pair
+        # set is vacuously recalled (oracle emits constant TRUE)
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)) * 1000
+            >= F.count(F.lit(1)) * 999
+        ).alias("recall_ok"),
     )
 
 
@@ -328,9 +339,10 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    aug = _cloned_docs(docs)
+    off = _clone_offset(docs)
+    aug = _cloned_docs(docs, off=off)
     cands = simhash_near_dup_candidates(aug).withColumn("__hit", F.lit(True))
-    known = _clone_pairs(docs)
+    known = _clone_pairs(docs, off=off)
     return known.join(cands, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",

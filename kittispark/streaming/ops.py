@@ -150,6 +150,9 @@ def sliding_value_avg(
         .select(
             F.col("w.start").cast("long").alias("bucket_start"),
             "n",
+            # Spark `div` and DuckDB `//` BOTH truncate toward zero
+            # (probed: -10000 div 3 == -10000 // 3 == -3333), so the
+            # integer division agrees for negative sums too
             (
                 F.expr("(__sum_cents * 10000) div n").cast("double") / 1000000.0
             ).alias("avg_value"),
@@ -389,17 +392,24 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
             else:
                 last = t
                 n += 1
-        deadline_ms = (last + gap_ns) // 1_000_000
-        if deadline_ms <= state.getCurrentWatermarkMs():
-            # the open session's deadline already passed (a timeout
-            # timestamp may not be set behind the watermark) — close it
-            # right here instead of waiting for a timeout that can't fire
+        # CEILING to ms: flooring would let the deadline land up to
+        # 999 us early, closing a session an in-watermark extending
+        # event could still legitimately join (split vs the oracle)
+        deadline_ms = -((-(last + gap_ns)) // 1_000_000)
+        wm = state.getCurrentWatermarkMs()
+        if deadline_ms < wm:
+            # strictly passed: any future accepted event has
+            # ts_ms >= wm > deadline, i.e. ts > last+gap — it cannot
+            # extend this session, so close it here (a timeout
+            # timestamp may not be set at/behind the watermark)
             out.append(_emit(key[0], start, last, n))
             state.remove()
         else:
             state.update((start, last, n))
-            # watermark passing last+gap closes the open session
-            state.setTimeoutTimestamp(deadline_ms)
+            # watermark passing last+gap closes the open session;
+            # when deadline == wm a same-ms extender may still arrive,
+            # so keep the session open one extra wm tick
+            state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
         yield pd.DataFrame(
             out, columns=["user_id", "session_start", "session_last", "n_events"]
         )
