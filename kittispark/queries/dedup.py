@@ -369,3 +369,42 @@ def dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@register(
+    "dedup_savings_report",
+    oracle="""
+    WITH grouped AS (
+        SELECT lang, text, count(*) AS n_copies,
+               len(text) AS sz
+        FROM documents GROUP BY lang, text
+    )
+    SELECT lang,
+           CAST(sum(n_copies) AS BIGINT) AS docs_before,
+           CAST(count(*) AS BIGINT) AS docs_after,
+           CAST(sum(n_copies * sz) AS BIGINT) AS bytes_before,
+           CAST(sum(sz) AS BIGINT) AS bytes_after,
+           CAST(sum((n_copies - 1) * sz) AS BIGINT) AS bytes_saved
+    FROM grouped GROUP BY lang
+    """,
+    doc="Exact-dedup savings report per language — the accounting "
+    "every dedup run ships with: docs and bytes before/after keeping "
+    "one copy per identical text, and the bytes saved. Two chained "
+    "hash aggs ((lang, text) then lang); at 100 TB the first agg "
+    "groups on sha2(text) with a first(length) instead of the raw "
+    "text key, same shape.",
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grouped = docs.groupBy("lang", "text").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.length("text").alias("sz"),
+    )
+    return grouped.groupBy("lang").agg(
+        F.sum("n_copies").alias("docs_before"),
+        F.count(F.lit(1)).alias("docs_after"),
+        F.sum(F.col("n_copies") * F.col("sz")).alias("bytes_before"),
+        F.sum("sz").alias("bytes_after"),
+        F.sum((F.col("n_copies") - 1) * F.col("sz")).alias("bytes_saved"),
+    )

@@ -520,3 +520,73 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") > 0.45)
         .select("id_a", "id_b", "cid", F.round("sim", 4).alias("sim"))
     )
+
+
+@register(
+    "embedding_decontamination",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    train AS (SELECT vec_id, v FROM e WHERE vec_id < 400),
+    eval_ AS (SELECT vec_id, v FROM e WHERE vec_id >= 400),
+    scored AS (
+        SELECT ev.vec_id AS eval_id,
+               max(list_dot_product(ev.v, tr.v)
+                   / (sqrt(list_dot_product(ev.v, ev.v))
+                      * sqrt(list_dot_product(tr.v, tr.v)))) AS max_sim,
+               sum(CASE WHEN list_dot_product(ev.v, tr.v)
+                             / (sqrt(list_dot_product(ev.v, ev.v))
+                                * sqrt(list_dot_product(tr.v, tr.v))) >= 0.4
+                        THEN 1 ELSE 0 END) AS n_close_raw
+        FROM eval_ ev, train tr
+        GROUP BY ev.vec_id
+    )
+    SELECT eval_id,
+           round(max_sim, 4) AS max_train_sim,
+           CAST(n_close_raw AS BIGINT) AS n_train_close,
+           max_sim >= 0.4 AS contaminated
+    FROM scored
+    """,
+    doc="Embedding-level eval-set decontamination — the semantic "
+    "complement of the 5-gram contamination sweep: each eval vector "
+    "(id >= 400) reports its max cosine against the train split and "
+    "how many train vectors sit above the 0.4 threshold. Broadcast "
+    "eval side against the train corpus (asymmetric split of one "
+    "table — the standard train/eval membership check before a "
+    "benchmark run); exhaustive by contract at gate scale, with "
+    "semantic_dedup_clustered/LSH as the documented sub-quadratic "
+    "path.",
+    tags=("similarity", "llm-pipeline"),
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import as_double, dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", as_double("embedding").alias("__v"))
+        .select("vec_id", "__v", norm(F.col("__v")).alias("__n"))
+    )
+    train = base.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("__v").alias("tv"),
+        F.col("__n").alias("tn"),
+    )
+    ev = base.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("__v").alias("ev"),
+        F.col("__n").alias("en"),
+    )
+    sim = dot(F.col("ev"), F.col("tv")) / (F.col("en") * F.col("tn"))
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .select("eval_id", sim.alias("sim"))
+        .groupBy("eval_id")
+        .agg(
+            F.round(F.max("sim"), 4).alias("max_train_sim"),
+            F.sum(F.when(F.col("sim") >= 0.4, 1).otherwise(0)).alias(
+                "n_train_close"
+            ),
+            (F.max("sim") >= 0.4).alias("contaminated"),
+        )
+    )
