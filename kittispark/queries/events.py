@@ -593,3 +593,65 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "temporal_interval_lookup",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, value, ts AS v_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS v_to,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS INT) AS version
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+           h.version,
+           h.value AS dim_value
+    FROM events p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts >= h.v_from
+     AND (h.v_to IS NULL OR p.ts < h.v_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Temporal point-in-interval lookup — the join every SCD2 "
+    "history exists to serve: each purchase event resolves the "
+    "version of its user's view-dimension that was valid AT ITS "
+    "TIMESTAMP ([v_from, v_to) containment; purchases before the "
+    "first version keep NULLs via the left join). Composes the SCD2 "
+    "build (one per-key window) with an equi-plus-range join on "
+    "(user_id, ts) — at 100 TB both sides partition by the dimension "
+    "key and intervals are non-overlapping by construction, so each "
+    "probe matches at most one row.",
+    tags=("events", "cdc", "join"),
+)
+def temporal_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("v_from"),
+            F.lead("ts").over(w).alias("v_to"),
+            F.row_number().over(w).alias("version"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    cond = (
+        (purchases.user_id == hist.h_user)
+        & (purchases.ts >= hist.v_from)
+        & (hist.v_to.isNull() | (purchases.ts < hist.v_to))
+    )
+    return purchases.join(hist, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "version",
+        "dim_value",
+    )
