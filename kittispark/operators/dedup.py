@@ -192,11 +192,16 @@ def ngram_jaccard_pairs(
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
+    # threshold on the RAW jaccard (the SQL oracles filter unrounded);
+    # rounding is presentation only — filtering the rounded value
+    # would admit pairs in [threshold - 5e-7, threshold) the oracle
+    # excludes
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", jac.alias("__jac"))
+        .filter(F.col("__jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))
     )
 
 
@@ -303,7 +308,10 @@ def connected_components(
     )
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: the sum-stability witness consumes one round (a
+    # graph converging exactly at round max_iter still needs the
+    # confirming pass to observe cur_sum == prev_sum)
+    for _ in range(max_iter + 1):
         msgs = bi.join(labels, bi["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
         )

@@ -513,6 +513,10 @@ def ann_ivf_topk_indexed(
         )
         .withColumn("qn", norm(F.col("qv")))
     )
+    # materialize the assigned query batch once: the probed-cid
+    # collect below AND the returned scoring plan both consume q, and
+    # without this the pandas_udf assignment kernel would run twice
+    q = q.localCheckpoint(eager=True)
     probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
     corpus = (
         spark.read.parquet(f"{path}/corpus")
@@ -544,38 +548,13 @@ def kmeans_lloyd_step(
     coordinate and the cluster population. At 100 TB the centroid
     side stays k rows (broadcast) and both aggs are partial+final
     hash aggregations; nothing collects to the driver.
+
+    Delegates to kmeans_centroids(iters=1) so there is exactly ONE
+    implementation of the assignment tiebreak and re-averaging
+    (outputs are identical: final rounding of the unrounded per-dim
+    average equals rounding the single iteration's average).
     """
-    cents = (
-        emb.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
-        )
-    )
-    v = as_double(vec_col)
-    d2 = F.aggregate(
-        F.zip_with(v, F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("vec_id"), "cid", d2.alias("d2")
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.min_by("cid", F.struct("d2", "cid")).alias("cid")
-    )
-    asg = best.join(
-        emb.select(F.col(id_col).alias("vec_id"), v.alias("v")), "vec_id"
-    )
-    upd = (
-        asg.select("cid", F.posexplode("v").alias("dim0", "x"))
-        .groupBy("cid", (F.col("dim0") + 1).alias("dim"))
-        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
-    )
-    cnt = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
-    return upd.join(F.broadcast(cnt), "cid").select(
-        "cid", F.col("dim").cast("int").alias("dim"), "centroid_val", "n_assigned"
-    )
+    return kmeans_centroids(emb, k=k, iters=1, vec_col=vec_col, id_col=id_col)
 
 
 def kmeans_centroids(
@@ -606,6 +585,8 @@ def kmeans_centroids(
         .limit(k)
         .select(F.col(id_col).alias("cid"), v.alias("cv"))
     )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     best = None
     for _ in range(iters):
         d2 = F.aggregate(

@@ -329,7 +329,8 @@ def stream_session_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(c.c_mktsegment, 'unknown') AS mktsegment,
            e.event_type,
            count(*) AS n,
-           round(sum(e.value), 2) AS sum_value
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS sum_value
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,

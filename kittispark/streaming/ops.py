@@ -114,6 +114,9 @@ def enrich_counts(
     joined = src.join(
         F.broadcast(dim), src["user_id"] == dim["c_custkey"], "left"
     )
+    # exact integer cents sum (the money-aggregate convention: float
+    # round(sum, 2) drifts one ulp across engines at large magnitudes)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         joined.groupBy(
             F.coalesce("c_mktsegment", F.lit("unknown")).alias("mktsegment"),
@@ -121,7 +124,7 @@ def enrich_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
         )
     )
 
