@@ -82,6 +82,8 @@ _DRIVER_GREEN: dict[str, int] = {
     # REMOVED in r3 (rewritten after their verdict, so re-adjudicate
     # as fresh): stream_sliding_avg (integer-micros average),
     # stream_session_tracker (nanosecond gap detection).
+    # (De-banked names are listed in _REVERIFY below so they sort
+    # after never-adjudicated queries in the driver window.)
     **{n: 2 for n in (
         "token_count", "text_quality", "lang_id_heuristic",
         "doc_fingerprint", "tfidf_top_terms", "regexp_functions",
@@ -132,19 +134,37 @@ def _load_all() -> None:
         importlib.import_module(mod)
 
 
+# Queries whose banked verdict was voided by a rewrite (output or
+# oracle changed after adjudication). They need a new driver verdict,
+# but every NEVER-adjudicated query outranks them for window slots:
+# these already carry exhaustive local multi-SF verification of the
+# new form, the truly-fresh ones have no driver signal at all.
+_REVERIFY: frozenset[str] = frozenset({
+    "join_three_way", "q5_region_revenue", "grouping_sets_explicit",
+    "stream_sliding_avg", "stream_session_tracker",
+})
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    """All specs, never-green first (stable within each group by
-    registration order), then banked greens least-recently-verified
-    first — so every green is re-adjudicated within ~2 rounds even
-    though the driver window is smaller than the registry."""
+    """All specs: never-adjudicated first, then de-banked rewrites
+    (_REVERIFY), then banked greens least-recently-verified first —
+    so every green is re-adjudicated within ~2 rounds even though
+    the driver window is smaller than the registry (stable within
+    each group by registration order)."""
     _load_all()
-    fresh = {n: s for n, s in _REGISTRY.items() if n not in _DRIVER_GREEN}
     order = {n: i for i, n in enumerate(_REGISTRY)}
+    fresh = [
+        n for n in _REGISTRY
+        if n not in _DRIVER_GREEN and n not in _REVERIFY
+    ]
+    reverify = sorted(
+        (n for n in _REGISTRY if n in _REVERIFY), key=order.__getitem__
+    )
     banked_names = sorted(
-        (n for n in _REGISTRY if n in _DRIVER_GREEN),
+        (n for n in _REGISTRY if n in _DRIVER_GREEN and n not in _REVERIFY),
         key=lambda n: (_DRIVER_GREEN[n], order[n]),
     )
-    return {**fresh, **{n: _REGISTRY[n] for n in banked_names}}
+    return {n: _REGISTRY[n] for n in (*fresh, *reverify, *banked_names)}
 
 
 _SHIPPED: set[str] = set()
