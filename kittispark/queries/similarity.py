@@ -188,12 +188,13 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, vmin, vmax,
            CAST(len(embedding) AS INT) AS n_dims,
-           CASE WHEN vmax = vmin
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding, x ->
-                     CAST(floor(((CAST(x AS DOUBLE) - vmin) * 127.0)
-                                / (vmax - vmin)) AS INT))
-           END AS q_codes
+           array_to_string(
+               CASE WHEN vmax = vmin
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding, x ->
+                         CAST(floor(((CAST(x AS DOUBLE) - vmin) * 127.0)
+                                    / (vmax - vmin)) AS INT))
+               END, ',') AS q_codes
     FROM mm
     """,
     doc="Int8 scalar quantization of the embedding column (the "
@@ -202,7 +203,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "element-wise with the identical double-precision expression "
     "((x - vmin) * 127.0) / (vmax - vmin) on both engines, so floor "
     "is bit-exact and the oracle needs no tolerance. Pure map-side "
-    "transform over the array column — no shuffle, no Python.",
+    "transform over the array column — no shuffle, no Python. Codes "
+    "are emitted ','-joined in dimension order (the driver's pandas "
+    "canonicalizer cannot sort raw array columns).",
     tags=("similarity", "llm-pipeline"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,12 +222,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmin",
         "vmax",
         F.size("embedding").alias("n_dims"),
-        F.when(
-            F.col("vmax") == F.col("vmin"),
-            F.transform("embedding", lambda x: F.lit(0)),
-        )
-        .otherwise(F.transform("embedding", code))
-        .alias("q_codes"),
+        F.array_join(
+            F.when(
+                F.col("vmax") == F.col("vmin"),
+                F.transform("embedding", lambda x: F.lit("0")),
+            ).otherwise(F.transform("embedding", lambda x: code(x).cast("string"))),
+            ",",
+        ).alias("q_codes"),
     )
 
 

@@ -495,13 +495,13 @@ def lang_balance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_tokens,
-           list_filter([
+           COALESCE(array_to_string(list_filter([
                CASE WHEN n_tokens < 50 THEN 'too_short' END,
                CASE WHEN n_tokens > 120 THEN 'too_long' END,
                CASE WHEN n_distinct * 10 < n_tokens * 3
                     THEN 'low_diversity' END,
                CASE WHEN n_nonspace > n_tokens * 8 THEN 'long_words' END
-           ], x -> x IS NOT NULL) AS reasons,
+           ], x -> x IS NOT NULL), '|'), '') AS reasons,
            (n_tokens >= 50 AND n_tokens <= 120
             AND n_distinct * 10 >= n_tokens * 3
             AND n_nonspace <= n_tokens * 8) AS keep
@@ -513,7 +513,10 @@ def lang_balance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     "= no rule fired. Thresholds are compared as cross-multiplied "
     "integers (TTR < 0.3 as n_distinct*10 < n_tokens*3) so the "
     "verdict is exact on every engine — no float tolerance in a "
-    "drop/keep decision that gates corpus membership. Map-side only.",
+    "drop/keep decision that gates corpus membership. Map-side only. "
+    "Reasons are emitted '|'-joined in fixed rule order (the driver's "
+    "pandas canonicalizer cannot sort raw array columns — the "
+    "sorted_array_agg convention, queries/relational.py).",
     tags=("text", "llm-pipeline"),
 )
 def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +542,7 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id",
         "n_tokens",
-        reasons.alias("reasons"),
+        F.array_join(reasons, "|").alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
 
