@@ -4,12 +4,14 @@ MinHash+LSH, SimHash, n-gram Jaccard (north-star per BASELINE.json).
 Scale design (the point of each choice):
 - Exact dedup is a hash groupBy on the full text (or sha2 digest at
   100 TB so the shuffle carries 32 bytes, not documents).
-- MinHash-LSH: shingle -> k minhash signature -> band hashes ->
-  groupBy band hash. Only same-bucket docs ever meet, so the
+- MinHash-LSH: shingle -> k minhash signature -> band keys ->
+  groupBy band key. Only same-bucket docs ever meet, so the
   candidate join is output-bounded instead of O(n^2). All hashing is
-  xxhash64 + affine permutations in pure column expressions (JVM
-  codegen, no UDF); arithmetic is kept under 2^62 so ANSI mode never
-  overflows.
+  engine-independent (md5-derived 60-bit base hash + affine
+  permutations) in pure column expressions (JVM codegen, no UDF);
+  arithmetic is kept under 2^62 so ANSI mode never overflows, and a
+  SQL oracle can recompute the EXACT candidate-pair set (DuckDB's
+  md5 agrees byte-for-byte, unlike engine xxhash64).
 - SimHash: 64-bit sign-aggregated token hashes, entirely JVM-side
   (explode -> xxhash64 -> 64 bit-vote sums in one partial agg);
   banding on 16-bit chunks gives the candidate join.
@@ -29,10 +31,30 @@ from kittispark.operators.text import tokens_col
 # a * h + b stays < 2^62 (ANSI-safe int64).
 MINHASH_P = 2_147_483_647
 # Deterministic affine permutation parameters (seeded constants, not
-# runtime-random: reruns and resumed jobs must agree).
-_MINHASH_PARAMS = [
+# runtime-random: reruns and resumed jobs must agree). Public so the
+# SQL oracle can replay the identical permutation family.
+MINHASH_PARAMS = [
     (1_103_515_245 + 12_345 * i, 1_013_904_223 + 789_221 * i) for i in range(16)
 ]
+_MINHASH_PARAMS = MINHASH_PARAMS  # back-compat alias
+
+
+def portable_hash64(col: str | Column) -> Column:
+    """Engine-independent 60-bit string hash: the first 15 hex chars
+    of md5, parsed base-16. Chosen over xxhash64 (engine-specific
+    seed/implementation) so a DuckDB oracle reproduces every derived
+    sketch value bit-for-bit:
+
+        Spark : conv(substring(md5(s), 1, 15), 16, 10)::long
+        DuckDB: CAST(('0x' || substring(md5(s), 1, 15)) AS UBIGINT)
+
+    15 hex chars = 60 bits < 2^62, so the value is positive in int64
+    and affine permutations mod MINHASH_P stay ANSI-overflow-safe.
+    md5 costs more than xxhash64 per call but remains a whole-stage-
+    codegen JVM expression; the LSH pipeline hashes each shingle
+    exactly once, so the delta is a few ns per shingle — the price of
+    a value-adjudicable candidate set."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def shingles_col(text_col: str = "text", n: int = 3) -> Column:
@@ -113,7 +135,7 @@ def minhash_signature(
     if num_hashes > len(_MINHASH_PARAMS):
         raise ValueError(f"num_hashes <= {len(_MINHASH_PARAMS)}")
     base = shingle_rows(df, text_col, id_col).select(
-        "doc_id", F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P)).alias("h")
+        "doc_id", F.pmod(portable_hash64("sh"), F.lit(MINHASH_P)).alias("h")
     )
     sig = base.groupBy("doc_id").agg(
         *[
@@ -137,10 +159,18 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banding.
 
-    Explode signature into ``bands`` band-hashes, self-join within
-    (band_id, band_hash) buckets, dedupe pairs. The join key is the
-    band hash — a skew-safe 8-byte key; AQE splits any hot bucket.
-    """
+    Explode signature into ``bands`` band keys, self-join within
+    (band_id, band_key) buckets, dedupe pairs. The join key is a
+    skew-safe 8-byte long; AQE splits any hot bucket.
+
+    Band key construction: with 2 signature rows per band (the
+    default 16/8 layout), the two values — each < MINHASH_P < 2^31 —
+    pack COLLISION-FREE into one int64 as s0 * P + s1 (< 2^62, ANSI-
+    safe). That beats hashing the band tuple twice over: no false
+    candidates from band-hash collisions, and the key is a closed-
+    form expression a SQL oracle replays exactly. Wider bands fall
+    back to xxhash64 over the tuple (engine-specific, rows-only
+    adjudication)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -149,12 +179,23 @@ def minhash_lsh_candidates(
         )
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes)
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.element_at("signature", b * rows + r + 1) for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
+    if rows == 2:
+        band_arr = F.array(
+            *[
+                F.element_at("signature", b * 2 + 1) * F.lit(MINHASH_P)
+                + F.element_at("signature", b * 2 + 2)
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(
+                    *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+                )
+                for b in range(bands)
+            ]
+        )
     banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band_id", "band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")

@@ -557,6 +557,118 @@ def kmeans_lloyd_step(
     return kmeans_centroids(emb, k=k, iters=1, vec_col=vec_col, id_col=id_col)
 
 
+def _lloyd_d2() -> Column:
+    """Squared L2 between the bound columns `v` and `cv`: a left-to-
+    right fold in dimension order, so a SQL oracle's ordered list_sum
+    accumulates in the identical order (bit-exact; a hash-agg sum
+    would not be)."""
+    return F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_min_d2(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cid) argmin-d2 assignment of `base` (vec_id, v)
+    against the broadcast centroid table (cid, cv): struct-ordered
+    min_by in ONE hash agg (tie -> lowest cid), no per-vector
+    window."""
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", _lloyd_d2().alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+
+
+def _lloyd_rounds(
+    base: DataFrame, cents: DataFrame, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` Lloyd rounds chained lazily in one plan: re-assign
+    (argmin d2, tie -> lowest cid) then re-average each dimension;
+    centroid arrays are rebuilt per cluster with an order-restoring
+    array_sort(collect_list(struct(dim, val))) — k rows, trivially
+    small agg. Returns (final centroids (cid, cv), final assignment
+    (vec_id, cid)). Shared by kmeans_centroids and the declarative
+    IVF so the assignment tiebreak and re-averaging never fork."""
+    best = None
+    for _ in range(iters):
+        best = _assign_min_d2(base, cents)
+        asg = best.join(base, "vec_id")
+        per_dim = (
+            asg.select("cid", F.posexplode("v").alias("dim0", "x"))
+            .groupBy("cid", F.col("dim0").alias("dim0"))
+            .agg(F.avg("x").alias("val"))
+        )
+        cents = per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "val"))),
+                lambda s: s.val,
+            ).alias("cv")
+        )
+    return cents, best
+
+
+def ivf_topk_declarative(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    train_iters: int = 1,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a fully declarative, SQL-replayable
+    pipeline — the value-adjudicable twin of ann_ivf_topk.
+
+    Training: ``train_iters`` Lloyd rounds seeded by the lowest-id
+    vectors (the kmeans_centroids machinery — deterministic, no
+    driver-side NumPy whose pairwise-summed means no SQL engine can
+    reproduce bit-for-bit). Cells are squared-L2 Voronoi regions of
+    the trained centroids; each query probes its ``nprobe`` nearest
+    cells; in-cell scoring is cosine with the (desc sim, asc id)
+    tiebreak shared with every other top-k here.
+
+    Scale shape identical to ann_ivf_topk: k-row broadcast centroid
+    table for both assignment passes (linear, partial-agg argmin —
+    no pair explosion), bucket equi-join on cid for scoring; with a
+    cid-partitioned layout the serve scan prunes to nprobe/C of the
+    corpus. Every float expression (d2 fold, dot, norm) folds in
+    dimension order so the DuckDB oracle reproduces values exactly."""
+    from pyspark.sql import Window as W
+
+    v = as_double(vec_col)
+    base = vectors.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    seed = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), v.alias("cv"))
+    )
+    cents, _ = _lloyd_rounds(base, seed, train_iters)
+    corpus = (
+        _assign_min_d2(base, cents)
+        .join(base, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid")
+        .withColumn("cn", norm(F.col("cv")))
+    )
+    qbase = queries.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    w = W.partitionBy("vec_id").orderBy("d2", "cid")
+    probed = (
+        qbase.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", _lloyd_d2().alias("d2"))
+        .select("vec_id", "cid", F.row_number().over(w).alias("__pr"))
+        .filter(F.col("__pr") <= nprobe)
+    )
+    q = (
+        probed.join(qbase, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    return _score_bucketed_topk(corpus, q, k)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -587,31 +699,7 @@ def kmeans_centroids(
     )
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    best = None
-    for _ in range(iters):
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        scored = base.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", d2.alias("d2")
-        )
-        best = scored.groupBy("vec_id").agg(
-            F.min_by("cid", F.struct("d2", "cid")).alias("cid")
-        )
-        asg = best.join(base, "vec_id")
-        per_dim = (
-            asg.select("cid", F.posexplode("v").alias("dim0", "x"))
-            .groupBy("cid", F.col("dim0").alias("dim0"))
-            .agg(F.avg("x").alias("val"))
-        )
-        cents = per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim0", "val"))),
-                lambda s: s.val,
-            ).alias("cv")
-        )
+    cents, best = _lloyd_rounds(base, cents, iters)
     cnt = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
     out = cents.select(
         "cid", F.posexplode("cv").alias("dim0", "centroid_val")

@@ -1,11 +1,11 @@
 """Dedup queries over the documents table. Exact + n-gram Jaccard
-carry direct SQL oracles. The engine-hash sketches are oracle-bound
-via deterministic, SQL-reproducible PROPERTIES (the
-approx_count_distinct pattern): signature invariants + identical-text
-consistency on a clone-augmented corpus, and recall of known
-duplicate / high-Jaccard pairs. Only the benched pure
-minhash_lsh_candidates stays rows-only (its recall gate is the
-minhash_lsh_recall companion).
+carry direct SQL oracles. The MinHash pipeline is built on an
+engine-independent md5-derived base hash (operators.dedup
+.portable_hash64), so the FULL candidate-pair set is value-
+adjudicated: the minhash_lsh_candidates oracle replays shingling,
+the 16 affine permutations, band-key packing, and the bucket join in
+closed-form SQL. Property gates (signature invariants on a clone-
+augmented corpus, high-Jaccard recall) remain as defense in depth.
 """
 
 from __future__ import annotations
@@ -201,15 +201,64 @@ _CLONED_SQL = """
 """
 
 
+def _minhash_lsh_oracle() -> str:
+    """Closed-form DuckDB replay of the whole MinHash-LSH pipeline:
+    3-token shingles, the md5-derived portable base hash, all 16
+    affine permutation minima, packed int64 band keys, and the
+    (band_id, key) bucket self-join. Generated from MINHASH_PARAMS so
+    the two engines can never drift on the permutation family."""
+    from kittispark.operators.dedup import MINHASH_P, MINHASH_PARAMS
+
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, "
+        f"m{2 * bi} * {MINHASH_P} + m{2 * bi + 1} AS key FROM sig"
+        for bi in range(8)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+               )) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5(sh), 1, 15)) AS UBIGINT)
+                    % {MINHASH_P} AS BIGINT) AS h
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM h GROUP BY doc_id
+    ),
+    banded AS (
+        {bands}
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l
+    JOIN banded r ON l.band_id = r.band_id AND l.key = r.key
+                 AND l.doc_id < r.doc_id
+    """
+
+
 @register(
     "minhash_lsh_candidates",
-    oracle=None,  # engine hashing (xxhash64) — rows-only; recall is
-    # driver-verified by the minhash_lsh_recall companion query
+    oracle=_minhash_lsh_oracle(),
     doc="MinHash(16)+LSH(8 bands) near-dup candidate pairs — "
-    "output-bounded band-bucket join, no O(n^2) compare. Rows-only "
-    "check (engine hash); recall driver-verified by "
-    "minhash_lsh_recall (kept separate so this benched headline "
-    "query stays the pure operator) and Jaccard-verified in tests.",
+    "output-bounded band-bucket join, no O(n^2) compare. FULLY value-"
+    "adjudicated: the base hash is the engine-independent md5-derived "
+    "portable_hash64 and band keys pack collision-free into int64, so "
+    "the oracle replays shingling, permutations, banding, and the "
+    "bucket join and must reproduce the exact pair set. "
+    "minhash_lsh_recall additionally gates recall against exact "
+    "Jaccard.",
     tags=("dedup",),
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
