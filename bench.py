@@ -42,6 +42,14 @@ HEADLINE = [
     "ann_ivf_topk",
     "salted_skew_join",
     "tfidf_top_terms",
+    # round-3 families added per VERDICT r3 #4 — the newest (and
+    # historically buggiest-at-scale) code belongs in the headline
+    # set the driver times every round:
+    "bigram_lm_score",
+    "kmeans_two_iterations",
+    "semantic_dedup_clustered",
+    "bloom_prune_semi_join",
+    "merge_upsert_snapshot",
 ]
 
 

@@ -155,16 +155,19 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Shape: ONE explode + hash agg builds the bigram count table c2;
     the start-count table c1 is the (cheap) rollup of c2, not a
-    second pass over the corpus. Both are vocab-bounded (<< corpus)
-    and explicitly broadcast back onto the bigram stream, so the
-    stream itself is never shuffled by token key — only the final
-    per-doc agg shuffles, and common-word skew never lands on a
-    single reducer. Nothing here is driver-side.
+    second pass over the corpus. c1 is vocab-bounded and explicitly
+    broadcast into c2. The combined LM table is only unique-bigram-
+    bounded — that grows with corpus (up to vocab^2), so it carries
+    NO forced broadcast hint: AQE broadcasts it while it fits the
+    executor budget and degrades to a (w1, w2)-keyed shuffle join
+    beyond that (pair keys are far flatter than single-token keys,
+    so the degraded join doesn't re-create the common-word hot
+    reducer). Nothing here is driver-side.
     """
     bg = bigram_rows(df, text_col)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    lm = F.broadcast(c2.join(c1, "w1"))
+    lm = c2.join(F.broadcast(c1), "w1")
     scored = bg.join(lm, ["w1", "w2"]).select(
         "doc_id", (F.log(F.col("n2") / F.col("n1"))).alias("lp")
     )

@@ -476,7 +476,7 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase,
            round(CAST((SELECT count(*) FROM p) AS DOUBLE)
-                 / (SELECT count(*) FROM v), 6) AS conversion_rate
+                 / NULLIF((SELECT count(*) FROM v), 0), 6) AS conversion_rate
     """,
     doc="Ordered funnel analysis (view -> click -> purchase, each "
     "step strictly after the previous): per-step user counts and "

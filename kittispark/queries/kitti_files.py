@@ -48,7 +48,17 @@ from kittispark.sinks import write_kitti_bins
 from kittispark.sources.kitti import read_calib, read_labels, read_points
 
 _N_DOCS = 160  # fixture bound: docs 0..159 -> 8 frames of 20 docs
+_N_FRAMES = 8
 _LABELS = ("Car", "Pedestrian", "Cyclist", "DontCare")
+
+# The registered queries bind the fixed (160 docs, 8 frames) fixture;
+# every closed form, SQL builder, and fixture writer below is
+# parameterized on (n_docs, n_frames) so scripts/oracle_sweep.py can
+# run the SAME parsers and geometry chain against 10x/100x fixtures
+# (more frames, more label lines per file, bigger point clouds) and
+# catch scale-revealed divergences the 160-doc gate cannot (VERDICT
+# r3 #7). KITTI_SCALE_CHECKS at the bottom exposes the (df_builder,
+# sql_builder) pairs.
 
 
 # --------------------------------------------------------------------------
@@ -87,18 +97,19 @@ def _r0(f: int, i: int, j: int) -> float:
     return ((f * 3 + i * 7 + j * 5) % 15 - 7) * 0.5
 
 
-def _synth_points(docs: DataFrame) -> DataFrame:
+def _synth_points(docs: DataFrame, n_frames: int = _N_FRAMES) -> DataFrame:
     """Deterministic per-doc point rows, pure column expressions:
-    doc d -> frame d%8, m = 2 + d%3 points; point i coords are
-    quarter-steps in [-8, 8); intensity carries the unique point key
-    d*8+i (the calibration chain passes intensity through untouched,
-    so the key survives to the output for oracle alignment)."""
+    doc d -> frame d % n_frames, m = 2 + d%3 points; point i coords
+    are quarter-steps in [-8, 8); intensity carries the unique point
+    key d*8+i (the calibration chain passes intensity through
+    untouched, so the key survives to the output for oracle
+    alignment)."""
     d, i = F.col("doc_id"), F.col("i")
     exploded = docs.select(
         "doc_id", F.explode(F.sequence(F.lit(0), (d % 3) + 1)).alias("i")
     )
     return exploded.select(
-        F.format_string("%06d", (d % 8).cast("int")).alias("frame_id"),
+        F.format_string("%06d", (d % n_frames).cast("int")).alias("frame_id"),
         (((d * 7 + i * 13) % 64 - 32) * 0.25).alias("x"),
         (((d * 11 + i * 5) % 64 - 32) * 0.25).alias("y"),
         (((d * 3 + i * 17) % 32) * 0.25).alias("z"),
@@ -106,17 +117,18 @@ def _synth_points(docs: DataFrame) -> DataFrame:
     )
 
 
-_PTS_CTE = f"""
+def _pts_cte(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
+    return f"""
     pts AS (
-        SELECT doc_id % 8 AS f,
-               lpad(CAST(doc_id % 8 AS VARCHAR), 6, '0') AS frame_id,
+        SELECT doc_id % {n_frames} AS f,
+               lpad(CAST(doc_id % {n_frames} AS VARCHAR), 6, '0') AS frame_id,
                doc_id * 8 + i AS pt_key,
                CAST((doc_id * 7 + i * 13) % 64 - 32 AS DOUBLE) * 0.25 AS x,
                CAST((doc_id * 11 + i * 5) % 64 - 32 AS DOUBLE) * 0.25 AS y,
                CAST((doc_id * 3 + i * 17) % 32 AS DOUBLE) * 0.25 AS z
         FROM documents,
              LATERAL (SELECT unnest(generate_series(0, doc_id % 3 + 1)) AS i) g
-        WHERE doc_id < {_N_DOCS}
+        WHERE doc_id < {n_docs}
     )
 """
 
@@ -125,10 +137,15 @@ _PTS_CTE = f"""
 # Fixture builder (once per process+sf_dir)
 # --------------------------------------------------------------------------
 
-_FIXTURE_ROOT: dict[str, str] = {}
+_FIXTURE_ROOT: dict[tuple[str, int, int], str] = {}
 
 
-def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
+def kitti_fixture_root(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> str:
     """Synthesize the KITTI directory tree for sf_dir:
 
       root/label_2/NNNNNN.txt   one 15-field line per doc (S3 format)
@@ -143,16 +160,16 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
     order follows shuffle delivery — so .bin bytes may be permuted
     between runs. The registered queries compare row sets, which is
     the contract; don't hash the .bin files themselves.)"""
-    cached = _FIXTURE_ROOT.get(sf_dir)
+    cached = _FIXTURE_ROOT.get((sf_dir, n_docs, n_frames))
     if cached is not None and os.path.isdir(cached):
         return cached
 
     docs = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _N_DOCS)
+        .filter(F.col("doc_id") < n_docs)
         .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
-    ids = sorted(r[0] for r in docs.collect())  # bounded: <= _N_DOCS ints
+    ids = sorted(r[0] for r in docs.collect())  # bounded: <= n_docs ints
 
     root = tempfile.mkdtemp(prefix="kittispark-kitti-")
     label_dir = os.path.join(root, "label_2")
@@ -160,10 +177,10 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
     os.makedirs(label_dir)
     os.makedirs(calib_dir)
 
-    frames = sorted({d % 8 for d in ids})
+    frames = sorted({d % n_frames for d in ids})
     by_frame: dict[int, list[int]] = {f: [] for f in frames}
     for d in ids:
-        by_frame[d % 8].append(d)
+        by_frame[d % n_frames].append(d)
 
     for f in frames:
         with open(os.path.join(label_dir, f"{f:06d}.txt"), "w") as fh:
@@ -198,9 +215,11 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
 
     # S5 sink writes the .bin files (the sink under test IS the
     # fixture writer — the roundtrip query then re-reads via S1+S2).
-    write_kitti_bins(_synth_points(docs), os.path.join(root, "velodyne")).collect()
+    write_kitti_bins(
+        _synth_points(docs, n_frames), os.path.join(root, "velodyne")
+    ).collect()
 
-    _FIXTURE_ROOT[sf_dir] = root
+    _FIXTURE_ROOT[(sf_dir, n_docs, n_frames)] = root
     return root
 
 
@@ -209,10 +228,9 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "kitti_label_file_scan",
-    oracle=f"""
-    SELECT lpad(CAST(doc_id % 8 AS VARCHAR), 6, '0') AS frame_id,
+def _label_scan_sql(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
+    return f"""
+    SELECT lpad(CAST(doc_id % {n_frames} AS VARCHAR), 6, '0') AS frame_id,
            CASE doc_id % 4 WHEN 0 THEN 'Car' WHEN 1 THEN 'Pedestrian'
                 WHEN 2 THEN 'Cyclist' ELSE 'DontCare' END AS label,
            CAST(doc_id % 4 AS DOUBLE) * 0.25 AS truncated,
@@ -229,8 +247,13 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
            CAST((doc_id * 5) % 12 - 6 AS DOUBLE) * 0.25 AS loc_y,
            CAST(doc_id % 50 AS DOUBLE) * 0.5 + 2.0 AS loc_z,
            CAST((doc_id % 13) - 6 AS DOUBLE) * 0.25 AS rotation_y
-    FROM documents WHERE doc_id < {_N_DOCS}
-    """,
+    FROM documents WHERE doc_id < {n_docs}
+    """
+
+
+@register(
+    "kitti_label_file_scan",
+    oracle=_label_scan_sql(),
     doc="S1+S3 driver-adjudicated: synthesized 15-field KITTI label "
     "files are scanned by the real directory source (suffix filter + "
     "frame key from file name, sources/kitti.py:88; reference "
@@ -240,8 +263,13 @@ def kitti_fixture_root(spark: SparkSession, sf_dir: str) -> str:
     "values dyadic, so parse and arithmetic are exact).",
     tags=("kitti-files",),
 )
-def kitti_label_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = kitti_fixture_root(spark, sf_dir)
+def kitti_label_file_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     labels = read_labels(spark, os.path.join(root, "label_2"))
     return labels.select(
         "frame_id",
@@ -263,12 +291,16 @@ def kitti_label_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _points_sql(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
+    return f"""
+    WITH {_pts_cte(n_docs, n_frames)}
+    SELECT frame_id, pt_key, x, y, z FROM pts
+    """
+
+
 @register(
     "kitti_points_bin_roundtrip",
-    oracle=f"""
-    WITH {_PTS_CTE}
-    SELECT frame_id, pt_key, x, y, z FROM pts
-    """,
+    oracle=_points_sql(),
     doc="S5+S1+S2 driver-adjudicated roundtrip: deterministic points "
     "are written as per-frame float32 .bin files by the engine's own "
     "partitioned binary sink (sinks.write_kitti_bins, applyInPandas; "
@@ -279,8 +311,13 @@ def kitti_label_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "byte-exact (dyadic quarter-step coords survive float32 exactly).",
     tags=("kitti-files", "udf"),
 )
-def kitti_points_bin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = kitti_fixture_root(spark, sf_dir)
+def kitti_points_bin_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     pts = read_points(spark, os.path.join(root, "velodyne"))
     return pts.select(
         "frame_id",
@@ -315,10 +352,10 @@ def _rect_exprs() -> tuple[str, str, str]:
     return rect[0], rect[2], f"-{rect[1]}"
 
 
-def _calib_chain_sql() -> str:
+def _calib_chain_sql(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
     x, y, z = _rect_exprs()
     return f"""
-    WITH {_PTS_CTE}
+    WITH {_pts_cte(n_docs, n_frames)}
     SELECT frame_id, pt_key,
            {x} AS x,
            {y} AS y,
@@ -342,15 +379,20 @@ def _calib_chain_sql() -> str:
     "(dyadic cells/coords keep every product and sum exact in double).",
     tags=("kitti-files",),
 )
-def kitti_calib_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    root = kitti_fixture_root(spark, sf_dir)
+def kitti_calib_chain(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     docs = (
         t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < _N_DOCS)
+        .filter(F.col("doc_id") < n_docs)
         .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
     calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
-    out = axis_align(apply_calibration(_synth_points(docs), calib_wide))
+    out = axis_align(apply_calibration(_synth_points(docs, n_frames), calib_wide))
     return out.select(
         "frame_id",
         F.col("intensity").cast("long").alias("pt_key"),
@@ -360,14 +402,18 @@ def kitti_calib_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kitti_frame_lookup",
-    oracle=f"""
-    WITH {_PTS_CTE}
+def _frame_lookup_sql(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
+    return f"""
+    WITH {_pts_cte(n_docs, n_frames)}
     SELECT x, y, z, CAST(pt_key AS DOUBLE) AS intensity
     FROM pts WHERE frame_id = '000003'
     ORDER BY x, y, z, intensity LIMIT 40
-    """,
+    """
+
+
+@register(
+    "kitti_frame_lookup",
+    oracle=_frame_lookup_sql(),
     doc="S7 driver-adjudicated: the single-frame visualization data "
     "path (viz.frame_points_df) — partition-pruned frame lookup over "
     "the .bin-roundtrip points with a deterministic driver-transfer "
@@ -376,18 +422,23 @@ def kitti_calib_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intensity key makes the capped row set deterministic.",
     tags=("kitti-files",),
 )
-def kitti_frame_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kitti_frame_lookup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
     from kittispark.viz import frame_points_df
 
-    root = kitti_fixture_root(spark, sf_dir)
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     pts = read_points(spark, os.path.join(root, "velodyne"))
     return frame_points_df(pts, "000003", max_points=40)
 
 
-def _cutout_sql() -> str:
+def _cutout_sql(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
     x, y, z = _rect_exprs()
     return f"""
-    WITH {_PTS_CTE},
+    WITH {_pts_cte(n_docs, n_frames)},
     tr AS (
         SELECT frame_id, {x} AS x, {y} AS y, {z} AS z FROM pts
     ),
@@ -420,10 +471,15 @@ def _cutout_sql() -> str:
     "analogs (cutout_count_stats).",
     tags=("kitti-files",),
 )
-def kitti_cutout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kitti_cutout_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
     from kittispark.operators.kitti import cutout_pipeline, frame_count_stats
 
-    root = kitti_fixture_root(spark, sf_dir)
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     points = read_points(spark, os.path.join(root, "velodyne"))
     calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
     cut = cutout_pipeline(
@@ -434,10 +490,10 @@ def kitti_cutout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _envelope_sql() -> str:
+def _envelope_sql(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
     x, y, z = _rect_exprs()
     return f"""
-    WITH {_PTS_CTE},
+    WITH {_pts_cte(n_docs, n_frames)},
     tr AS (
         SELECT frame_id, {x} AS x, {y} AS y, {z} AS z FROM pts
     ),
@@ -451,13 +507,13 @@ def _envelope_sql() -> str:
         FROM tr t JOIN zs s ON t.frame_id = s.frame_id
     ),
     lbl AS (
-        SELECT lpad(CAST(doc_id % 8 AS VARCHAR), 6, '0') AS frame_id,
+        SELECT lpad(CAST(doc_id % {n_frames} AS VARCHAR), 6, '0') AS frame_id,
                2.0 + CAST(doc_id % 12 AS DOUBLE) * 0.25 AS dim_l,
                CAST((doc_id * 3) % 40 - 20 AS DOUBLE) * 0.5 AS loc_x,
                CAST((doc_id * 5) % 12 - 6 AS DOUBLE) * 0.25 AS loc_y,
                CAST(doc_id % 50 AS DOUBLE) * 0.5 + 2.0 AS loc_z
         FROM documents
-        WHERE doc_id < {_N_DOCS} AND doc_id % 4 <> 3
+        WHERE doc_id < {n_docs} AND doc_id % 4 <> 3
     ),
     lenv AS (
         SELECT max(l.dim_l) AS max_dim_l,
@@ -488,10 +544,15 @@ def _envelope_sql() -> str:
     "Spark's exact percentile, proven by percentile_per_group).",
     tags=("kitti-files",),
 )
-def kitti_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kitti_analysis_envelope(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
     from kittispark.operators.kitti import frame_z_scale
 
-    root = kitti_fixture_root(spark, sf_dir)
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     points = read_points(spark, os.path.join(root, "velodyne"))
     calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
     tr = axis_align(apply_calibration(points, calib_wide))
@@ -541,10 +602,7 @@ def kitti_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kitti_datasource_scan",
-    oracle=f"""
-    WITH {_PTS_CTE}
-    SELECT frame_id, pt_key, x, y, z FROM pts
-    """,
+    oracle=_points_sql(),
     doc="S2 via the Spark 4 Python Data Source (the engine-native "
     "scan, sources/datasource.py): format('kitti_points') plans "
     "bounded file groups on the driver and decodes float32 .bin "
@@ -555,10 +613,15 @@ def kitti_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carry independent driver verdicts against identical bytes.",
     tags=("kitti-files", "datasource"),
 )
-def kitti_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kitti_datasource_scan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int = _N_DOCS,
+    n_frames: int = _N_FRAMES,
+) -> DataFrame:
     from kittispark.sources.datasource import register as register_ds
 
-    root = kitti_fixture_root(spark, sf_dir)
+    root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     register_ds(spark)
     pts = (
         spark.read.format("kitti_points")
@@ -572,3 +635,22 @@ def kitti_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "z",
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-sweep hooks (scripts/oracle_sweep.py --kitti-scale)
+# --------------------------------------------------------------------------
+
+# name -> (df_builder(spark, sf_dir, n_docs, n_frames),
+#          sql_builder(n_docs, n_frames)); the registered queries are
+# these same builders bound to (160, 8). The sf dir must hold at
+# least n_docs documents rows for the fixture to reach the bound.
+KITTI_SCALE_CHECKS = {
+    "kitti_label_file_scan": (kitti_label_file_scan, _label_scan_sql),
+    "kitti_points_bin_roundtrip": (kitti_points_bin_roundtrip, _points_sql),
+    "kitti_calib_chain": (kitti_calib_chain, _calib_chain_sql),
+    "kitti_frame_lookup": (kitti_frame_lookup, _frame_lookup_sql),
+    "kitti_cutout_roundtrip": (kitti_cutout_roundtrip, _cutout_sql),
+    "kitti_analysis_envelope": (kitti_analysis_envelope, _envelope_sql),
+    "kitti_datasource_scan": (kitti_datasource_scan, _points_sql),
+}

@@ -1395,7 +1395,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 10000 AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1408,7 +1410,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parquet reader (PushedFilters on shipdate/discount/quantity) "
     "feeding one partial+final agg with NO shuffle of any wide "
     "data. The canonical 'filter early' showcase: at 100 TB this "
-    "reads only the min/max-pruned row groups of 4 columns.",
+    "reads only the min/max-pruned row groups of 4 columns. "
+    "Revenue is the exact integer sum (price cents x discount "
+    "points, /1e4 at the end — the join_three_way/q5 pattern): "
+    "order-dependent float sum + round drifts one ulp cross-engine "
+    "at 1e10+ magnitudes; the int64 sum is exact below ~6e15.",
     tags=("relational", "tpch"),
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,9 +1428,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * F.round(F.col("l_discount") * 100, 0).cast("long")
+                ).cast("double")
+                / 10000
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1514,21 +1524,30 @@ def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     oracle="""
+    WITH s AS (
+        SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS rev_s,
+               p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    )
     SELECT round(
-               100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                THEN l.l_extendedprice * (1 - l.l_discount)
-                                ELSE 0 END)
-               / sum(l.l_extendedprice * (1 - l.l_discount)), 6
+               100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN rev_s ELSE 0 END) AS DOUBLE)
+               / NULLIF(sum(rev_s), 0), 6
            ) AS promo_revenue_pct,
            CAST(count(*) AS BIGINT) AS n_items
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
-      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    FROM s
     """,
     doc="TPC-H Q14 (promotion effect): share of one month's revenue "
     "from PROMO-type parts. The month filter pushes into the "
     "lineitem scan BEFORE the part join, the part side broadcasts, "
-    "and the conditional ratio folds into one partial+final agg.",
+    "and the conditional ratio folds into one partial+final agg. "
+    "Both ratio terms are exact integer revenue sums (cents x "
+    "(100 - discount points)) so the double division sees identical "
+    "operands on both engines at any magnitude; NULLIF keeps the "
+    "oracle's zero-denominator semantics version-independent.",
     tags=("relational", "tpch"),
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,15 +1555,16 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_s = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    num = F.sum(F.when(F.col("p_type") == "PROMO", rev_s).otherwise(F.lit(0)))
+    den = F.sum(rev_s)
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
+                100.0 * num.cast("double") / F.nullif(den, F.lit(0)), 6
             ).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1562,9 +1582,9 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sigma) > 2
+           CAST(sum(CASE WHEN abs((e.value - s.mu) / NULLIF(s.sigma, 0)) > 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(max(abs((e.value - s.mu) / s.sigma)), 6) AS max_abs_z
+           round(max(abs((e.value - s.mu) / NULLIF(s.sigma, 0))), 6) AS max_abs_z
     FROM events e JOIN stats s ON e.event_type = s.event_type
     GROUP BY e.event_type
     """,

@@ -448,10 +448,16 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) i
         GROUP BY b.cid, i.i
     ),
+    cent1l AS (
+        SELECT cid, list(val ORDER BY dim) AS cv FROM cent1 GROUP BY cid
+    ),
     d2t AS (
         SELECT e.vec_id, c.cid,
-               sum((e.v[c.dim] - c.val) * (e.v[c.dim] - c.val)) AS d2
-        FROM e, cent1 c GROUP BY 1, 2
+               list_sum(list_transform(
+                   generate_series(1, len(e.v)),
+                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+               )) AS d2
+        FROM e, cent1l c
     ),
     b2 AS (
         SELECT vec_id, cid FROM d2t
@@ -474,7 +480,11 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "adjudicates the iterate-reassign-reaverage COMPOSITION, not "
     "just one step — the convergence path a production clustering "
     "run takes. Oracle replays both rounds in SQL; assignments are "
-    "argmin with lowest-cid tie-break in both engines.",
+    "argmin with lowest-cid tie-break in both engines, and the "
+    "iteration-2 distance is an ordered list fold over dimensions "
+    "(NOT a hash-agg sum, whose nondeterministic accumulation order "
+    "could flip a near-tie assignment) — matching the Spark fold "
+    "exactly.",
     tags=("similarity", "clustering"),
 )
 def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,11 +612,12 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT ev.vec_id AS eval_id,
                max(list_dot_product(ev.v, tr.v)
-                   / (sqrt(list_dot_product(ev.v, ev.v))
-                      * sqrt(list_dot_product(tr.v, tr.v)))) AS max_sim,
+                   / NULLIF(sqrt(list_dot_product(ev.v, ev.v))
+                            * sqrt(list_dot_product(tr.v, tr.v)), 0)) AS max_sim,
                sum(CASE WHEN list_dot_product(ev.v, tr.v)
-                             / (sqrt(list_dot_product(ev.v, ev.v))
-                                * sqrt(list_dot_product(tr.v, tr.v))) >= 0.4
+                             / NULLIF(sqrt(list_dot_product(ev.v, ev.v))
+                                      * sqrt(list_dot_product(tr.v, tr.v)), 0)
+                             >= 0.4
                         THEN 1 ELSE 0 END) AS n_close_raw
         FROM eval_ ev, train tr
         GROUP BY ev.vec_id

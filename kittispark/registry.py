@@ -55,57 +55,11 @@ _QUERY_MODULES = (
 # greens fill the remaining slots LEAST-RECENTLY-VERIFIED FIRST
 # (round-robin recheck — ADVICE r2: a fixed fresh-first/banked-last
 # order left ~41 greens permanently unrechecked while their shared
-# operators kept changing). Update this map each round.
-_DRIVER_GREEN: dict[str, int] = {
-    # round 1 greens not re-adjudicated since. REMOVED in r3 (their
-    # outputs/oracles were rewritten, so the banked verdict no longer
-    # describes the shipped query — they must re-adjudicate as fresh):
-    # join_three_way, q5_region_revenue, grouping_sets_explicit
-    # (exact integer-cents money sums).
-    **{n: 1 for n in (
-        "anti_join_not_exists", "argmax_best_order", "array_functions",
-        "box_filter_conjunctive", "case_when_bucketing",
-        "category_filter_in", "corner_explode", "correlation_stats",
-        "date_functions", "first_last_value", "full_outer_join",
-        "group_cube", "group_rollup",
-        "lag_delta", "left_outer_join",
-        "map_literal_lookup", "math_functions", "median_mode_agg",
-        "moving_avg_time_range", "null_handling", "null_safe_join",
-        "order_by_limit", "pivot_conditional_agg", "q3_top_orders",
-        "range_join_nonequi", "rank_functions",
-        "running_sum", "salted_skew_join", "scalar_subquery_avg_qty",
-        "semi_join_exists", "set_except", "set_intersect",
-        "set_union_distinct", "string_functions", "topk_per_group",
-        "union_all_counts", "unpivot_measures", "window_distribution",
-    )},
-    # round 2 greens (CORRECTNESS_r02.json hash_match rows).
-    # REMOVED in r3 (rewritten after their verdict, so re-adjudicate
-    # as fresh): stream_sliding_avg (integer-micros average),
-    # stream_session_tracker (nanosecond gap detection).
-    # (De-banked names are listed in _REVERIFY below so they sort
-    # after never-adjudicated queries in the driver window.)
-    **{n: 2 for n in (
-        "token_count", "text_quality", "lang_id_heuristic",
-        "doc_fingerprint", "tfidf_top_terms", "regexp_functions",
-        "hash_split_sample", "stratified_sample_rates",
-        "bpe_pretoken_count", "dedup_exact", "dedup_exact_survivors",
-        "ngram_jaccard_pairs", "dedup_cluster_assign", "dedup_digest",
-        "cosine_topk_bruteforce", "cosine_near_dup",
-        "cutout_count_stats", "axis_remap_projection",
-        "envelope_combine", "binary_metadata", "media_feature_extract",
-        "media_image_decode", "media_frame_sample",
-        "stream_tumbling_counts",
-        "stream_session_counts", "stream_dedup_exactonce",
-        "stream_running_user_stats", "stream_stream_interval_join",
-        "tumbling_window_counts",
-        "sessionization", "event_type_stats", "asof_join_latest_click",
-        "resample_ffill_grid", "approx_count_distinct",
-        "sorted_array_agg", "percentile_per_group",
-        "rescale_by_percentile", "json_extract_group",
-        "q1_pricing_summary", "envelope_minmax", "group_count_stats",
-        "distinct_agg",
-    )},
-}
+# operators kept changing). GENERATED from the CORRECTNESS files by
+# scripts/update_green_bank.py (VERDICT r3 #6: hand-maintained maps
+# go stale and silently mis-prioritize the rotation); rerun it each
+# round, and list post-verdict rewrites in _REVERIFY below.
+from kittispark._green_bank import DRIVER_GREEN as _DRIVER_GREEN
 
 
 @dataclass(frozen=True)
@@ -140,8 +94,20 @@ def _load_all() -> None:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
 _REVERIFY: frozenset[str] = frozenset({
+    # r3 rewrites (exact-cents money sums, integer-micros average,
+    # nanosecond session gaps) whose r1/r2 greens predate the code:
     "join_three_way", "q5_region_revenue", "grouping_sets_explicit",
     "stream_sliding_avg", "stream_session_tracker",
+    # r4 rewrites of r3 greens: exact-cents sums (ADVICE r3),
+    "q6_forecast_revenue", "q14_promo_revenue_share",
+    # md5-portable MinHash base hash replaced xxhash64 (same output
+    # CONTRACT, different compute — re-prove it),
+    "minhash_signatures", "minhash_lsh_recall",
+    # oracle rewrites: ordered iteration-2 distance fold / NULLIF
+    # division guards (value-identical on DuckDB 1.0.0, but the
+    # adjudicated pair changed):
+    "kmeans_two_iterations", "zscore_outlier_stats",
+    "funnel_conversion", "embedding_decontamination",
 })
 
 

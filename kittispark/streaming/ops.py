@@ -400,18 +400,27 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
         # event could still legitimately join (split vs the oracle)
         deadline_ms = -((-(last + gap_ns)) // 1_000_000)
         wm = state.getCurrentWatermarkMs()
-        if deadline_ms < wm:
-            # strictly passed: any future accepted event has
-            # ts_ms >= wm > deadline, i.e. ts > last+gap — it cannot
-            # extend this session, so close it here (a timeout
-            # timestamp may not be set at/behind the watermark)
+        # At deadline == wm, an accepted extender needs ts_ms >= wm
+        # AND ts <= last+gap, i.e. ts == last+gap exactly — only
+        # possible when last+gap is ms-aligned (the ceil to ms was
+        # strict otherwise). When no extender can exist, emit inline:
+        # parking the session behind a wm+1 timeout would silently
+        # DROP it if the watermark never advances again (e.g. the
+        # available-now drain ends at exactly this wm).
+        aligned = (last + gap_ns) % 1_000_000 == 0
+        if deadline_ms < wm or (deadline_ms == wm and not aligned):
+            # passed: any future accepted event has ts_ms >= wm, and
+            # (unless aligned at equality) that means ts > last+gap —
+            # it cannot extend this session, so close it here (a
+            # timeout timestamp may not be set at/behind the watermark)
             out.append(_emit(key[0], start, last, n))
             state.remove()
         else:
             state.update((start, last, n))
             # watermark passing last+gap closes the open session;
-            # when deadline == wm a same-ms extender may still arrive,
-            # so keep the session open one extra wm tick
+            # when deadline == wm AND ms-aligned, a ts == last+gap
+            # extender may still legitimately arrive — keep the
+            # session open one extra wm tick for it
             state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
         yield pd.DataFrame(
             out, columns=["user_id", "session_start", "session_last", "n_events"]

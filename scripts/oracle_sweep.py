@@ -9,10 +9,17 @@ larger data (rounding midpoints, id-range collisions, statistical
 gate failures).
 
 Usage:
-    python scripts/oracle_sweep.py [sf_dir ...]
+    python scripts/oracle_sweep.py [--kitti-scale] [sf_dir ...]
     # default: /root/testdata/sf0.1
     # the synthetic sf1 comes from:
     #   python scripts/gen_scale_synth.py /root/testdata/sf0.1 /tmp/sf1synth 10
+
+--kitti-scale additionally runs the 7 KITTI file-path roundtrips at
+10x fixtures (1600 docs / 32 frames — 10x the label lines per file,
+10x the .bin bytes, 4x the files) against parameterized oracles, so
+the byte-level parsers/writers get the same scale treatment as the
+relational oracles (VERDICT r3 #7). Requires an sf dir with >= 1600
+documents rows (sf0.1 or larger).
 
 Exit code 0 iff every oracle matches. Rows-only queries are skipped
 (they are covered by their oracle-backed companion gates).
@@ -28,7 +35,7 @@ from kittispark.session import get_spark
 from tests.oracle_harness import compare
 
 
-def sweep(sf_dirs: list[str]) -> int:
+def sweep(sf_dirs: list[str], kitti_scale: bool = False) -> int:
     spark = get_spark(app_name="oracle-sweep")
     specs = registry.all_specs()
     fails: list[tuple[str, str, str]] = []
@@ -43,6 +50,27 @@ def sweep(sf_dirs: list[str]) -> int:
             except Exception as ex:  # report and continue — a sweep is a census
                 fails.append((name, sf, str(ex)[:300]))
                 print(f"FAIL {name} @{sf}: {str(ex)[:300]}", flush=True)
+        if kitti_scale:
+            from kittispark.queries.kitti_files import KITTI_SCALE_CHECKS
+
+            n_docs, n_frames = 1600, 32
+            for name, (df_fn, sql_fn) in KITTI_SCALE_CHECKS.items():
+                tag = f"{name}@{n_docs}x{n_frames}"
+                t0 = time.perf_counter()
+                try:
+                    compare(
+                        df_fn(spark, sf, n_docs, n_frames),
+                        sql_fn(n_docs, n_frames),
+                        sf,
+                        tag,
+                    )
+                    print(
+                        f"MATCH {tag} @{sf} {time.perf_counter() - t0:.1f}s",
+                        flush=True,
+                    )
+                except Exception as ex:
+                    fails.append((tag, sf, str(ex)[:300]))
+                    print(f"FAIL {tag} @{sf}: {str(ex)[:300]}", flush=True)
     print(f"SWEEP_DONE {len(fails)} failures across {len(sf_dirs)} sf dir(s)")
     for name, sf, msg in fails:
         print(f"  {name} @{sf}: {msg}")
@@ -50,5 +78,7 @@ def sweep(sf_dirs: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
-    raise SystemExit(sweep(dirs))
+    args = sys.argv[1:]
+    ks = "--kitti-scale" in args
+    dirs = [a for a in args if not a.startswith("--")] or ["/root/testdata/sf0.1"]
+    raise SystemExit(sweep(dirs, kitti_scale=ks))

@@ -1,0 +1,97 @@
+"""Regenerate kittispark/_green_bank.py from the driver's
+CORRECTNESS_r*.json files.
+
+The green bank maps query name -> LAST round with a hash_match
+driver verdict; the registry orders the driver's adjudication window
+from it (never-green first, then _REVERIFY, then banked greens
+least-recently-verified first). Hand-maintaining that map silently
+mis-prioritizes the rotation the moment it goes stale (VERDICT r3
+#6) — this script makes the bookkeeping mechanical:
+
+    python scripts/update_green_bank.py          # rewrite the bank
+    python scripts/update_green_bank.py --check  # exit 1 on drift
+
+Names in registry._REVERIFY are still banked here (the registry
+excludes them from banked ordering itself); names that appear in a
+CORRECTNESS file but no longer exist in the registry are dropped
+with a warning (renamed/retired queries must not shadow-occupy the
+bank).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BANK_PATH = os.path.join(REPO, "kittispark", "_green_bank.py")
+
+_HEADER = '''"""Driver-green verdict bank — GENERATED, do not hand-edit.
+
+Regenerate with  python scripts/update_green_bank.py  after each
+round's CORRECTNESS_r{N}.json lands. Maps query name -> last round
+with a hash_match driver verdict (rows-only passes never bank)."""
+
+DRIVER_GREEN: dict[str, int] = {
+'''
+
+
+def scan_correctness() -> dict[str, int]:
+    """name -> max round with hash_match true, across all rounds."""
+    bank: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if row.get("hash_match") is True:
+                bank[name] = max(bank.get(name, 0), rnd)
+    return bank
+
+
+def registered_names() -> set[str]:
+    sys.path.insert(0, REPO)
+    from kittispark import registry
+
+    return set(registry.all_specs())
+
+
+def render(bank: dict[str, int]) -> str:
+    lines = [
+        f"    {name!r}: {rnd},\n"
+        for name, rnd in sorted(bank.items(), key=lambda kv: (kv[1], kv[0]))
+    ]
+    return _HEADER + "".join(lines) + "}\n"
+
+
+def main() -> int:
+    bank = scan_correctness()
+    known = registered_names()
+    dropped = sorted(set(bank) - known)
+    for name in dropped:
+        print(f"WARN: green verdict for unregistered query {name!r} — dropped")
+    bank = {n: r for n, r in bank.items() if n in known}
+    text = render(bank)
+    if "--check" in sys.argv:
+        with open(BANK_PATH) as f:
+            current = f.read()
+        if current != text:
+            print("DRIFT: kittispark/_green_bank.py is stale — rerun "
+                  "scripts/update_green_bank.py")
+            return 1
+        print(f"OK: bank current ({len(bank)} greens)")
+        return 0
+    with open(BANK_PATH, "w") as f:
+        f.write(text)
+    print(f"WROTE {BANK_PATH} ({len(bank)} greens)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

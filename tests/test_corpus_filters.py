@@ -83,9 +83,12 @@ def test_quantize_codes_bounded_and_reconstructable(spark):
         _duck("SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200")
     )
     for r in rows:
-        assert r.n_dims == 64 and len(r.q_codes) == 64
+        # q_codes ships ','-joined in dimension order (the driver's
+        # canonicalizer cannot sort raw array columns)
+        codes = [int(c) for c in r.q_codes.split(",")]
+        assert r.n_dims == 64 and len(codes) == 64
         step = (r.vmax - r.vmin) / 127.0
-        for code, x in zip(r.q_codes, originals[r.vec_id]):
+        for code, x in zip(codes, originals[r.vec_id]):
             assert 0 <= code <= 127
             # inverting the affine code recovers x to one step
             assert abs((r.vmin + code * step) - x) <= step + 1e-12
@@ -106,7 +109,8 @@ def test_quality_filter_rules_recomputed(spark):
             expected.append("low_diversity")
         if sum(len(t) for t in toks) > len(toks) * 8:
             expected.append("long_words")
-        assert list(r.reasons) == expected
+        # reasons ships '|'-joined in rule order ('' = no rule fired)
+        assert (r.reasons.split("|") if r.reasons else []) == expected
         assert r.keep == (not expected)
 
 

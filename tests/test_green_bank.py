@@ -1,0 +1,58 @@
+"""Green-bank bookkeeping stays mechanical: the committed bank file
+must match what scripts/update_green_bank.py derives from the
+CORRECTNESS files, and the registry window must order fresh ->
+reverify -> banked (least recently verified first)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_script():
+    spec = importlib.util.spec_from_file_location(
+        "update_green_bank", os.path.join(REPO, "scripts", "update_green_bank.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bank_file_matches_correctness_files():
+    mod = _load_script()
+    bank = {
+        n: r for n, r in mod.scan_correctness().items() if n in mod.registered_names()
+    }
+    from kittispark._green_bank import DRIVER_GREEN
+
+    assert DRIVER_GREEN == bank, (
+        "kittispark/_green_bank.py is stale — rerun scripts/update_green_bank.py"
+    )
+
+
+def test_window_orders_fresh_then_reverify_then_banked_lrv():
+    from kittispark import registry
+    from kittispark.registry import _DRIVER_GREEN, _REVERIFY
+
+    names = list(registry.all_specs())
+
+    def rank(n: str) -> int:
+        if n not in _DRIVER_GREEN and n not in _REVERIFY:
+            return 0
+        return 1 if n in _REVERIFY else 2
+
+    ranks = [rank(n) for n in names]
+    assert ranks == sorted(ranks), "fresh/reverify/banked groups interleaved"
+    banked = [n for n in names if rank(n) == 2]
+    rounds = [_DRIVER_GREEN[n] for n in banked]
+    assert rounds == sorted(rounds), "banked greens not least-recently-verified first"
+
+
+def test_reverify_names_are_registered():
+    from kittispark import registry
+    from kittispark.registry import _REVERIFY
+
+    missing = _REVERIFY - set(registry.all_specs())
+    assert not missing, f"_REVERIFY names not in registry: {missing}"
