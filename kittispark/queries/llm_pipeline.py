@@ -185,3 +185,85 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len(string_split(text, ' '))) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
+               sum(CAST(n_tokens AS DOUBLE)) AS total_tokens
+        FROM s
+    ),
+    rf AS (
+        SELECT lang,
+               greatest(CAST(floor(
+                   ((sqrt(CAST(n_tokens AS DOUBLE)) / z)
+                    / (CAST(n_tokens AS DOUBLE) / total_tokens)) * 2
+               ) AS BIGINT), 1) AS repeat_factor
+        FROM s, tot
+    ),
+    epoch AS (
+        SELECT d.lang, d.doc_id, g.rep
+        FROM documents d
+        JOIN rf USING (lang),
+             LATERAL (SELECT unnest(generate_series(1, rf.repeat_factor))
+                      AS rep) g
+    )
+    SELECT lang,
+           CAST(max(rep) AS BIGINT) AS repeat_factor,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS epoch_rows
+    FROM epoch GROUP BY lang
+    """,
+    doc="Epoch materialization plan for a temperature-balanced "
+    "training mixture: the per-language upsample factor (alpha=0.5, "
+    "same algebra as mixture_temperature_weights) is integerized to "
+    "a repeat factor (floor(2x), min 1), every document is actually "
+    "EXPLODED into its epoch repetitions (sequence/generate_series — "
+    "the row stream a packing/shuffling stage consumes), and the "
+    "result is folded back to per-language accounting. Counts only "
+    "in the output, so adjudication is exact; the repeat join is a "
+    "broadcast of one row per language. At 100 TB the epoch stream "
+    "feeds sequence packing directly instead of re-aggregating.",
+    tags=("llm-pipeline",),
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+        F.sum(F.col("n_tokens").cast("double")).alias("total_tokens"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    natural = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    rf = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.greatest(
+                F.floor((w / natural) * 2).cast("long"), F.lit(1)
+            ).alias("repeat_factor"),
+        )
+    )
+    epoch = docs.join(F.broadcast(rf), "lang").select(
+        "lang",
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("repeat_factor"))).alias("rep"),
+    )
+    return epoch.groupBy("lang").agg(
+        F.max("rep").alias("repeat_factor"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("epoch_rows"),
+    )

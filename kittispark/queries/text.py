@@ -573,3 +573,172 @@ def bpe_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
         F.size(tokens_col("text")).alias("n_ws_tokens"),
     )
+
+
+_BM25_TERMS = ("join", "scan", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    """DuckDB mirror of the BM25 scorer: identical expression tree
+    per term (idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))),
+    summed in fixed term order — no hash-agg float sum anywhere, so
+    both engines accumulate identically."""
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = "\n             + ".join(
+        f"(CASE WHEN tf{i} = 0 THEN 0.0 ELSE "
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {k1 + 1}) / "
+        f"(tf{i} + {k1} * (1 - {b} + {b} * dl / "
+        f"(CAST(sumdl AS DOUBLE) / n_docs))) END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len(tk) AS dl,
+               {tf_cols}
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sumdl,
+               {df_cols}
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id,
+               {terms} AS score
+        FROM base, stats
+    )
+    SELECT doc_id, round(score, 6) AS bm25,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=_bm25_sql(),
+    doc="BM25 ranked retrieval (Lucene idf form, k1=1.2, b=0.75) for "
+    "a fixed 3-term query over the corpus: per-term tf via array "
+    "filters on the bound token array (one tokenize per doc), corpus "
+    "stats (N, avg doclen, per-term df) in ONE 1-row aggregate "
+    "broadcast back, contributions summed in FIXED term order as "
+    "column arithmetic — no hash-agg float sum, so the score is "
+    "bit-reproducible and the oracle replays it exactly. Top-20 with "
+    "the (desc score, asc doc_id) tiebreak -> TakeOrderedAndProject. "
+    "The search-side primitive of a retrieval-augmented corpus "
+    "pipeline; at 100 TB tf/df come from an inverted index, same "
+    "algebra.",
+    tags=("text", "search"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k1, b = _BM25_K1, _BM25_B
+    docs = t(spark, sf_dir, "documents")
+
+    def _eq(term: str):
+        # closure factory, NOT a default arg: a 2-parameter lambda
+        # would make the HOF pass (element, index) and bind the term
+        # slot to the array index
+        return lambda x: x == F.lit(term)
+
+    base = docs.select("doc_id", tokens_col("text").alias("__tk")).select(
+        "doc_id",
+        F.size("__tk").alias("dl"),
+        *[
+            F.size(F.filter("__tk", _eq(term))).alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    avgdl = F.col("sumdl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        contrib = F.when(tf == 0, 0.0).otherwise(
+            idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("dl") / avgdl))
+        )
+        score = contrib if score is None else score + contrib
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id", score.alias("score")
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "lang_source_chisq",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rows_ AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY lang),
+    cols_ AS (SELECT source, sum(o) AS ct FROM obs GROUP BY source),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT obs.lang, obs.source,
+           CAST(o AS BIGINT) AS observed,
+           round(rt * ct / n, 6) AS expected,
+           round((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n), 6)
+               AS chisq_cell
+    FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source), tot
+    """,
+    doc="Chi-square contingency cells for the lang x source "
+    "cross-tabulation — the corpus-composition drift monitor (is the "
+    "language mix independent of the source?): observed counts, "
+    "expected = row_total * col_total / N, and each cell's chi-square "
+    "contribution. Emitted PER CELL, never summed across cells — a "
+    "cross-cell float total would hash-agg in nondeterministic order; "
+    "the per-cell arithmetic is a fixed expression both engines "
+    "evaluate identically. Three small hash aggs + broadcast joins.",
+    tags=("text", "analytics"),
+)
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias(
+                "chisq_cell"
+            ),
+        )
+    )
