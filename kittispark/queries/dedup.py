@@ -559,3 +559,86 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").alias("bytes_after"),
         F.sum((F.col("n_copies") - 1) * F.col("sz")).alias("bytes_saved"),
     )
+
+
+def _winnowing_oracle() -> str:
+    from kittispark.operators.dedup import MINHASH_P
+
+    return f"""
+    WITH g AS (
+        SELECT doc_id, p,
+               CAST(CAST(('0x' || substring(md5(substring(text, p, 8)), 1, 15))
+                    AS UBIGINT) % {MINHASH_P} AS BIGINT) AS h,
+               length(text) - 7 AS n_grams
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text) - 7))
+                      AS p) s
+        WHERE length(text) >= 8
+    ),
+    w AS (
+        SELECT doc_id, p, n_grams,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(max(n_grams) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           min(fp) AS min_fp,
+           max(fp) AS max_fp
+    FROM w WHERE p <= n_grams - 3
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_winnowing_oracle(),
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+    "the MOSS local fingerprinting algorithm): 8-char k-gram hashes "
+    "(portable_hash64 mod P — the same engine-independent hash the "
+    "MinHash pipeline uses), then the minimum of each 4-hash window "
+    "is selected as a fingerprint; per-doc fingerprint-set stats are "
+    "emitted (count distinct, extremes). The guarantee winnowing "
+    "buys at 100 TB: any shared substring of length >= k+w-1 = 11 "
+    "chars yields a shared fingerprint, while only ~2/(w+1) of "
+    "grams are stored. Shape: posexplode -> ONE doc_id-partitioned "
+    "window (its shuffle is reused by the final per-doc agg) — no "
+    "cross-doc data movement at all; the oracle replays hashes, "
+    "window minima, and selection exactly.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from kittispark.operators.dedup import MINHASH_P, portable_hash64
+
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    grams = docs.select(
+        "doc_id",
+        (F.length("text") - 7).alias("n_grams"),
+        F.posexplode(F.sequence(F.lit(1), F.length("text") - 7)).alias(
+            "__i", "p"
+        ),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "p",
+        F.pmod(
+            portable_hash64(F.substring("text", F.col("p"), F.lit(8))),
+            F.lit(MINHASH_P),
+        ).alias("h"),
+    )
+    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    fps = grams.select(
+        "doc_id", "n_grams", "p", F.min("h").over(w).alias("fp")
+    ).filter(F.col("p") <= F.col("n_grams") - 3)
+    return fps.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

@@ -1615,3 +1615,235 @@ def zscore_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 6).alias("max_abs_z"),
         )
     )
+
+
+_REV_SCALED_SQL = (
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_REV_SCALED_SQL}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 (volume shipping), generalized to ALL distinct "
+    "(supplier nation, customer nation) pairs: a 6-way star join — "
+    "lineitem shuffles once on orderkey for the orders join; "
+    "customer, supplier, and both nation aliases broadcast, so no "
+    "other fact shuffle exists; the two-year window pushes into the "
+    "scan. Revenue is the exact int64 cents x discount-points sum. "
+    "The canonical many-dim star shape at 100 TB: one fact shuffle "
+    "total.",
+    tags=("relational", "tpch", "join"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (_rev_scaled_sum().cast("double") / 10000).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, c_acctbal, nation,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum({_REV_SCALED_SQL}) AS DOUBLE) / 10000 AS revenue,
+               round(c.c_acctbal, 2) AS c_acctbal,
+               n.n_name AS nation,
+               row_number() OVER (
+                   ORDER BY sum({_REV_SCALED_SQL}) DESC, c.c_custkey) AS rk
+        FROM (
+            SELECT l.*, o.o_custkey FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+              AND l.l_returnflag = 'R'
+        ) lr
+        JOIN customer c ON lr.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    )
+    WHERE rk <= 20
+    """,
+    doc="TPC-H Q10 (returned-item reporting): revenue lost to 'R' "
+    "returns in one quarter, per customer, top 20. The quarter "
+    "filter pushes into the orders scan and the returnflag filter "
+    "into lineitem BEFORE their join; customer/nation broadcast; "
+    "ranking runs on the exact int64 scaled sum (ties impossible to "
+    "misorder cross-engine) with custkey tiebreak -> "
+    "TakeOrderedAndProject.",
+    tags=("relational", "tpch", "join"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    grouped = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev_scaled_sum().alias("__rev_s"))
+    )
+    w = W.orderBy(F.desc("__rev_s"), F.asc("c_custkey"))
+    return (
+        grouped.select(
+            "c_custkey",
+            "c_name",
+            (F.col("__rev_s").cast("double") / 10000).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               sum({_REV_SCALED_SQL}) AS total_s
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_s AS DOUBLE) / 10000 AS total_revenue
+    FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey
+    WHERE r.total_s = (SELECT max(total_s) FROM rev)
+    """,
+    doc="TPC-H Q15 (top supplier): quarterly revenue per supplier, "
+    "emitting every supplier achieving the maximum — the classic "
+    "agg + scalar-subquery-max equality pattern. The equality is "
+    "safe ONLY because revenue is an exact int64 scaled sum (a "
+    "float max would tie-break on summation order); quarter filter "
+    "pushed to the scan, supplier side broadcast.",
+    tags=("relational", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        _rev_scaled_sum().alias("total_s")
+    )
+    mx = rev.agg(F.max("total_s").alias("__mx"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_s") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_s").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 (large-volume customers): orders whose line-item "
+    "quantity total exceeds 250 (99th percentile), joined back to "
+    "order and customer detail. The HAVING aggregate runs FIRST so "
+    "only qualifying orderkeys (1% of orders) reach the joins — "
+    "aggregate-then-join, never join-then-aggregate; the surviving "
+    "key set joins orders on the shared orderkey and broadcasts "
+    "customer. Quantities are integer-valued; the emitted sum is "
+    "cast via round so both engines agree exactly.",
+    tags=("relational", "tpch", "join"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select(
+            "l_orderkey",
+            F.round("__sq", 0).cast("long").alias("sum_qty"),
+        )
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

@@ -27,10 +27,13 @@ Exit code 0 iff every oracle matches. Rows-only queries are skipped
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-from kittispark import registry
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kittispark import registry  # noqa: E402
 from kittispark.session import get_spark
 from tests.oracle_harness import compare
 
