@@ -655,3 +655,149 @@ def temporal_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "dim_value",
     )
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts AS c_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts AS p_ts, event_id AS purchase_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (
+        SELECT p.purchase_id, min(c.c_ts) AS first_ts
+        FROM purchases p
+        JOIN clicks c ON c.user_id = p.user_id
+                     AND c.c_ts <= p.p_ts
+                     AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+        GROUP BY p.purchase_id
+    )
+    SELECT p.purchase_id,
+           p.user_id,
+           min(c.click_id) AS click_id,
+           round(EXTRACT(epoch FROM p.p_ts) - EXTRACT(epoch FROM f.first_ts),
+                 6) AS gap_s,
+           round(p.purchase_value, 6) AS purchase_value
+    FROM firsts f
+    JOIN purchases p USING (purchase_id)
+    JOIN clicks c ON c.user_id = p.user_id AND c.c_ts = f.first_ts
+    GROUP BY p.purchase_id, p.user_id, p.p_ts, f.first_ts, p.purchase_value
+    """,
+    doc="First-touch attribution — the complement of the as-of "
+    "(last-touch) join: each purchase is attributed to the EARLIEST "
+    "click of the same user within the preceding 7 days. Stage 1 "
+    "computes min(click ts) per purchase over the equi+range join "
+    "(user equi-key carries the shuffle; the range is a post-join "
+    "filter); stage 2 re-joins at the winning timestamp and breaks "
+    "same-timestamp ties by min click_id — deterministic on both "
+    "engines without min_by-on-struct portability concerns. The gap "
+    "is emitted in epoch seconds.",
+    tags=("events", "analytics", "join"),
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    firsts = (
+        purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy("purchase_id")
+        .agg(F.min("c_ts").alias("first_ts"))
+    )
+    return (
+        firsts.join(purchases, "purchase_id")
+        .join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") == F.col("first_ts")),
+        )
+        .groupBy(
+            "purchase_id", "user_id", "p_ts", "first_ts", "purchase_value"
+        )
+        .agg(F.min("click_id").alias("click_id"))
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.round(
+                F.col("p_ts").cast("double") - F.col("first_ts").cast("double"),
+                6,
+            ).alias("gap_s"),
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "decile_spend_profile",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                   AS spend_micros,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT *, ntile(10) OVER (ORDER BY spend_micros DESC, user_id)
+                   AS decile
+        FROM spend
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(sum(spend_micros) AS DOUBLE) / 1000000 AS total_spend,
+           CAST(min(spend_micros) AS DOUBLE) / 1000000 AS min_spend,
+           CAST(max(spend_micros) AS DOUBLE) / 1000000 AS max_spend
+    FROM ranked GROUP BY decile
+    """,
+    doc="Equi-DEPTH user spend deciles (the whale-curve profile; "
+    "value_histogram is the equi-width twin): per-user purchase "
+    "totals in exact integer micros (float sums would make the "
+    "decile CUT ORDER engine-dependent at the boundaries), ntile(10) "
+    "over the (desc spend, user_id) total order, then per-decile "
+    "accounting. One user-key hash agg, one global window over the "
+    "user-level rows (cardinality = users, not events), one tiny "
+    "agg. At 100 TB replace the global ntile sort with "
+    "approx-quantile cut points; the exact form is the oracle "
+    "anchor.",
+    tags=("events", "analytics"),
+)
+def decile_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias(
+            "spend_micros"
+        ),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    w = W.orderBy(F.desc("spend_micros"), F.asc("user_id"))
+    ranked = spend.select("*", F.ntile(10).over(w).alias("decile"))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_purchases").alias("n_purchases"),
+        (F.sum("spend_micros").cast("double") / 1_000_000).alias("total_spend"),
+        (F.min("spend_micros").cast("double") / 1_000_000).alias("min_spend"),
+        (F.max("spend_micros").cast("double") / 1_000_000).alias("max_spend"),
+    )
