@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "kittispark.queries.events",
     "kittispark.queries.relational",
     "kittispark.queries.windows",
+    "kittispark.queries.tpch_suite",
 )
 
 # Queries with a green (hash_match) driver verdict, mapped to the
