@@ -305,3 +305,56 @@ def test_semantic_dedup_pairs_only_within_cells(plans):
     # the pair join itself must be an equi-join on cid
     n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
     assert 1 <= n_bnlj <= 2, n_bnlj
+
+
+def test_q8_single_fact_shuffle_all_dims_broadcast(plans):
+    # 7-way star: the fact table shuffles at most once (the final
+    # group-by; the orders join may auto-broadcast at this SF) and no
+    # dimension falls back to a sort-merge join.
+    plan = plans("q8_market_share")
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchanges(plan) <= 2
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 5
+
+
+def test_q13_left_outer_preserved_with_join_side_filter(plans):
+    # The priority filter must stay in the join condition: an outer
+    # join downgraded to inner would drop zero-order customers.
+    plan = plans("q13_customer_distribution")
+    assert re.search(r"Join LeftOuter|LeftOuter, BuildRight", plan), plan[:800]
+    # orders-side filter evaluates before the join (map-side)
+    assert "4-NOT SPECIFIED" in plan
+
+
+def test_q19_disjunction_keeps_hash_join(plans):
+    # Catalyst must extract the partkey equi-key from under the OR —
+    # a nested-loop join here would be quadratic at scale.
+    plan = plans("q19_disjunctive_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) == 1
+    # build-side envelope pre-filter reaches the part scan
+    assert "In(p_brand" in plan
+
+
+def test_q21_no_correlated_self_join_explosion(plans):
+    # The EXISTS/NOT EXISTS pair compiles to ONE per-order aggregation
+    # plus a semi join — not two extra correlated joins of lineitem
+    # against itself (which would triple the fact shuffle volume).
+    plan = plans("q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # five scans total: lineitem and orders twice each (the joined
+    # `lines` feeds both the stats agg and the late-line probe) plus
+    # supplier — the correlated form would scan lineitem a third time.
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) <= 5
+
+
+def test_q22_anti_join_and_scalar_broadcast(plans):
+    plan = plans("q22_sales_opportunity")
+    assert "LeftAnti" in plan
+    # the threshold is a 1-row broadcast, never a shuffle of customer
+    # against the aggregate
+    assert re.search(r"BroadcastNestedLoopJoin Cross BuildRight", plan)
+    # nation IN-list pushes into the customer scan
+    assert "In(c_nationkey" in plan
