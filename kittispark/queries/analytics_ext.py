@@ -1,0 +1,501 @@
+"""Extended analytics surface: time-series gap-fill, rank fusion,
+intra-document dedup, graph centrality, and weighted sampling.
+
+Five operator families a warehouse / training-data user reaches for
+that no earlier module covers:
+
+- ``timeseries_gapfill`` — calendar-spine densification + forward
+  fill (the standard "daily report with no missing days" op);
+- ``rank_fusion_rrf`` — reciprocal-rank fusion of two retrieval
+  rankings (cosine + euclidean) over the same query set;
+- ``intra_doc_chunk_dedup`` — C4/Dolma-style removal of repeated
+  chunks WITHIN a document, order-preserving reassembly;
+- ``pagerank_nation_flow`` — two damped power iterations over the
+  customer-nation -> supplier-nation trade graph;
+- ``systematic_weighted_sample`` — deterministic PPS (probability-
+  proportional-to-size) systematic sampling in pure integer
+  arithmetic, with a distributed two-level prefix sum.
+
+Cross-engine float discipline (SCALING.md): money in integer cents;
+prefix sums and sampling thresholds in pure int64 (integer DIV, no
+float boundaries); forward fill via the count-partition trick (plain
+ANSI window composition, no IGNORE NULLS divergence); dot products
+folded in array order on both engines; PageRank emits round(.., 6)
+on O(1)-magnitude values where hash-agg summation-order drift is
+~1e-16.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kittispark.registry import register
+from kittispark.queries._util import t
+from kittispark.operators.similarity import as_double, dot
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(day) AS dmin, max(day) AS dmax
+        FROM daily GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM span
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.day_cents,
+               count(d.day_cents) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS grp
+        FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(day_cents) OVER (PARTITION BY user_id, grp)
+                AS DOUBLE) / 100 AS filled_value,
+           (day_cents IS NULL) AS is_gap
+    FROM joined
+    """,
+    doc="Calendar densification + forward fill: per-user daily value "
+    "sums are exploded onto a contiguous date spine (sequence() "
+    "between that user's first and last active day) and gaps carry "
+    "the last observed value forward. The fill uses the "
+    "count-partition trick — running count of non-nulls defines a "
+    "group per observed value, max() within (user, grp) fills it — "
+    "pure ANSI window composition, identical in both engines "
+    "(IGNORE NULLS support/semantics varies across engines). Sums "
+    "are exact cents. Scale: everything partitions by user_id; the "
+    "spine explode is per-user-bounded, no global window anywhere.",
+    tags=("timeseries", "window"),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("day_cents")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = joined.withColumn("grp", F.count("day_cents").over(w_run))
+    return staged.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.max("day_cents").over(W.partitionBy("user_id", "grp")).cast("double")
+            / 100
+        ).alias("filled_value"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rank_fusion_rrf",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cos_raw,
+               (list_dot_product(qv, qv) + list_dot_product(cv, cv))
+                 - 2 * list_dot_product(qv, cv) AS l2_raw
+        FROM c CROSS JOIN q
+        WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_raw DESC, neighbor_id) AS rk_cos,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY l2_raw ASC, neighbor_id) AS rk_l2
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, neighbor_id,
+               1.0 / (60 + rk_cos) + 1.0 / (60 + rk_l2) AS rrf_raw
+        FROM ranked
+    )
+    SELECT query_id, neighbor_id, round(rrf_raw, 6) AS rrf_score,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_raw DESC, neighbor_id) AS rk
+          FROM fused)
+    WHERE rk <= 10
+    """,
+    doc="Reciprocal-rank fusion (k=60) of two retrieval rankings — "
+    "cosine similarity and euclidean distance — over the same 5 "
+    "query vectors, top-10 fused results per query. Both scores "
+    "derive from the same three array-order dot products (l2^2 = "
+    "|q|^2 + |c|^2 - 2<q,c>, same parenthesization both engines) so "
+    "the rankings, and hence the 1/(60+rank) rational fusion "
+    "scores, are bit-identical. Plan: queries broadcast against the "
+    "corpus (one pass computes all three dots), two window ranks "
+    "partitioned per query, TakeOrdered top-k.",
+    tags=("similarity", "retrieval"),
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+    )
+    qv, cv = F.col("qv"), F.col("cv")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(qv, cv) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)))).alias(
+                "cos_raw"
+            ),
+            ((dot(qv, qv) + dot(cv, cv)) - 2 * dot(qv, cv)).alias("l2_raw"),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.desc("cos_raw"), F.asc("neighbor_id")))
+        .alias("rk_cos"),
+        F.row_number()
+        .over(wq.orderBy(F.asc("l2_raw"), F.asc("neighbor_id")))
+        .alias("rk_l2"),
+    )
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("rk_cos"))
+            + F.lit(1.0) / (F.lit(60) + F.col("rk_l2"))
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.select(
+            "query_id",
+            "neighbor_id",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+            F.row_number()
+            .over(wq.orderBy(F.desc("rrf_raw"), F.asc("neighbor_id")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repeated-chunk removal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "intra_doc_chunk_dedup",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) - 1
+                   AS pos
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, pos // 8 AS cid,
+               string_agg(w, ' ' ORDER BY pos) AS chunk
+        FROM words GROUP BY doc_id, pos // 8
+    ),
+    firsts AS (
+        SELECT doc_id, chunk, min(cid) AS keep_cid
+        FROM chunks GROUP BY doc_id, chunk
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           string_agg(f.chunk, ' ' ORDER BY f.keep_cid) AS clean_text,
+           CAST(any_value(s.n_chunks) AS BIGINT) AS n_chunks,
+           count(*) AS n_kept
+    FROM firsts f JOIN stats s ON f.doc_id = s.doc_id
+    GROUP BY f.doc_id
+    """,
+    doc="Intra-document repeated-chunk removal (C4/Dolma-style "
+    "boilerplate dedup WITHIN a doc): text splits into consecutive "
+    "8-word chunks, only the first occurrence of each distinct "
+    "chunk survives, and the document reassembles in original chunk "
+    "order. All grouping is keyed by doc_id (+ chunk id), so the "
+    "op is embarrassingly document-parallel — no corpus-wide state; "
+    "reassembly uses array_sort(collect_list(struct(pos, w))) "
+    "(the order-restoring idiom from operators.text."
+    "prune_frequent_tokens, which dedups across the CORPUS rather "
+    "than within docs).",
+    tags=("text", "dedup", "llm"),
+)
+def intra_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    chunks = (
+        words.groupBy("doc_id", (F.col("pos") / 8).cast("int").alias("cid"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    firsts = chunks.groupBy("doc_id", "chunk").agg(F.min("cid").alias("keep_cid"))
+    stats = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("keep_cid", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(stats, "doc_id")
+        .select("doc_id", "clean_text", "n_chunks", "n_kept")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the nation trade graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pagerank_nation_flow",
+    oracle="""
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+    frac AS (
+        SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS f
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    pr1 AS (
+        SELECT n.n_nationkey AS node,
+               0.15 / 25 + 0.85 * coalesce(sum(f.f * (1.0 / 25)), 0.0) AS pr
+        FROM nation n LEFT JOIN frac f ON f.dst = n.n_nationkey
+        GROUP BY 1
+    ),
+    pr2 AS (
+        SELECT n.n_nationkey AS node,
+               0.15 / 25 + 0.85 * coalesce(sum(f.f * p.pr), 0.0) AS pr
+        FROM nation n
+        LEFT JOIN frac f ON f.dst = n.n_nationkey
+        LEFT JOIN pr1 p  ON f.src = p.node
+        GROUP BY 1
+    )
+    SELECT nn.n_name AS nation,
+           round(p1.pr, 6) AS pr_iter1,
+           round(p2.pr, 6) AS pr_iter2
+    FROM pr2 p2
+    JOIN pr1 p1 ON p1.node = p2.node
+    JOIN nation nn ON nn.n_nationkey = p2.node
+    """,
+    doc="Two damped PageRank power iterations (d=0.85) over the "
+    "customer-nation -> supplier-nation trade graph, edge weight = "
+    "lineitem count, uniform 1/25 init. The graph materializes once "
+    "(one fact pass), iterations are k-node joins over the tiny "
+    "edge list — the iterative-algorithm pattern where each "
+    "iteration is a declarative agg, not a driver loop. At 100 TB "
+    "only the one-time edge aggregation touches the fact table; "
+    "iterations cost O(edges) independent of fact size. Ranks are "
+    "O(1)-magnitude doubles; round(6) absorbs the ~1e-16 "
+    "summation-order drift of the <=25-term per-node sums.",
+    tags=("graph", "iterative"),
+)
+def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy(F.col("src").alias("osrc")).agg(F.sum("w").alias("ow"))
+    frac = (
+        edges.join(F.broadcast(outw), F.col("src") == F.col("osrc"))
+        .select(
+            "src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("f")
+        )
+    )
+    base = F.lit(0.15) / 25
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    pr1 = (
+        nodes.join(frac, F.col("dst") == F.col("node"), "left")
+        .groupBy("node")
+        .agg(
+            (
+                base
+                + F.lit(0.85)
+                * F.coalesce(F.sum(F.col("f") * (F.lit(1.0) / 25)), F.lit(0.0))
+            ).alias("pr")
+        )
+    )
+    pr1_src = pr1.select(F.col("node").alias("pnode"), F.col("pr").alias("src_pr"))
+    pr2 = (
+        nodes.join(frac, F.col("dst") == F.col("node"), "left")
+        .join(F.broadcast(pr1_src), F.col("src") == F.col("pnode"), "left")
+        .groupBy("node")
+        .agg(
+            (
+                base
+                + F.lit(0.85)
+                * F.coalesce(F.sum(F.col("f") * F.col("src_pr")), F.lit(0.0))
+            ).alias("pr2")
+        )
+    )
+    pr1_out = pr1.select(F.col("node").alias("node1"), F.col("pr").alias("pr1v"))
+    return (
+        pr2.join(F.broadcast(pr1_out), F.col("node") == F.col("node1"))
+        .join(F.broadcast(nation), F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round("pr1v", 6).alias("pr_iter1"),
+            F.round("pr2", 6).alias("pr_iter2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic PPS systematic sampling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "systematic_weighted_sample",
+    oracle="""
+    WITH wt AS (
+        SELECT doc_id, n_chars AS w FROM documents
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM wt),
+    cum AS (
+        SELECT doc_id, w,
+               CAST(sum(w) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+        FROM wt
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS w,
+           CAST((c * 50) // total - ((c - w) * 50) // total AS BIGINT)
+               AS picks
+    FROM cum, tot
+    WHERE (c * 50) // total > ((c - w) * 50) // total
+    """,
+    doc="Probability-proportional-to-size systematic sampling of 50 "
+    "docs weighted by n_chars, fully deterministic and in pure "
+    "int64: a doc is picked when its cumulative-weight interval "
+    "crosses a multiple of total/50, tested as integer-DIV "
+    "inequality (c*50 DIV total) — no float thresholds, no RNG, so "
+    "both engines select the identical sample. The prefix sum is "
+    "two-level (per-256-doc-bucket running sums + a running offset "
+    "over the tiny bucket-total table), never a single global "
+    "window over the corpus — the distributed scan-sum shape that "
+    "survives 100 TB where ORDER BY over everything cannot.",
+    tags=("sampling", "llm"),
+)
+def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 50
+    wt = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (F.col("doc_id") / 256).cast("long").alias("bucket"),
+    )
+    btot = wt.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    # Running offset across buckets: a window over #buckets rows
+    # (corpus_size/256 — thousands at most), not over the corpus.
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    boff = btot.select(
+        F.col("bucket").alias("obucket"),
+        (F.sum("bw").over(w_b) - F.col("bw")).alias("offset"),
+    )
+    total = wt.agg(F.sum("w").alias("total"))
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        wt.join(F.broadcast(boff), F.col("bucket") == F.col("obucket"))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("offset") + F.sum("w").over(w_in)).alias("c"),
+        )
+    )
+    hi = F.expr(f"(c * {k}) DIV total")
+    lo = F.expr(f"((c - w) * {k}) DIV total")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(hi > lo)
+        .select("doc_id", F.col("w").cast("long").alias("w"), (hi - lo).alias("picks"))
+    )

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "kittispark.queries.relational",
     "kittispark.queries.windows",
     "kittispark.queries.tpch_suite",
+    "kittispark.queries.analytics_ext",
 )
 
 # Queries with a green (hash_match) driver verdict, mapped to the
