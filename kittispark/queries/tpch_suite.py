@@ -142,11 +142,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT ns.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-           round(CAST(CAST(sum(
+           CAST(CAST(sum(
                {_REV_SQL}
                - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
                  * {_QTY_SQL} * 100
-           ) AS BIGINT) AS DOUBLE) / 10000, 2) AS sum_profit
+           ) AS BIGINT) AS DOUBLE) / 10000 AS sum_profit
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
@@ -161,7 +161,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is identical. Profit is computed entirely in a 1e-4-dollar "
     "int64 lattice: price-cents x discount-points minus retail-cents "
     "x quantity x 100, summed as BIGINT, so the signed sum is "
-    "order-independent and cross-engine exact.",
+    "order-independent and cross-engine exact. Emitted as the raw "
+    "int/1e4 double WITHOUT round(..,2): a group sum ending in 50 "
+    "lands on a .005 midpoint whose nearest-double rounding differs "
+    "per engine (caught by the sf1synth sweep at r4 magnitudes).",
     tags=("relational", "tpch", "join"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,9 +184,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(F.sum(profit).cast("double") / 10000, 2).alias("sum_profit")
-        )
+        .agg((F.sum(profit).cast("double") / 10000).alias("sum_profit"))
     )
 
 
