@@ -1,0 +1,242 @@
+"""Reusable analytics operators: gap-fill, intra-doc chunk dedup,
+PPS systematic sampling, and declarative PageRank.
+
+Library forms of the ``queries/analytics_ext.py`` registry entries —
+parameterized over column names / k / iteration count so they can be
+unit-tested on constructed inputs and reused outside the fixture
+schema. Float/int determinism contracts are documented per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def gapfill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key calendar densification with forward fill.
+
+    Aggregates ``value_col`` to exact-cents daily sums per key, then
+    explodes each key's [first active day, last active day] span onto
+    a contiguous date spine and forward-fills gap days with the last
+    observed value. The fill is the count-partition trick (running
+    count of non-nulls defines a fill group; max within the group is
+    the carried value) — plain ANSI window composition with no
+    IGNORE NULLS dependence, so any SQL engine replays it bit-exactly.
+
+    Scale: every window partitions by the key; the spine explode is
+    bounded by each key's own span. No global window, no driver
+    collection.
+
+    Output: (key, day 'yyyy-MM-dd', filled_value double, is_gap bool).
+    """
+    daily = df.groupBy(
+        key_col, F.to_date(ts_col).alias("day")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100, 0).cast("long")).alias("day_cents")
+    )
+    span = daily.groupBy(key_col).agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    spine = span.select(
+        key_col,
+        F.explode(
+            F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, [key_col, "day"], "left")
+    w_run = (
+        W.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = joined.withColumn("grp", F.count("day_cents").over(w_run))
+    return staged.select(
+        key_col,
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (
+            F.max("day_cents").over(W.partitionBy(key_col, "grp")).cast("double")
+            / 100
+        ).alias("filled_value"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )
+
+
+def _ordered_reassemble(pos_col: str, part_col: str, sep: str) -> Column:
+    """collect_list(struct(pos, part)) -> array_sort -> join: the
+    order-restoring aggregation idiom (collect_list order is
+    task-nondeterministic; the struct sort makes it deterministic)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(pos_col, part_col))),
+            lambda x: x[part_col],
+        ),
+        sep,
+    )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Remove repeated ``chunk_words``-word chunks WITHIN each
+    document, preserving first-occurrence order (C4/Dolma-style
+    intra-doc boilerplate removal). Documents shorter than one chunk
+    pass through verbatim (their single partial chunk is trivially
+    first). Embarrassingly document-parallel: every shuffle is keyed
+    by (doc, chunk-position or chunk-text) — no corpus-wide state.
+
+    Output: (id, clean_text, n_chunks, n_kept).
+    """
+    words = df.select(
+        id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "w")
+    )
+    chunks = (
+        words.groupBy(
+            id_col, (F.col("pos") / chunk_words).cast("int").alias("cid")
+        )
+        .agg(_ordered_reassemble("pos", "w", " ").alias("chunk"))
+    )
+    firsts = chunks.groupBy(id_col, "chunk").agg(F.min("cid").alias("keep_cid"))
+    stats = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            _ordered_reassemble("keep_cid", "chunk", " ").alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(stats, id_col)
+        .select(id_col, "clean_text", "n_chunks", "n_kept")
+    )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    bucket_size: int = 256,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size systematic
+    sampling: lay items on [0, total_weight) in id order and pick the
+    item covering each multiple of total/k. Entirely int64 — the
+    crossing test is an integer-DIV inequality, so any engine selects
+    the identical sample and total picks is EXACTLY k (the k
+    boundaries partition the weight line; items heavier than total/k
+    earn multiple picks).
+
+    The prefix sum is two-level: running sums within id-range buckets
+    plus a running offset over the (tiny) bucket-total table — never
+    one global window over the data.
+
+    Output: (id, w long, picks long) for picked items only.
+    """
+    wt = df.select(
+        id_col,
+        F.col(weight_col).cast("long").alias("w"),
+        (F.col(id_col) / bucket_size).cast("long").alias("bucket"),
+    )
+    btot = wt.groupBy("bucket").agg(F.sum("w").alias("bw"))
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    boff = btot.select(
+        F.col("bucket").alias("obucket"),
+        (F.sum("bw").over(w_b) - F.col("bw")).alias("offset"),
+    )
+    total = wt.agg(F.sum("w").alias("total"))
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = wt.join(F.broadcast(boff), F.col("bucket") == F.col("obucket")).select(
+        id_col, "w", (F.col("offset") + F.sum("w").over(w_in)).alias("c")
+    )
+    hi = F.expr(f"(c * {int(k)}) DIV total")
+    lo = F.expr(f"((c - w) * {int(k)}) DIV total")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(hi > lo)
+        .select(id_col, "w", (hi - lo).alias("picks"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Damped PageRank power iteration, fully declarative: each
+    iteration is one aggregation over the weighted edge list — a
+    Python loop builds the plan, nothing executes per-iteration on
+    the driver. ``edges`` must have (src, dst, w); ``nodes`` a single
+    ``node`` column (n rows). Edge weights normalize to out-fractions
+    once; nodes without in-edges keep the teleport base. Lost mass
+    from dangling nodes (no out-edges) is dropped, the simplified-PR
+    convention — document it when comparing engines.
+
+    Ranks are O(1/n)-magnitude doubles; per-node contribution sums
+    have summation-order freedom, so emit round(.., 6) when
+    hash-comparing across engines.
+
+    Output: (node, pr double) after ``iters`` iterations.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    n = nodes.count()  # metadata-scale scalar (node set is small)
+    frac = pagerank_fractions(edges)
+    pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(iters):
+        pr = pagerank_step(nodes, frac, pr, n, damping)
+    return pr
+
+
+def pagerank_fractions(edges: DataFrame) -> DataFrame:
+    """Normalize (src, dst, w) edge weights to per-src out-fractions —
+    the one-time graph materialization every iteration reuses."""
+    outw = edges.groupBy(F.col("src").alias("osrc")).agg(F.sum("w").alias("ow"))
+    return edges.join(F.broadcast(outw), F.col("src") == F.col("osrc")).select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("ow").cast("double")).alias("f"),
+    )
+
+
+def pagerank_step(
+    nodes: DataFrame,
+    frac: DataFrame,
+    prev: DataFrame,
+    n: int,
+    damping: float = 0.85,
+) -> DataFrame:
+    """One damped power-iteration step: pr'(v) = (1-d)/n + d *
+    sum over in-edges of f(u,v) * pr(u). ``prev`` must be
+    (node, pr); nodes without in-edges keep the teleport base."""
+    base = F.lit(1.0 - damping) / n
+    return (
+        nodes.join(frac, F.col("dst") == F.col("node"), "left")
+        .join(
+            F.broadcast(
+                prev.select(
+                    F.col("node").alias("pnode"), F.col("pr").alias("src_pr")
+                )
+            ),
+            F.col("src") == F.col("pnode"),
+            "left",
+        )
+        .groupBy("node")
+        .agg(
+            (
+                base
+                + F.lit(damping)
+                * F.coalesce(F.sum(F.col("f") * F.col("src_pr")), F.lit(0.0))
+            ).alias("pr")
+        )
+    )

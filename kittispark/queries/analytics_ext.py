@@ -88,37 +88,10 @@ from kittispark.operators.similarity import as_double, dot
     tags=("timeseries", "window"),
 )
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import gapfill_daily
+
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("day_cents")
-    )
-    span = daily.groupBy("user_id").agg(
-        F.min("day").alias("dmin"), F.max("day").alias("dmax")
-    )
-    spine = span.select(
-        "user_id",
-        F.explode(
-            F.sequence("dmin", "dmax", F.expr("INTERVAL 1 DAY"))
-        ).alias("day"),
-    )
-    joined = spine.join(daily, ["user_id", "day"], "left")
-    w_run = (
-        W.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    staged = joined.withColumn("grp", F.count("day_cents").over(w_run))
-    return staged.select(
-        "user_id",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        (
-            F.max("day_cents").over(W.partitionBy("user_id", "grp")).cast("double")
-            / 100
-        ).alias("filled_value"),
-        F.col("day_cents").isNull().alias("is_gap"),
-    )
+    return gapfill_daily(ev, "user_id", "ts", "value")
 
 
 # --------------------------------------------------------------------------
@@ -276,39 +249,10 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "llm"),
 )
 def intra_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import dedup_chunks
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    chunks = (
-        words.groupBy("doc_id", (F.col("pos") / 8).cast("int").alias("cid"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda x: x["w"],
-                ),
-                " ",
-            ).alias("chunk")
-        )
-    )
-    firsts = chunks.groupBy("doc_id", "chunk").agg(F.min("cid").alias("keep_cid"))
-    stats = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    return (
-        firsts.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("keep_cid", "chunk"))),
-                    lambda x: x["chunk"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
-        .join(stats, "doc_id")
-        .select("doc_id", "clean_text", "n_chunks", "n_kept")
-    )
+    return dedup_chunks(docs, "doc_id", "text", chunk_words=8)
 
 
 # --------------------------------------------------------------------------
@@ -367,6 +311,8 @@ def intra_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "iterative"),
 )
 def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import pagerank_fractions, pagerank_step
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -381,39 +327,11 @@ def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    outw = edges.groupBy(F.col("src").alias("osrc")).agg(F.sum("w").alias("ow"))
-    frac = (
-        edges.join(F.broadcast(outw), F.col("src") == F.col("osrc"))
-        .select(
-            "src", "dst", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("f")
-        )
-    )
-    base = F.lit(0.15) / 25
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    pr1 = (
-        nodes.join(frac, F.col("dst") == F.col("node"), "left")
-        .groupBy("node")
-        .agg(
-            (
-                base
-                + F.lit(0.85)
-                * F.coalesce(F.sum(F.col("f") * (F.lit(1.0) / 25)), F.lit(0.0))
-            ).alias("pr")
-        )
-    )
-    pr1_src = pr1.select(F.col("node").alias("pnode"), F.col("pr").alias("src_pr"))
-    pr2 = (
-        nodes.join(frac, F.col("dst") == F.col("node"), "left")
-        .join(F.broadcast(pr1_src), F.col("src") == F.col("pnode"), "left")
-        .groupBy("node")
-        .agg(
-            (
-                base
-                + F.lit(0.85)
-                * F.coalesce(F.sum(F.col("f") * F.col("src_pr")), F.lit(0.0))
-            ).alias("pr2")
-        )
-    )
+    frac = pagerank_fractions(edges)
+    pr0 = nodes.select("node", (F.lit(1.0) / 25).alias("pr"))
+    pr1 = pagerank_step(nodes, frac, pr0, n=25)
+    pr2 = pagerank_step(nodes, frac, pr1, n=25)
     pr1_out = pr1.select(F.col("node").alias("node1"), F.col("pr").alias("pr1v"))
     return (
         pr2.join(F.broadcast(pr1_out), F.col("node") == F.col("node1"))
@@ -421,7 +339,7 @@ def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.round("pr1v", 6).alias("pr_iter1"),
-            F.round("pr2", 6).alias("pr_iter2"),
+            F.round("pr", 6).alias("pr_iter2"),
         )
     )
 
@@ -464,38 +382,7 @@ def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "llm"),
 )
 def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = 50
-    wt = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("n_chars").alias("w"),
-        (F.col("doc_id") / 256).cast("long").alias("bucket"),
-    )
-    btot = wt.groupBy("bucket").agg(F.sum("w").alias("bw"))
-    # Running offset across buckets: a window over #buckets rows
-    # (corpus_size/256 — thousands at most), not over the corpus.
-    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
-    boff = btot.select(
-        F.col("bucket").alias("obucket"),
-        (F.sum("bw").over(w_b) - F.col("bw")).alias("offset"),
-    )
-    total = wt.agg(F.sum("w").alias("total"))
-    w_in = (
-        W.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = (
-        wt.join(F.broadcast(boff), F.col("bucket") == F.col("obucket"))
-        .select(
-            "doc_id",
-            "w",
-            (F.col("offset") + F.sum("w").over(w_in)).alias("c"),
-        )
-    )
-    hi = F.expr(f"(c * {k}) DIV total")
-    lo = F.expr(f"((c - w) * {k}) DIV total")
-    return (
-        cum.crossJoin(F.broadcast(total))
-        .filter(hi > lo)
-        .select("doc_id", F.col("w").cast("long").alias("w"), (hi - lo).alias("picks"))
-    )
+    from kittispark.operators.analytics import pps_systematic_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return pps_systematic_sample(docs, "doc_id", "n_chars", k=50, bucket_size=256)

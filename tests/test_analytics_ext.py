@@ -109,3 +109,96 @@ def test_systematic_sample_hits_target_size(run):
     assert df.agg(F.sum("picks")).first()[0] == 50
     assert df.filter(F.col("picks") < 1).count() == 0
     df.unpersist()
+
+
+# ---- operator-level edge inputs (constructed, not fixture-bound) ----
+
+
+def test_gapfill_single_day_key(spark):
+    from kittispark.operators.analytics import gapfill_daily
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 10:00:00", 2.5), (1, "2024-03-05 11:00:00", 1.5)],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    rows = gapfill_daily(df, "k", "ts", "v").collect()
+    assert len(rows) == 1
+    assert rows[0].day == "2024-03-05"
+    assert rows[0].filled_value == 4.0
+    assert rows[0].is_gap is False
+
+
+def test_gapfill_fills_interior_gap_with_last_value(spark):
+    from kittispark.operators.analytics import gapfill_daily
+
+    df = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 3.0), (7, "2024-01-04 00:00:00", 9.0)],
+        ["k", "ts", "v"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {r.day: (r.filled_value, r.is_gap) for r in gapfill_daily(df, "k", "ts", "v").collect()}
+    assert out == {
+        "2024-01-01": (3.0, False),
+        "2024-01-02": (3.0, True),
+        "2024-01-03": (3.0, True),
+        "2024-01-04": (9.0, False),
+    }
+
+
+def test_dedup_chunks_short_doc_verbatim(spark):
+    from kittispark.operators.analytics import dedup_chunks
+
+    df = spark.createDataFrame([(1, "just five words right here")], ["doc_id", "text"])
+    r = dedup_chunks(df).collect()[0]
+    assert r.clean_text == "just five words right here"
+    assert (r.n_chunks, r.n_kept) == (1, 1)
+
+
+def test_dedup_chunks_removes_exact_repeat_keeps_order(spark):
+    from kittispark.operators.analytics import dedup_chunks
+
+    rep = "a b c d e f g h"
+    text = f"{rep} x1 x2 x3 x4 x5 x6 x7 x8 {rep} tail"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = dedup_chunks(df).collect()[0]
+    assert r.clean_text == f"{rep} x1 x2 x3 x4 x5 x6 x7 x8 tail"
+    assert (r.n_chunks, r.n_kept) == (4, 3)
+
+
+def test_pps_sample_heavy_item_earns_multiple_picks(spark):
+    from kittispark.operators.analytics import pps_systematic_sample
+
+    # one item holds 60% of the mass -> with k=5 it must take >= 2 picks
+    df = spark.createDataFrame(
+        [(1, 10), (2, 60), (3, 10), (4, 10), (5, 10)], ["id", "wt"]
+    )
+    out = pps_systematic_sample(df, "id", "wt", k=5, bucket_size=2)
+    rows = {r.id: r.picks for r in out.collect()}
+    assert sum(rows.values()) == 5
+    assert rows[2] >= 2
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from kittispark.operators.analytics import pagerank
+
+    # a directed 4-cycle is weight-symmetric: PR stays uniform at 1/4
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1)], ["src", "dst", "w"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    rows = pagerank(edges, nodes, iters=3).collect()
+    for r in rows:
+        assert abs(r.pr - 0.25) < 1e-12
+
+
+def test_pagerank_sink_node_accumulates(spark):
+    from kittispark.operators.analytics import pagerank
+
+    # 0 and 1 both point at 2; 2 points at 0. Node 2 must outrank both.
+    edges = spark.createDataFrame(
+        [(0, 2, 1), (1, 2, 1), (2, 0, 1)], ["src", "dst", "w"]
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], ["node"])
+    pr = {r.node: r.pr for r in pagerank(edges, nodes, iters=5).collect()}
+    assert pr[2] > pr[0] > pr[1]
+    # node 1 has no in-edges: exactly the teleport base
+    assert abs(pr[1] - 0.15 / 3) < 1e-12
