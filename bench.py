@@ -50,6 +50,13 @@ HEADLINE = [
     "semantic_dedup_clustered",
     "bloom_prune_semi_join",
     "merge_upsert_snapshot",
+    # round-4 families: the heaviest of the TPC-H completion suite
+    # (7-way star; double fact pass + distinct aggs) and the new
+    # retrieval / intra-doc-dedup paths:
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "rank_fusion_rrf",
+    "intra_doc_chunk_dedup",
 ]
 
 
