@@ -240,3 +240,68 @@ def pagerank_step(
             ).alias("pr")
         )
     )
+
+
+def global_rank(
+    df: DataFrame,
+    *order_cols: Column,
+    out_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number over a total order WITHOUT a
+    single-partition window: repartitionByRange places partition i's
+    keys entirely before partition i+1's, per-partition row_number
+    runs in parallel, and a running offset over the (tiny)
+    partition-size table lifts local numbers to global ranks — the
+    same two-level prefix-sum shape as pps_systematic_sample. The
+    order must be total (include a unique tiebreak column) for the
+    rank to be deterministic.
+    """
+    parts = df.repartitionByRange(
+        *( [partitions] if partitions else [] ), *order_cols
+    )
+    w_local = W.partitionBy("__pid").orderBy(*order_cols)
+    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lr", F.row_number().over(w_local)
+    )
+    sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offs = sizes.select(
+        F.col("__pid").alias("__opid"),
+        (F.sum("__n").over(w_off) - F.col("__n")).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), F.col("__pid") == F.col("__opid"))
+        .withColumn(out_col, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__opid", "__off")
+    )
+
+
+def _exact_div(a: Column, b: Column) -> Column:
+    """Integer floor division for non-negative int64 columns, exact
+    below 2^53: subtracting a % b first makes the double division
+    land on an exact integer (plain long/long -> double followed by
+    a truncating cast can mis-round at quotient boundaries)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
+    """Closed-form SQL-standard ntile(k) from an exact 1-based rank
+    and the total row count: the first (n mod k) buckets hold
+    floor(n/k)+1 rows each, the rest floor(n/k). Pure integer
+    arithmetic — replays bit-identically in any engine, unlike a
+    second window. greatest(base, 1) guards the n < k case (where
+    the first branch always applies)."""
+    n = n_rows.cast("long")
+    base = _exact_div(n, F.lit(k).cast("long"))
+    rem = n % k
+    big_span = (base + 1) * rem
+    return (
+        F.when(rank <= big_span, _exact_div(rank - 1, base + 1) + 1)
+        .otherwise(
+            rem
+            + _exact_div(rank - 1 - big_span, F.greatest(base, F.lit(1).cast("long")))
+            + 1
+        )
+        .cast("int")
+    )

@@ -773,17 +773,18 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Equi-DEPTH user spend deciles (the whale-curve profile; "
     "value_histogram is the equi-width twin): per-user purchase "
     "totals in exact integer micros (float sums would make the "
-    "decile CUT ORDER engine-dependent at the boundaries), ntile(10) "
-    "over the (desc spend, user_id) total order, then per-decile "
-    "accounting. One user-key hash agg, one global window over the "
-    "user-level rows (cardinality = users, not events), one tiny "
-    "agg. At 100 TB replace the global ntile sort with "
-    "approx-quantile cut points; the exact form is the oracle "
-    "anchor.",
+    "decile CUT ORDER engine-dependent at the boundaries), then "
+    "EXACT ntile(10) over the (desc spend, user_id) total order "
+    "computed scalably: a two-level distributed rank "
+    "(repartitionByRange + per-partition row_number + running "
+    "offsets over the tiny partition-size table) and the closed-form "
+    "integer tile formula — bit-identical to the engines' ntile "
+    "window but with no single-partition sort anywhere "
+    "(operators.analytics.global_rank/ntile_from_rank).",
     tags=("events", "analytics"),
 )
 def decile_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from kittispark.operators.analytics import global_rank, ntile_from_rank
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     spend = ev.groupBy("user_id").agg(
@@ -792,8 +793,15 @@ def decile_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_purchases"),
     )
-    w = W.orderBy(F.desc("spend_micros"), F.asc("user_id"))
-    ranked = spend.select("*", F.ntile(10).over(w).alias("decile"))
+    # exact ntile(10) over the total order, but DISTRIBUTED: two-level
+    # rank (range repartition + per-partition row_number + offsets)
+    # and the closed-form tile formula replace the single-partition
+    # global window the naive W.orderBy(...) form would plan
+    rk = global_rank(spend, F.desc("spend_micros"), F.asc("user_id"))
+    n = spend.agg(F.count(F.lit(1)).alias("__nrows"))
+    ranked = rk.crossJoin(F.broadcast(n)).select(
+        "*", ntile_from_rank(F.col("rank"), F.col("__nrows"), 10).alias("decile")
+    )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_purchases").alias("n_purchases"),

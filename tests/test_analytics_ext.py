@@ -202,3 +202,51 @@ def test_pagerank_sink_node_accumulates(spark):
     assert pr[2] > pr[0] > pr[1]
     # node 1 has no in-edges: exactly the teleport base
     assert abs(pr[1] - 0.15 / 3) < 1e-12
+
+
+def test_global_rank_equals_window_row_number(spark):
+    from pyspark.sql import Window as W2
+    from kittispark.operators.analytics import global_rank
+
+    df = spark.range(0, 997).select(
+        F.col("id"), (F.xxhash64("id") % 100).alias("v")
+    )
+    got = global_rank(df, F.desc("v"), F.asc("id"), partitions=7)
+    want = df.select(
+        "id", F.row_number().over(W2.orderBy(F.desc("v"), F.asc("id"))).alias("xr")
+    )
+    diff = got.join(want, "id").filter(F.col("rank") != F.col("xr")).count()
+    assert diff == 0
+
+
+@pytest.mark.parametrize("n,k", [(7, 10), (100, 10), (103, 10), (9, 3), (1, 10)])
+def test_ntile_formula_matches_native(spark, n, k):
+    from pyspark.sql import Window as W2
+    from kittispark.operators.analytics import ntile_from_rank
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+    out = df.select(
+        "rank",
+        ntile_from_rank(F.col("rank"), F.lit(n), k).alias("formula"),
+        F.ntile(k).over(W2.orderBy("rank")).alias("native"),
+    )
+    assert out.filter(F.col("formula") != F.col("native")).count() == 0
+
+
+def test_decile_plan_has_no_global_data_window(plans_sf=None):
+    # the decile query must range-repartition and rank per partition,
+    # never sort all user rows in one window partition
+    import io, contextlib
+    from kittispark import registry, get_spark
+
+    spark = get_spark("plan-probe")
+    qs = registry.queries()
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        qs["decile_spend_profile"](spark, "/root/testdata/sf0.001").explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+    assert "ntile" not in plan.lower()
