@@ -358,3 +358,15 @@ def test_q22_anti_join_and_scalar_broadcast(plans):
     assert re.search(r"BroadcastNestedLoopJoin Cross BuildRight", plan)
     # nation IN-list pushes into the customer scan
     assert "In(c_nationkey" in plan
+
+
+def test_q10_rank_limit_pushes_take_ordered(plans):
+    # row_number over a GLOBAL order + rk <= 20 must plan
+    # TakeOrderedAndProject BELOW the window (rank-limit pushdown):
+    # only the global top-20 rows ever reach the single-partition
+    # window, making the "global" window O(k), not O(customers).
+    plan = plans("q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    i_take = plan.find("TakeOrderedAndProject")
+    i_win = plan.find("+- Window")
+    assert i_win != -1 and i_win < i_take  # window consumes the take
