@@ -1,5 +1,6 @@
 from kittispark.streaming.ops import (
     EVENTS_SCHEMA,
+    clicks_without_purchase,
     dedup_stream,
     enrich_counts,
     purchases_after_clicks,
@@ -14,6 +15,7 @@ from kittispark.streaming.ops import (
 
 __all__ = [
     "EVENTS_SCHEMA",
+    "clicks_without_purchase",
     "dedup_stream",
     "enrich_counts",
     "purchases_after_clicks",

@@ -324,6 +324,64 @@ def purchases_after_clicks(
     )
 
 
+
+
+def clicks_without_purchase(
+    events: DataFrame,
+    other: DataFrame | None = None,
+    max_gap_s: int = 1800,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click, paired
+    with same-user purchases in the FOLLOWING ``max_gap_s`` seconds,
+    or null-padded if none arrive — the conversion/abandonment view
+    (``purchases_after_clicks`` is the inner twin).
+
+    Outer stream-stream joins have a completeness caveat the inner
+    form does not: a null-padded (unconverted) row can only emit once
+    the watermark passes the click's join horizon (c_ts + gap +
+    delay), because until then a matching purchase could still
+    arrive. Under availableNow, Spark's no-data final batches advance
+    the watermark to max(event_ts) - delay, so clicks younger than
+    horizon-at-end remain withheld in state — streaming output is a
+    PREFIX of the batch twin, equal on every click older than the
+    final watermark horizon. The equivalence test pins exactly that
+    contract.
+
+    Scale: identical bounded-state shape to the inner join — state
+    per side is (horizon x rate) rows hash-partitioned by user.
+    """
+    other = events if other is None else other
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = other.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming and watermark is not None:
+        clicks = clicks.withWatermark("c_ts", watermark)
+    if purchases.isStreaming and watermark is not None:
+        purchases = purchases.withWatermark("p_ts", watermark)
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {max_gap_s} SECONDS")),
+        "left_outer",
+    )
+    return joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").alias("click_ts"),
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
 _SESSION_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -243,3 +243,46 @@ def test_session_tracker_stateful_timeouts(spark, tmp_path, batch_events):
     )
     assert got_rows <= want_rows, "emitted a session the batch twin doesn't have"
     assert len(got_rows) > len(must_emit) * 0.5  # sanity: emissions happened
+
+
+def test_stream_stream_left_outer_join_prefix_of_batch(
+    spark, tmp_path, batch_events
+):
+    # Outer-join contract: a null-padded (unconverted) click emits
+    # only after the watermark passes its join horizon, so streaming
+    # output == batch output restricted to clicks older than the
+    # final watermark horizon, and is always a subset of batch.
+    ordered_dir = str(tmp_path / "ordered_landing_lo")
+    _write_time_ordered_landing(batch_events, ordered_dir)
+    stream = S.read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
+    gap_s, delay = 1800, "2 hours"
+    got = S.run_available_now(
+        S.clicks_without_purchase(stream, max_gap_s=gap_s, watermark=delay),
+        "ssj_lo_t",
+        output_mode="append",
+    )
+    want = S.clicks_without_purchase(batch_events, max_gap_s=gap_s)
+    # subset: streaming never invents a pair or a false non-conversion
+    got_k = _rows(got, "click_id", "purchase_id")
+    want_k = _rows(want, "click_id", "purchase_id")
+    assert set(got_k) <= set(want_k)
+    # equality on the closed region. The theoretical horizon is
+    # max_ts - delay - gap, but the join's state-watermark eviction
+    # carries extra slack (measured: one unconverted click 3h55m from
+    # stream end stayed withheld) — use a 6h margin, comfortably past
+    # the observed frontier while leaving 29+ days of closed region.
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    closed = max_ts - datetime.timedelta(hours=6)
+    got_closed = _rows(
+        got.filter(F.col("click_ts") < F.lit(closed)), "click_id", "purchase_id"
+    )
+    want_closed = _rows(
+        want.filter(F.col("click_ts") < F.lit(closed)), "click_id", "purchase_id"
+    )
+    assert got_closed == want_closed
+    # both outcomes occur in the closed region
+    closed_df = got.filter(F.col("click_ts") < F.lit(closed))
+    assert closed_df.filter("converted").count() > 0
+    assert closed_df.filter(~F.col("converted")).count() > 0
