@@ -125,3 +125,55 @@ def test_pack_sequences_bucket_invariance(spark):
             for r in pack_sequences(docs, budget=256, bucket_width=width).collect()
         )
         assert alt == base, f"packing differs at bucket_width={width}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(1, 400), k=st.integers(1, 20))
+def test_ntile_formula_property(spark, n, k):
+    # the closed-form tile must equal the engine's ntile for every
+    # (n, k), including n < k and every remainder class
+    from pyspark.sql import Window as W
+    from kittispark.operators.analytics import ntile_from_rank
+
+    df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+    bad = (
+        df.select(
+            ntile_from_rank(F.col("rank"), F.lit(n), k).alias("f"),
+            F.ntile(k).over(W.orderBy("rank")).alias("g"),
+        )
+        .filter(F.col("f") != F.col("g"))
+        .count()
+    )
+    assert bad == 0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    k=st.integers(1, 15),
+)
+def test_pps_sample_total_picks_property(spark, weights, k):
+    # picks always total exactly k, every picked weight >= 1, and a
+    # deterministic re-run selects the identical sample
+    from kittispark.operators.analytics import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], ["id", "wt"]
+    )
+    out = pps_systematic_sample(df, "id", "wt", k=k, bucket_size=7)
+    rows = sorted((r.id, r.picks) for r in out.collect())
+    assert sum(p for _, p in rows) == k
+    rows2 = sorted(
+        (r.id, r.picks)
+        for r in pps_systematic_sample(df, "id", "wt", k=k, bucket_size=3).collect()
+    )
+    # bucket size is an execution detail, never a semantic one
+    assert rows == rows2
