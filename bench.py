@@ -89,6 +89,7 @@ def main() -> None:
     # comparison.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -96,7 +97,11 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
-        timings[name] = round(statistics.median(runs), 3)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        # relative min-max spread: round-over-round drift smaller than
+        # a query's own same-session spread is noise, not regression
+        spread[name] = round((max(runs) - min(runs)) / med, 2) if med else 0.0
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -107,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "iterations": iters,
                 # Methodology: r01 was a SINGLE cold run (plan compile
