@@ -29,7 +29,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 POINTS_DDL = "frame_id string, x double, y double, z double, intensity double"
 
@@ -83,6 +89,73 @@ class KittiPointsReader(DataSourceReader):
             )
 
 
+class _BinCommit(WriterCommitMessage):
+    def __init__(self, frames: Sequence[str]):
+        self.frames = list(frames)
+
+
+class KittiPointsWriter(DataSourceWriter):
+    """Write half of `format("kitti_points")`: one little-endian
+    `.bin` per frame_id (same basename contract as the reference
+    sink, data_pipeline.py:81), with two-phase commit.
+
+    Contract: the input must be partitioned by frame_id
+    (`df.repartition("frame_id")`) so each frame's rows reach ONE
+    task — a frame split across tasks would mean a torn file, which
+    commit() detects (frames are reported per task and cross-task
+    duplicates abort the job) rather than silently accepting.
+    Executors must share a filesystem with the target directory;
+    on object storage use sinks.write_frames (parquet) instead.
+
+    dtype option: '<f4' (default, KITTI on-disk) or '<f8'
+    (bug-compatible with the reference's promoted float64 bytes).
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kitti_points requires a save(path) directory")
+        self._dir = path
+        self._dtype = options.get("dtype", "<f4")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> "_BinCommit":
+        import numpy as np
+
+        os.makedirs(self._dir, exist_ok=True)
+        buf: dict[str, list] = {}
+        for row in iterator:
+            buf.setdefault(row["frame_id"], []).append(
+                (row["x"], row["y"], row["z"], row["intensity"])
+            )
+        for frame, pts in buf.items():
+            arr = np.asarray(pts, dtype="f8")
+            arr.astype(self._dtype).tofile(
+                os.path.join(self._dir, f"{frame}.bin")
+            )
+        return _BinCommit(sorted(buf))
+
+    def commit(self, messages) -> None:
+        seen: set[str] = set()
+        for m in messages:
+            for frame in m.frames:
+                if frame in seen:
+                    raise RuntimeError(
+                        f"frame {frame!r} was written by more than one task — "
+                        "repartition the input by frame_id before writing"
+                    )
+                seen.add(frame)
+
+    def abort(self, messages) -> None:
+        # best-effort: remove files the completed tasks reported
+        for m in messages:
+            for frame in m.frames:
+                try:
+                    os.remove(os.path.join(self._dir, f"{frame}.bin"))
+                except OSError:
+                    pass
+
+
 class KittiPointsDataSource(DataSource):
     """`format("kitti_points")` — see module docstring."""
 
@@ -95,6 +168,9 @@ class KittiPointsDataSource(DataSource):
 
     def reader(self, schema) -> KittiPointsReader:
         return KittiPointsReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> KittiPointsWriter:
+        return KittiPointsWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
