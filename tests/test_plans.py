@@ -370,3 +370,12 @@ def test_q10_rank_limit_pushes_take_ordered(plans):
     i_take = plan.find("TakeOrderedAndProject")
     i_win = plan.find("+- Window")
     assert i_win != -1 and i_win < i_take  # window consumes the take
+
+
+def test_intra_doc_dedup_no_word_level_shuffle(plans):
+    # chunks build map-side from array slices: exactly one Generate
+    # (the chunk posexplode — never a word explode) and two shuffles
+    # (the two doc-keyed dedup aggregations)
+    plan = plans("intra_doc_chunk_dedup")
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)) == 1
+    assert shuffle_exchanges(plan) == 2
