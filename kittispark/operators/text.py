@@ -318,3 +318,82 @@ def pack_sequences(
         last_seq.alias("last_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+def cms_token_sketch(
+    tokens: DataFrame, tok_col: str = "tok", depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch of token frequencies: ``depth`` hash rows x
+    ``width`` buckets, built in ONE pass (each token expands to
+    `depth` (row, bucket) pairs via an array explode, then a single
+    (row, bucket) hash agg whose output is at most depth*width rows
+    regardless of corpus size — the classic bounded-memory frequency
+    summary). Hashing is the engine-portable md5 scheme
+    (dedup.portable_hash64 with a per-row salt), so a SQL oracle
+    reproduces every counter exactly. Point estimates = min over
+    rows of the token's counters; one-sided error (never under-
+    counts), overcount <= N*e/width with prob 1-exp(-depth).
+    """
+    from kittispark.operators.dedup import portable_hash64
+
+    pairs = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            portable_hash64(
+                                F.concat(F.lit(f"r{r}|"), F.col(tok_col))
+                            ),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return pairs.groupBy(
+        F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    tok_col: str = "tok",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate candidate tokens against a count-min sketch:
+    recompute each candidate's `depth` buckets map-side, broadcast-
+    join the (<= depth*width row) sketch, take the min counter. Adds
+    ``est_cnt`` to the candidate rows."""
+    from kittispark.operators.dedup import portable_hash64
+
+    probes = candidates.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            portable_hash64(
+                                F.concat(F.lit(f"r{r}|"), F.col(tok_col))
+                            ),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("*", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")).drop("rb")
+    others = [c for c in candidates.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy(*others)
+        .agg(F.min("c").alias("est_cnt"))
+    )

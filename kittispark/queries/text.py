@@ -742,3 +742,84 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tok_counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, exact_cnt FROM (
+            SELECT tok, exact_cnt,
+                   row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rk
+            FROM tok_counts
+        ) WHERE rk <= 20
+    ),
+    rows AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    hashed AS (
+        SELECT rows.r,
+               CAST(CAST(('0x' || substring(
+                   md5('r' || CAST(rows.r AS VARCHAR) || '|' || toks.tok),
+                   1, 15)) AS UBIGINT) % 512 AS BIGINT) AS b
+        FROM toks CROSS JOIN rows
+    ),
+    sketch AS (
+        SELECT r, b, CAST(count(*) AS BIGINT) AS c
+        FROM hashed GROUP BY r, b
+    ),
+    cand AS (
+        SELECT t.tok, t.exact_cnt, rows.r,
+               CAST(CAST(('0x' || substring(
+                   md5('r' || CAST(rows.r AS VARCHAR) || '|' || t.tok),
+                   1, 15)) AS UBIGINT) % 512 AS BIGINT) AS b
+        FROM top t CROSS JOIN rows
+    )
+    SELECT c.tok AS token, c.exact_cnt,
+           CAST(min(s.c) AS BIGINT) AS est_cnt,
+           CAST(min(s.c) - c.exact_cnt AS BIGINT) AS overest
+    FROM cand c JOIN sketch s ON c.r = s.r AND c.b = s.b
+    GROUP BY c.tok, c.exact_cnt
+    """,
+    doc="Count-min-sketch heavy hitters: a 4x512 CMS of corpus token "
+    "frequencies (one pass, <= 2048 counters total regardless of "
+    "corpus size) point-estimates the exact top-20 tokens. Hashing "
+    "is the engine-portable md5 scheme, so the DuckDB twin rebuilds "
+    "the identical sketch and the per-token estimates hash-match "
+    "bit-for-bit — the approx_count_distinct adjudication pattern "
+    "applied to a sketch WE implement rather than one Spark ships. "
+    "CMS is one-sided: overest >= 0 always (pinned in tests). At "
+    "100 TB the sketch is the point: a 2048-row summary replaces a "
+    "vocabulary-sized shuffle when only heavy-hitter estimates are "
+    "needed; the exact top-20 here exists to grade the estimates.",
+    tags=("text", "sketch", "llm"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from kittispark.operators.text import cms_estimate, cms_token_sketch
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    sketch = cms_token_sketch(toks, "tok", depth=4, width=512)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (
+        counts.select(
+            "*",
+            F.row_number()
+            .over(W.orderBy(F.desc("exact_cnt"), F.asc("tok")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    return cms_estimate(top, sketch, "tok", depth=4, width=512).select(
+        F.col("tok").alias("token"),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overest"),
+    )

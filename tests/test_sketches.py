@@ -28,3 +28,15 @@ def test_percentile_approx_close_to_exact(spark):
     # small absolute band scaled by the value range (0..500).
     bad = [r for r in rows if abs(r["approx"] - r["exact"]) > 25.0]
     assert not bad, bad[:5]
+
+
+def test_cms_never_undercounts(spark):
+    # CMS point estimates are one-sided: est >= exact for EVERY token
+    from kittispark.registry import all_specs
+    from pyspark.sql import functions as F
+
+    df = all_specs()["cms_heavy_hitters"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r.overest >= 0 for r in rows)
+    assert all(r.est_cnt >= r.exact_cnt for r in rows)
