@@ -74,7 +74,13 @@ class KittiPointsReader(DataSourceReader):
         for path in partition.paths:
             frame_id = os.path.basename(path).rsplit(".", 1)[0]
             with open(path, "rb") as f:
-                arr = np.frombuffer(f.read(), dtype="<f4").reshape(-1, 4)
+                raw = f.read()
+            if len(raw) % 16:
+                raise ValueError(
+                    f"corrupt .bin file {path}: {len(raw)} bytes is not a "
+                    "multiple of 16 (4 x float32 per point)"
+                )
+            arr = np.frombuffer(raw, dtype="<f4").reshape(-1, 4)
             arr64 = arr.astype("f8")
             n = arr64.shape[0]
             yield pa.RecordBatch.from_arrays(

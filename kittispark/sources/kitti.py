@@ -63,6 +63,11 @@ def read_points(spark: SparkSession, pocl_dir: str) -> DataFrame:
         for pdf in batches:
             frames, mats = [], []
             for fid, blob in zip(pdf["frame_id"], pdf["content"]):
+                if len(blob) % 16:
+                    raise ValueError(
+                        f"corrupt .bin for frame {fid!r}: {len(blob)} bytes "
+                        "is not a multiple of 16 (4 x float32 per point)"
+                    )
                 arr = np.frombuffer(blob, dtype="<f4").reshape(-1, 4).astype("f8")
                 frames.append(np.repeat(fid, arr.shape[0]))
                 mats.append(arr)

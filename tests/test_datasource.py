@@ -136,3 +136,18 @@ def test_datasource_writer_float64_option_bytes(spark, kitti_dir, tmp_path):
     )
     got = sorted(map(tuple, arr.tolist()))
     assert got == sorted((r.x, r.y, r.z, r.intensity) for r in want)
+
+
+def test_truncated_bin_raises_clear_error(spark, tmp_path):
+    # a torn file (non-multiple-of-16 bytes) must fail loudly with the
+    # offending path, not a cryptic numpy reshape error
+    import numpy as np
+
+    d = tmp_path / "velodyne_bad"
+    d.mkdir()
+    good = np.arange(16, dtype="<f4")
+    good.tofile(d / "000000.bin")
+    (d / "000001.bin").write_bytes(good.tobytes()[:-3])
+    register(spark)
+    with pytest.raises(Exception, match="corrupt .bin"):
+        spark.read.format("kitti_points").load(str(d)).count()
