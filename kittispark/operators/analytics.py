@@ -95,29 +95,25 @@ def dedup_chunks(
 
     Output: (id, clean_text, n_chunks, n_kept).
 
-    Plan note: chunks are built MAP-SIDE by slicing the split array
-    (transform(sequence(..), i -> array_join(slice(words, i*w+1, w)))),
-    so no word-level rows ever shuffle — the earlier form exploded
-    every word and re-grouped with collect_list, an 8x-larger shuffle
-    plus a nondeterministic-order reassembly. Only chunk rows (1/w of
-    the words) reach the two dedup aggregations.
+    Plan note (measured, not guessed): chunks are built by word
+    posexplode + (doc, chunk-id) groupBy. The tempting "map-side"
+    alternative — transform(sequence(..), i -> array_join(slice(
+    words, ..))) — avoids the word-level shuffle but re-triggers the
+    HOF-lambda inlining pitfall (shingle_rows docstring): Catalyst's
+    projection collapse substitutes the split() INTO the lambda, so
+    every chunk re-tokenizes the document — measured 3x slower at
+    sf0.1 (0.33 s -> 0.98 s) despite the smaller shuffle. The word
+    shuffle partitions by doc_id, which the downstream dedup
+    aggregations reuse.
     """
-    words_arr = F.split(text_col, " ")
-    n_chunks = F.ceil(F.size(words_arr) / F.lit(chunk_words)).cast("long")
-    chunks_arr = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(
-            F.slice(words_arr, i * chunk_words + 1, chunk_words), " "
-        ),
+    words = df.select(
+        id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "w")
     )
-    base = df.select(
-        id_col, n_chunks.alias("n_chunks"), chunks_arr.alias("__chunks")
-    )
-    chunks = base.select(
-        id_col, F.posexplode("__chunks").alias("cid", "chunk")
-    )
+    chunks = words.groupBy(
+        id_col, (F.col("pos") / chunk_words).cast("int").alias("cid")
+    ).agg(_ordered_reassemble("pos", "w", " ").alias("chunk"))
     firsts = chunks.groupBy(id_col, "chunk").agg(F.min("cid").alias("keep_cid"))
-    stats = base.select(id_col, "n_chunks")
+    stats = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     return (
         firsts.groupBy(id_col)
         .agg(
