@@ -392,8 +392,11 @@ def cms_estimate(
         ).alias("rb"),
     ).select("*", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")).drop("rb")
     others = [c for c in candidates.columns]
+    # left join + coalesce(0): a candidate token whose bucket row is
+    # absent from the sketch hit an EMPTY counter — its estimate is 0
+    # (an inner join would silently drop the token instead)
     return (
-        probes.join(F.broadcast(sketch), ["r", "b"])
+        probes.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy(*others)
-        .agg(F.min("c").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_cnt"))
     )

@@ -40,3 +40,20 @@ def test_cms_never_undercounts(spark):
     assert len(rows) == 20
     assert all(r.overest >= 0 for r in rows)
     assert all(r.est_cnt >= r.exact_cnt for r in rows)
+
+
+def test_cms_unseen_token_estimates_zero_or_collision(spark):
+    # a token never inserted must estimate 0 unless ALL its buckets
+    # collide with real tokens — never silently vanish from output
+    from pyspark.sql import functions as F
+    from kittispark.operators.text import cms_estimate, cms_token_sketch
+
+    toks = spark.createDataFrame([("a",), ("a",), ("b",)], ["tok"])
+    sketch = cms_token_sketch(toks, "tok", depth=4, width=512)
+    cand = spark.createDataFrame(
+        [("a",), ("zzz_never_inserted",)], ["tok"]
+    )
+    rows = {r.tok: r.est_cnt for r in cms_estimate(cand, sketch).collect()}
+    assert set(rows) == {"a", "zzz_never_inserted"}
+    assert rows["a"] >= 2
+    assert rows["zzz_never_inserted"] >= 0  # present, with a 0-or-collision estimate
