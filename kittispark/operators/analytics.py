@@ -199,10 +199,15 @@ def pagerank(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     n = nodes.count()  # metadata-scale scalar (node set is small)
-    frac = pagerank_fractions(edges)
+    # localCheckpoint (the connected_components idiom) truncates the
+    # lineage: without it iteration i's plan REPLAYS the whole edge
+    # aggregation and every earlier iteration — plan size doubles per
+    # round (30 parquet scans by iteration 2, measured) and the fact
+    # table would be re-scanned 2^iters times.
+    frac = pagerank_fractions(edges).localCheckpoint()
     pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
     for _ in range(iters):
-        pr = pagerank_step(nodes, frac, pr, n, damping)
+        pr = pagerank_step(nodes, frac, pr, n, damping).localCheckpoint()
     return pr
 
 

@@ -328,9 +328,12 @@ def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     nodes = nation.select(F.col("n_nationkey").alias("node"))
-    frac = pagerank_fractions(edges)
+    # one fact pass, checkpointed: pr2's plan must reference the 625-row
+    # fraction table, not replay the 4-table edge aggregation (the
+    # lineage otherwise doubles per iteration — see operators.pagerank)
+    frac = pagerank_fractions(edges).localCheckpoint()
     pr0 = nodes.select("node", (F.lit(1.0) / 25).alias("pr"))
-    pr1 = pagerank_step(nodes, frac, pr0, n=25)
+    pr1 = pagerank_step(nodes, frac, pr0, n=25).localCheckpoint()
     pr2 = pagerank_step(nodes, frac, pr1, n=25)
     pr1_out = pr1.select(F.col("node").alias("node1"), F.col("pr").alias("pr1v"))
     return (

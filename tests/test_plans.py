@@ -382,3 +382,33 @@ def test_intra_doc_dedup_single_explode_docwise_shuffles(plans):
     # re-tokenization
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.MULTILINE)) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_windows_partition_by_key(plans):
+    # both the running-count and fill windows must partition by the
+    # key — a global window over the spine would serialize all users
+    plan = plans("timeseries_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only Sort nodes belong to partitioned windows; user_id is a
+    # window partition key somewhere in the plan
+    assert "user_id" in plan
+
+
+def test_rrf_broadcasts_query_side_once(plans):
+    # the 5-query side broadcasts against the corpus; scoring must not
+    # shuffle the corpus for the join itself
+    plan = plans("rank_fusion_rrf")
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE)) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_single_fact_aggregation(plans):
+    # the fact table feeds ONE edge aggregation; iterations run over
+    # the tiny edge list (joins against 25-row node/frac tables)
+    plan = plans("pagerank_nation_flow")
+    assert "CartesianProduct" not in plan
+    scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    # lineitem+orders+customer+supplier once for edges, nation reused:
+    # allow re-scans of the small dims but the plan must stay bounded
+    assert scans <= 12
