@@ -320,6 +320,27 @@ def pack_sequences(
     )
 
 
+def _cms_bucket_structs(tok_col: str, depth: int, width: int):
+    """The (row, bucket) probe array for one token — THE cross-engine
+    hash contract (per-row salt f"r{r}|" + portable md5 mod width),
+    shared by sketch build and estimation so the two can never
+    desynchronize."""
+    from kittispark.operators.dedup import portable_hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    portable_hash64(F.concat(F.lit(f"r{r}|"), F.col(tok_col))),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_token_sketch(
     tokens: DataFrame, tok_col: str = "tok", depth: int = 4, width: int = 512
 ) -> DataFrame:
@@ -334,25 +355,8 @@ def cms_token_sketch(
     rows of the token's counters; one-sided error (never under-
     counts), overcount <= N*e/width with prob 1-exp(-depth).
     """
-    from kittispark.operators.dedup import portable_hash64
-
     pairs = tokens.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(
-                            portable_hash64(
-                                F.concat(F.lit(f"r{r}|"), F.col(tok_col))
-                            ),
-                            F.lit(width),
-                        ).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb")
+        F.explode(_cms_bucket_structs(tok_col, depth, width)).alias("rb")
     )
     return pairs.groupBy(
         F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
@@ -370,26 +374,8 @@ def cms_estimate(
     recompute each candidate's `depth` buckets map-side, broadcast-
     join the (<= depth*width row) sketch, take the min counter. Adds
     ``est_cnt`` to the candidate rows."""
-    from kittispark.operators.dedup import portable_hash64
-
     probes = candidates.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.pmod(
-                            portable_hash64(
-                                F.concat(F.lit(f"r{r}|"), F.col(tok_col))
-                            ),
-                            F.lit(width),
-                        ).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        "*", F.explode(_cms_bucket_structs(tok_col, depth, width)).alias("rb")
     ).select("*", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")).drop("rb")
     others = [c for c in candidates.columns]
     # left join + coalesce(0): a candidate token whose bucket row is

@@ -96,25 +96,32 @@ class KittiPointsReader(DataSourceReader):
 
 
 class _BinCommit(WriterCommitMessage):
-    def __init__(self, frames: Sequence[str]):
+    def __init__(self, frames: Sequence[str], suffix: str):
         self.frames = list(frames)
+        self.suffix = suffix
 
 
 class KittiPointsWriter(DataSourceWriter):
     """Write half of `format("kitti_points")`: one little-endian
     `.bin` per frame_id (same basename contract as the reference
-    sink, data_pipeline.py:81), with two-phase commit.
+    sink, data_pipeline.py:81), with a REAL two-phase commit: tasks
+    write `<frame>.bin.tmp-<task-token>` files and only commit()
+    renames them to their final names — a failed job (or a task that
+    dies mid-write) never leaves byte-valid final files behind.
 
     Contract: the input must be partitioned by frame_id
     (`df.repartition("frame_id")`) so each frame's rows reach ONE
     task — a frame split across tasks would mean a torn file, which
     commit() detects (frames are reported per task and cross-task
-    duplicates abort the job) rather than silently accepting.
+    duplicates abort the job BEFORE any rename publishes a file).
     Executors must share a filesystem with the target directory;
     on object storage use sinks.write_frames (parquet) instead.
 
     dtype option: '<f4' (default, KITTI on-disk) or '<f8'
     (bug-compatible with the reference's promoted float64 bytes).
+    mode("overwrite") clears pre-existing `.bin` (and stale tmp)
+    files from the directory at planning time, matching Spark's
+    delete-then-write overwrite semantics.
     """
 
     def __init__(self, options: dict, overwrite: bool):
@@ -123,12 +130,20 @@ class KittiPointsWriter(DataSourceWriter):
             raise ValueError("kitti_points requires a save(path) directory")
         self._dir = path
         self._dtype = options.get("dtype", "<f4")
-        self._overwrite = overwrite
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".bin") or ".bin.tmp-" in f:
+                    try:
+                        os.remove(os.path.join(path, f))
+                    except OSError:
+                        pass
 
     def write(self, iterator) -> "_BinCommit":
         import numpy as np
+        import uuid
 
         os.makedirs(self._dir, exist_ok=True)
+        suffix = uuid.uuid4().hex[:12]
         buf: dict[str, list] = {}
         for row in iterator:
             buf.setdefault(row["frame_id"], []).append(
@@ -137,13 +152,16 @@ class KittiPointsWriter(DataSourceWriter):
         for frame, pts in buf.items():
             arr = np.asarray(pts, dtype="f8")
             arr.astype(self._dtype).tofile(
-                os.path.join(self._dir, f"{frame}.bin")
+                os.path.join(self._dir, f"{frame}.bin.tmp-{suffix}")
             )
-        return _BinCommit(sorted(buf))
+        return _BinCommit(sorted(buf), suffix)
 
     def commit(self, messages) -> None:
+        # Phase 1: validate the whole job before publishing anything.
         seen: set[str] = set()
         for m in messages:
+            if m is None:  # pyspark contract: failed tasks report None
+                continue
             for frame in m.frames:
                 if frame in seen:
                     raise RuntimeError(
@@ -151,13 +169,28 @@ class KittiPointsWriter(DataSourceWriter):
                         "repartition the input by frame_id before writing"
                     )
                 seen.add(frame)
+        # Phase 2: atomically publish via rename (same filesystem).
+        for m in messages:
+            if m is None:
+                continue
+            for frame in m.frames:
+                os.replace(
+                    os.path.join(self._dir, f"{frame}.bin.tmp-{m.suffix}"),
+                    os.path.join(self._dir, f"{frame}.bin"),
+                )
 
     def abort(self, messages) -> None:
-        # best-effort: remove files the completed tasks reported
+        # best-effort: drop the tmp files of tasks that completed;
+        # failed tasks report None (their strays are cleaned by the
+        # next overwrite)
         for m in messages:
+            if m is None:
+                continue
             for frame in m.frames:
                 try:
-                    os.remove(os.path.join(self._dir, f"{frame}.bin"))
+                    os.remove(
+                        os.path.join(self._dir, f"{frame}.bin.tmp-{m.suffix}")
+                    )
                 except OSError:
                     pass
 

@@ -274,7 +274,7 @@ def run_available_now(
 
 def purchases_after_clicks(
     events: DataFrame,
-    other: DataFrame | None = None,
+    clicks_src: DataFrame | None = None,
     max_gap_s: int = 1800,
     watermark: str | None = "2 hours",
 ) -> DataFrame:
@@ -291,8 +291,10 @@ def purchases_after_clicks(
     Scale: state per side is (watermark horizon x arrival rate) rows
     hash-partitioned by user_id; the time-bound predicate is what
     keeps that finite — never run an unbounded stream-stream join.
+    `clicks_src` (role-named; see clicks_without_purchase) supplies
+    the click side when the two event streams are distinct.
     """
-    other = events if other is None else other
+    other = events if clicks_src is None else clicks_src
     clicks = other.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
@@ -328,7 +330,7 @@ def purchases_after_clicks(
 
 def clicks_without_purchase(
     events: DataFrame,
-    other: DataFrame | None = None,
+    purchases_src: DataFrame | None = None,
     max_gap_s: int = 1800,
     watermark: str | None = "2 hours",
 ) -> DataFrame:
@@ -350,8 +352,14 @@ def clicks_without_purchase(
 
     Scale: identical bounded-state shape to the inner join — state
     per side is (horizon x rate) rows hash-partitioned by user.
+
+    NOTE the role-named second parameter: here the secondary stream
+    supplies PURCHASES (clicks are the preserved left side), while in
+    purchases_after_clicks the secondary `clicks_src` supplies
+    CLICKS — positional migration between the twins would silently
+    swap roles, so both params are named for what they carry.
     """
-    other = events if other is None else other
+    other = events if purchases_src is None else purchases_src
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),

@@ -233,20 +233,17 @@ def test_ntile_formula_matches_native(spark, n, k):
     assert out.filter(F.col("formula") != F.col("native")).count() == 0
 
 
-def test_decile_plan_has_no_global_data_window(plans_sf=None):
+def test_decile_plan_has_no_global_data_window(spark):
     # the decile query must range-repartition and rank per partition,
     # never sort all user rows in one window partition
     import io, contextlib
-    from kittispark import registry, get_spark
+    from kittispark import registry
 
-    spark = get_spark("plan-probe")
     qs = registry.queries()
     spark.catalog.clearCache()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        qs["decile_spend_profile"](spark, "/root/testdata/sf0.001").explain(
-            "formatted"
-        )
+        qs["decile_spend_profile"](spark, SF_SMOKE).explain("formatted")
     plan = buf.getvalue()
     assert "rangepartitioning" in plan.lower()
     assert "ntile" not in plan.lower()
