@@ -151,3 +151,29 @@ def test_truncated_bin_raises_clear_error(spark, tmp_path):
     register(spark)
     with pytest.raises(Exception, match="corrupt .bin"):
         spark.read.format("kitti_points").load(str(d)).count()
+
+
+def test_datasource_writer_overwrite_clears_stale_frames(spark, kitti_dir, tmp_path):
+    # mode("overwrite") must remove frames from prior writes that the
+    # new dataframe no longer contains — not append-by-filename
+    root, _ = kitti_dir
+    out = str(tmp_path / "bins_ow")
+    df = spark.read.format("kitti_points").load(f"{root}/velodyne")
+    frames = sorted(r.frame_id for r in df.select("frame_id").distinct().collect())
+    df.repartition("frame_id").write.format("kitti_points").mode(
+        "overwrite"
+    ).save(out)
+    keep = frames[0]
+    (
+        df.filter(df.frame_id == keep)
+        .repartition("frame_id")
+        .write.format("kitti_points")
+        .mode("overwrite")
+        .save(out)
+    )
+    import os
+
+    left = sorted(f[:-4] for f in os.listdir(out) if f.endswith(".bin"))
+    assert left == [keep]
+    # no tmp droppings survive a successful commit
+    assert not [f for f in os.listdir(out) if ".bin.tmp-" in f]
