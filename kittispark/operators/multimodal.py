@@ -249,6 +249,16 @@ def encode_avi_rgb(
     if not frames:
         raise ValueError("AVI needs at least one frame")
     w, h = frames[0][0], frames[0][1]
+    # enforce the stream contract explicitly: a frame with swapped or
+    # different dims can have the RIGHT byte count (e.g. 4x2 vs 2x4)
+    # and would otherwise be silently resegmented with frame 0's
+    # geometry — corrupt rows, no error
+    for i, (fw, fh, _) in enumerate(frames):
+        if (fw, fh) != (w, h):
+            raise ValueError(
+                f"frame {i} is {fw}x{fh}; all frames must match frame 0's "
+                f"{w}x{h} (AVI single-stream contract)"
+            )
     stride = _dib_stride(w)
     frame_size = stride * h
 

@@ -591,7 +591,19 @@ def _lloyd_rounds(
     array_sort(collect_list(struct(dim, val))) — k rows, trivially
     small agg. Returns (final centroids (cid, cv), final assignment
     (vec_id, cid)). Shared by kmeans_centroids and the declarative
-    IVF so the assignment tiebreak and re-averaging never fork."""
+    IVF so the assignment tiebreak and re-averaging never fork.
+
+    Known bounded risk: the per-dimension F.avg is a float sum whose
+    accumulation order is engine/run dependent (unlike the ordered
+    d2/dot folds), so re-averaged centroids can differ by ~1 ulp
+    between engines; a next-round assignment flips only if two
+    DIFFERENT centroids are equidistant to a vector within that ulp
+    (exact-duplicate vectors tie-break on cid deterministically, so
+    clones are safe). Never observed across the sf0.001..sf1synth
+    sweeps; making it exact would need scaled-int dimension sums,
+    which the adjudicated-oracle pair would both have to adopt —
+    tracked as a documented limitation rather than silently assumed
+    away."""
     best = None
     for _ in range(iters):
         best = _assign_min_d2(base, cents)

@@ -582,7 +582,7 @@ def _winnowing_oracle() -> str:
         FROM g
     )
     SELECT doc_id,
-           CAST(max(n_grams) AS BIGINT) AS n_grams,
+           CAST(max(n_grams) AS INT) AS n_grams,
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
            min(fp) AS min_fp,

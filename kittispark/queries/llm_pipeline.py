@@ -197,15 +197,22 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents GROUP BY lang
     ),
     tot AS (
-        SELECT sum(sqrt(CAST(n_tokens AS DOUBLE))) AS z,
-               sum(CAST(n_tokens AS DOUBLE)) AS total_tokens
+        -- z as an exact scaled-int sum: sqrt() is IEEE-identical per
+        -- language, but a float SUM of the sqrts is accumulation-
+        -- order-dependent; summing round(sqrt*1e6) in int64 makes z
+        -- engine-exact so floor() below cannot flip at a boundary
+        SELECT CAST(sum(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000,
+                              0) AS BIGINT)) AS BIGINT) AS zs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM s
     ),
     rf AS (
         SELECT lang,
                greatest(CAST(floor(
-                   ((sqrt(CAST(n_tokens AS DOUBLE)) / z)
-                    / (CAST(n_tokens AS DOUBLE) / total_tokens)) * 2
+                   ((sqrt(CAST(n_tokens AS DOUBLE))
+                     / (CAST(zs AS DOUBLE) / 1000000))
+                    / (CAST(n_tokens AS DOUBLE)
+                       / CAST(total_tokens AS DOUBLE))) * 2
                ) AS BIGINT), 1) AS repeat_factor
         FROM s, tot
     ),
@@ -242,12 +249,21 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
     )
+    # z summed as exact scaled int64 (see oracle comment): a float sum
+    # of sqrts is the order-dependent class the r3/r4 sweeps chase
     tot = s.agg(
-        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
-        F.sum(F.col("n_tokens").cast("double")).alias("total_tokens"),
+        F.sum(
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000, 0)
+            .cast("long")
+        ).alias("zs"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
-    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
-    natural = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    w = F.sqrt(F.col("n_tokens").cast("double")) / (
+        F.col("zs").cast("double") / 1_000_000
+    )
+    natural = F.col("n_tokens").cast("double") / F.col("total_tokens").cast(
+        "double"
+    )
     rf = (
         s.crossJoin(F.broadcast(tot))
         .select(

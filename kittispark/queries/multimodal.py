@@ -430,6 +430,7 @@ _AVI_DECODE_SCHEMA = T.StructType(
         T.StructField("mean_all", T.DoubleType(), True),
         T.StructField("mean_first", T.DoubleType(), True),
         T.StructField("mean_last", T.DoubleType(), True),
+        T.StructField("layout_checksum", T.LongType(), True),
     ]
 )
 
@@ -444,7 +445,10 @@ _AVI_DECODE_SCHEMA = T.StructType(
            CAST(2 + doc_id % 3 AS INT) AS height,
            round(avg(v), 6) AS mean_all,
            round(avg(v) FILTER (t = 0), 6) AS mean_first,
-           round(avg(v) FILTER (t = doc_id % 3), 6) AS mean_last
+           round(avg(v) FILTER (t = doc_id % 3), 6) AS mean_last,
+           CAST(sum(CAST(v AS BIGINT)
+                    * (t * ((3 + doc_id % 4) * (2 + doc_id % 3) * 3)
+                       + j + 1)) AS BIGINT) AS layout_checksum
     FROM px GROUP BY doc_id
     """,
     doc="REAL AVI/RIFF video roundtrip (VERDICT r3 #8 — the real-"
@@ -454,9 +458,13 @@ _AVI_DECODE_SCHEMA = T.StructType(
     "RIFF(hdrl/movi/idx1) and parsed back by the stdlib chunk walker "
     "(operators.multimodal.decode_avi), which also validates idx1 "
     "against the actual movi offsets. The oracle recomputes frame "
-    "count, dims, and pixel means in closed form — since the fixture "
-    "pixels are TOP-DOWN RGB, a hash match proves the row flip, "
-    "channel swap, AND stride-pad arithmetic round-trip exactly.",
+    "count, dims, pixel means, AND a position-weighted checksum "
+    "(sum of byte x its flat top-down-RGB index) in closed form. "
+    "Means alone are permutation-invariant — a decoder that skipped "
+    "the bottom-up flip or BGR swap would still match them; the "
+    "checksum is order-SENSITIVE in every byte position, so the "
+    "hash match genuinely proves flip, swap, and stride-pad "
+    "arithmetic round-trip exactly.",
     tags=("multimodal", "udf"),
 )
 def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +480,14 @@ def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = decode_avi(payload)
                 planes = [f.astype("float64").ravel() for f in out["frames"]]
                 allpx = np.concatenate(planes)
+                fb = out["width"] * out["height"] * 3
+                chk = sum(
+                    int(
+                        (p.astype("int64")
+                         * (np.arange(fb, dtype="int64") + t * fb + 1)).sum()
+                    )
+                    for t, p in enumerate(planes)
+                )
                 rows.append(
                     (
                         int(d),
@@ -481,6 +497,7 @@ def media_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         round(float(allpx.mean()), 6),
                         round(float(planes[0].mean()), 6),
                         round(float(planes[-1].mean()), 6),
+                        chk,
                     )
                 )
             yield pd.DataFrame(
