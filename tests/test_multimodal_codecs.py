@@ -116,3 +116,14 @@ def test_decode_media_dispatch():
         decode_media("video", b"\x01\x02\x03")
     with _pytest.raises(ValueError, match="exceeds remaining"):
         decode_mppm(payload[:-2])
+
+
+def test_avi_rejects_mismatched_frame_dims():
+    # 4x2 and 2x4 share a byte count; the encoder must reject the
+    # geometry mismatch instead of silently resegmenting rows
+    import pytest
+    from kittispark.operators.multimodal import encode_avi_rgb
+
+    a = bytes(range(24))
+    with pytest.raises(ValueError, match="must match frame 0"):
+        encode_avi_rgb([(4, 2, a), (2, 4, a)])
