@@ -237,9 +237,13 @@ def ngram_jaccard_pairs(
     # rounding is presentation only — filtering the rounded value
     # would admit pairs in [threshold - 5e-7, threshold) the oracle
     # excludes
+    # sizes is one row PER DOCUMENT — corpus-sized, so no broadcast
+    # hint: forcing it would ship (and driver-collect) the whole doc
+    # table at scale. AQE still broadcasts while it fits; beyond that
+    # these are doc-keyed shuffle joins aligned with inter's keys.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("__jac"))
         .filter(F.col("__jac") >= threshold)
         .select("doc_a", "doc_b", F.round("__jac", 6).alias("jaccard"))

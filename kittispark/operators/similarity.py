@@ -56,6 +56,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE canonical per-query ranking: (desc sim, asc neighbor_id)
+    row_number tiebreak, round(sim, 4), rk <= k. Every top-k surface
+    (exhaustive baseline, LSH, both IVF paths) MUST rank through this
+    one helper — the exhaustive/ANN comparisons and the indexed-vs-
+    in-memory row-identity gate are only meaningful while the
+    tiebreak and rounding never fork."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -66,8 +87,6 @@ def cosine_topk(
     """Brute-force cosine top-k: broadcast queries x candidates, rank
     within each query with a deterministic tiebreak. The exhaustive
     baseline every ANN variant is measured against."""
-    from pyspark.sql import Window as W
-
     # Norms are precomputed per ROW before the pair join — bit-identical
     # to cosine() per pair (same fold on the same data) but 1 array fold
     # per pair instead of 3.
@@ -85,26 +104,7 @@ def cosine_topk(
             (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round("sim", 4).alias("sim"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= k)
-    )
-
-
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, seed: int = 2024) -> Column:
-    """Sign-sketch bucket id from num_planes random hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed + p)])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        bucket = bucket * 2 + bit
-    return bucket
+    return rank_topk(scored, k)
 
 
 def _lsh_buckets_udf(df: DataFrame, vec_col: str, out_col: str, dim: int,
@@ -112,15 +112,15 @@ def _lsh_buckets_udf(df: DataFrame, vec_col: str, out_col: str, dim: int,
                      bc=None) -> DataFrame:
     """Attach array<long> of per-table sign-sketch bucket ids in one
     vectorized pass: ONE broadcast (num_tables*num_planes, dim) plane
-    matrix and ONE numpy GEMM per Arrow batch. Seed/layout-compatible
-    with lsh_bucket (same seeded planes, first plane = MSB) — NOT
-    guaranteed bit-compatible: BLAS summation order can differ from
-    the expression fold, so a dot product within a ulp of 0 may flip
-    a sign bit. Both sides of a bucket join must therefore use the
-    SAME implementation (they do: ann_lsh_topk buckets corpus and
-    queries through this kernel). The win over the expression tree: a
-    num_tables*num_planes*dim literal tree took ~11 s to COMPILE and
-    ran interpreted per element."""
+    matrix and ONE numpy GEMM per Arrow batch. Layout: seeded planes
+    in table-major order, first plane = MSB of each bucket id. Both
+    sides of a bucket join must use THIS kernel (they do:
+    ann_lsh_topk buckets corpus and queries through it) — BLAS
+    summation order differs from an expression fold, so a dot
+    product within a ulp of 0 could flip a sign bit between
+    implementations. (An equivalent column-expression variant was
+    removed as dead code: a num_tables*num_planes*dim literal tree
+    took ~11 s to COMPILE and ran interpreted per element.)"""
     from pyspark.sql import types as T
 
     if bc is None:
@@ -169,8 +169,6 @@ def ann_lsh_topk(
     Bucket ids come from one broadcast-GEMM pandas_udf pass (shared
     plane broadcast between corpus and queries).
     """
-    from pyspark.sql import Window as W
-
     planes = np.array(
         [
             _hyperplane(dim, 2024 + t * num_planes + p)
@@ -204,16 +202,7 @@ def ann_lsh_topk(
             (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round("sim", 4).alias("sim"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= k)
-    )
+    return rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(
@@ -325,6 +314,8 @@ def _assign_nearest(df: DataFrame, cents, vec_col: str, out_col: str, nprobe: in
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         m = np.stack(v.to_numpy()).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ bc.value.T
@@ -390,8 +381,6 @@ def _score_bucketed_topk(corpus: DataFrame, q: DataFrame, k: int) -> DataFrame:
     sim. ONE implementation shared by ann_ivf_topk and
     ann_ivf_topk_indexed — their row-identical output is a gated
     invariant, so the tiebreak/rounding must never fork."""
-    from pyspark.sql import Window as W
-
     scored = (
         corpus.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -401,16 +390,7 @@ def _score_bucketed_topk(corpus: DataFrame, q: DataFrame, k: int) -> DataFrame:
             (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round("sim", 4).alias("sim"),
-            F.row_number().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= k)
-    )
+    return rank_topk(scored, k)
 
 
 def ann_ivf_topk(

@@ -459,7 +459,17 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
                 out.append(_emit(key[0], start, last, n))
                 start, last, n = t, t, 1
             else:
-                last = t
+                # merge WITHOUT regressing the bounds: a within-
+                # watermark late event from a later micro-batch can
+                # have t < last (or even t < start) — overwriting
+                # last with it would shrink session_last and pull the
+                # timeout deadline backwards, splitting sessions the
+                # batch twin merges. (An already-EMITTED earlier
+                # session can't be retroactively extended — the
+                # standard append-mode limitation; time-ordered
+                # landing avoids it entirely.)
+                last = max(last, t)
+                start = min(start, t)
                 n += 1
         # CEILING to ms: flooring would let the deadline land up to
         # 999 us early, closing a session an in-watermark extending

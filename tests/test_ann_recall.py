@@ -122,3 +122,15 @@ def test_ivf_indexed_equals_inmemory_and_prunes(spark, tmp_path_factory):
             F.col("cid").isin([0, 1])
         ).explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_kmeans_keeps_full_k_on_fixtures(spark):
+    # canary for _lloyd_rounds' documented empty-cluster behavior: the
+    # fixture corpus must fill all 8 cells in both adjudicated paths;
+    # a silent k-shrink here would flag the data/seed change loudly
+    from kittispark.operators.similarity import kmeans_centroids
+    from kittispark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = kmeans_centroids(emb, k=8, iters=2)
+    assert out.select("cid").distinct().count() == 8

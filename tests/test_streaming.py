@@ -286,3 +286,40 @@ def test_stream_stream_left_outer_join_prefix_of_batch(
     closed_df = got.filter(F.col("click_ts") < F.lit(closed))
     assert closed_df.filter("converted").count() > 0
     assert closed_df.filter(~F.col("converted")).count() > 0
+
+
+def test_session_tracker_late_event_does_not_regress_bounds(spark, tmp_path):
+    # A within-watermark late event arriving in a LATER micro-batch
+    # must merge without shrinking session_last (which would pull the
+    # timeout deadline backwards and split the session vs batch).
+    import time as _time
+    import datetime as _dt
+
+    landing = str(tmp_path / "late_landing")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [
+                (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=s), u, "ping", 1.0, "{}")
+                for i, (u, s) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(landing)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    write_batch([(1, 1000), (1, 1060)])            # session forming
+    write_batch([(1, 1030), (1, 1140)])            # late merge + extender
+    write_batch([(2, 100000)])                     # watermark pusher
+    stream = S.read_events_stream(spark, landing, max_files_per_trigger=1)
+    got = S.run_available_now(
+        S.session_tracker(stream, gap_s=100, watermark="1 hour"),
+        "late_sess_t",
+        output_mode="append",
+    )
+    rows = {
+        r.user_id: (r.session_start, r.session_last, r.n_events)
+        for r in got.collect()
+    }
+    base = _dt.datetime(2024, 1, 1).timestamp()
+    # one unbroken session: late 1030 merged, 1140 extended (80s < gap)
+    assert rows[1] == (int(base) + 1000, int(base) + 1140, 4), rows
