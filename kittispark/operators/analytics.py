@@ -260,6 +260,7 @@ def global_rank(
     *order_cols: Column,
     out_col: str = "rank",
     partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact global row_number over a total order WITHOUT a
     single-partition window: repartitionByRange places partition i's
@@ -269,6 +270,11 @@ def global_rank(
     same two-level prefix-sum shape as pps_systematic_sample. The
     order must be total (include a unique tiebreak column) for the
     rank to be deterministic.
+
+    ``total_col``: also attach the TOTAL row count to every row, for
+    free — it falls out of the same partition-size table the offsets
+    come from, so consumers that need n (closed-form ntile, percent
+    rank) avoid a second aggregation pass over the data.
     """
     parts = df.repartitionByRange(
         *( [partitions] if partitions else [] ), *order_cols
@@ -279,15 +285,19 @@ def global_rank(
     )
     sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     offs = sizes.select(
         F.col("__pid").alias("__opid"),
         (F.sum("__n").over(w_off) - F.col("__n")).alias("__off"),
+        F.sum("__n").over(w_all).alias("__tot"),
     )
-    return (
+    out = (
         local.join(F.broadcast(offs), F.col("__pid") == F.col("__opid"))
         .withColumn(out_col, F.col("__off") + F.col("__lr"))
-        .drop("__pid", "__lr", "__opid", "__off")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__pid", "__lr", "__opid", "__off", "__tot")
 
 
 def _exact_div(a: Column, b: Column) -> Column:

@@ -386,3 +386,18 @@ def cms_estimate(
         .groupBy(*others)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def md5_nibble(col: Column, i: int) -> Column:
+    """Value 0-15 of the i-th (1-based) hex digit of md5(col) — the
+    engine-portable hash-bucket atom (oracle twin:
+    instr('0123456789abcdef', substr(md5(x), i, 1)) - 1). Shared by
+    the split/sampling queries so the reproducible-split contract
+    lives in one expression."""
+    return (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(col.cast("string")), i, 1),
+        )
+        - 1
+    )

@@ -797,9 +797,10 @@ def decile_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank (range repartition + per-partition row_number + offsets)
     # and the closed-form tile formula replace the single-partition
     # global window the naive W.orderBy(...) form would plan
-    rk = global_rank(spend, F.desc("spend_micros"), F.asc("user_id"))
-    n = spend.agg(F.count(F.lit(1)).alias("__nrows"))
-    ranked = rk.crossJoin(F.broadcast(n)).select(
+    rk = global_rank(
+        spend, F.desc("spend_micros"), F.asc("user_id"), total_col="__nrows"
+    )
+    ranked = rk.select(
         "*", ntile_from_rank(F.col("rank"), F.col("__nrows"), 10).alias("decile")
     )
     return ranked.groupBy("decile").agg(

@@ -644,7 +644,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lower"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        # concat (not concat_ws): concat_ws DROPS null inputs plus the
+        # separator while the oracle's concat(a,'|',b) keeps the bar —
+        # latent divergence on null columns
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
         F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
         F.col("p_type").contains("a").alias("has_a"),
         F.col("p_brand").startswith("Brand#1").alias("is_b1x"),
@@ -895,9 +898,13 @@ def map_literal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value") * m[F.col("event_type")]), 2).alias(
-            "weighted_value"
-        ),
+        # coalesce(0.0): an UNMAPPED event type must weight to zero like
+        # the oracle's CASE ELSE — a bare map lookup would yield NULL
+        # and silently null the whole group's sum
+        F.round(
+            F.sum(F.col("value") * F.coalesce(m[F.col("event_type")], F.lit(0.0))),
+            2,
+        ).alias("weighted_value"),
     )
 
 
@@ -1059,8 +1066,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
     )
     r = (
-        t(spark, sf_dir, "lineitem")
-        .sparkSession.range(5)
+        spark.range(5)
         .select(
             F.when(F.col("id") % 3 == 0, F.lit(None))
             .otherwise(F.col("id"))

@@ -86,14 +86,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import stopword_score
+
     docs = t(spark, sf_dir, "documents")
-    toks = tokens_col("text")
-    stop_arr = F.array(*[F.lit(w) for w in sorted(EN_STOPWORDS)])
-    en_score = F.round(
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / F.size(toks),
-        6,
-    )
+    en_score = F.round(stopword_score("text", EN_STOPWORDS), 6)
     return docs.select(
         "doc_id",
         "lang",
@@ -250,15 +246,10 @@ def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sampling"),
 )
 def hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import md5_nibble
+
     docs = t(spark, sf_dir, "documents")
-    bucket = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
-        )
-        - 1
-    )
-    train = bucket < 13
+    train = md5_nibble(F.col("doc_id"), 1) < 13
     return docs.withColumn("is_train", train).groupBy("lang").agg(
         F.count(F.when(F.col("is_train"), 1)).alias("n_train"),
         F.count(F.when(~F.col("is_train"), 1)).alias("n_holdout"),
@@ -293,15 +284,11 @@ def hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sampling"),
 )
 def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import md5_nibble
+
     docs = t(spark, sf_dir, "documents")
-    hexpos = lambda i: (  # noqa: E731
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.substring(F.md5(F.col("doc_id").cast("string")), i, 1),
-        )
-        - 1
-    )
-    bucket = hexpos(1) * 16 + hexpos(2)
+    did = F.col("doc_id")
+    bucket = md5_nibble(did, 1) * 16 + md5_nibble(did, 2)
     threshold = (
         F.when(F.col("lang") == "en", 64)
         .when(F.col("lang") == "es", 128)
