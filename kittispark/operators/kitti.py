@@ -107,6 +107,7 @@ def frame_z_scale(
     percentage: float = 0.05,
     approx: bool = False,
     accuracy: int = 10000,
+    z: str = "z",
 ) -> DataFrame:
     """Per-frame percentile of z (reference np.percentile(z, 5),
     data_pipeline.py:29). Exact `percentile` (default) for golden
@@ -115,9 +116,9 @@ def frame_z_scale(
     site (SURVEY §7.4). The switch itself is driver-verified by the
     rescale_by_percentile_approx query's error-bounded oracle."""
     agg = (
-        F.percentile_approx("z", percentage, accuracy)
+        F.percentile_approx(z, percentage, accuracy)
         if approx
-        else F.percentile("z", percentage)
+        else F.percentile(z, percentage)
     )
     return points.groupBy("frame_id").agg(agg.alias("z_scale"))
 
@@ -129,7 +130,10 @@ def rescale_z(
     (reference P7/J2, data_pipeline.py:29-30). Aggregate-to-detail
     rejoin with the tiny per-frame stats broadcast."""
     if z_scales is None:
-        z_scales = frame_z_scale(points)
+        # derive the default percentile from the SAME column being
+        # rescaled — frame_z_scale("z") on a df whose height column is
+        # named differently would silently scale by an unrelated column
+        z_scales = frame_z_scale(points, z=z)
     out_cols = [
         (F.col(z) - F.col("z_scale")).alias(z) if c == z else c
         for c in points.columns
@@ -208,7 +212,7 @@ class AnalysisResult:
     maximal_area: tuple[tuple[float, ...], tuple[float, ...]]
 
 
-def _minmax(df: DataFrame, cols: list[str]) -> list[Column]:
+def _minmax(cols: list[str]) -> list[Column]:
     out = []
     for c in cols:
         out += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -233,7 +237,7 @@ def analyze(
     scales = frame_z_scale(pts)
     pts_rescaled = rescale_z(pts, scales)
 
-    p_agg = pts_rescaled.agg(*_minmax(pts_rescaled, ["x", "y", "z", "intensity"]))
+    p_agg = pts_rescaled.agg(*_minmax(["x", "y", "z", "intensity"]))
 
     real = labels.filter(F.col("label") != "DontCare")
     # Locations with z rescale on index 2 only (data_pipeline.py:40-41)
@@ -248,12 +252,12 @@ def analyze(
             "dim_l",
         )
     )
-    d_agg = loc.agg(*_minmax(loc, ["dim_h", "dim_w", "dim_l", "lx", "ly", "lz"]))
+    d_agg = loc.agg(*_minmax(["dim_h", "dim_w", "dim_l", "lx", "ly", "lz"]))
 
     corners = bbox_corners(real).join(F.broadcast(scales), "frame_id").select(
         "cx", "cy", (F.col("cz") - F.col("z_scale")).alias("cz")
     )
-    oc_agg = corners.agg(*_minmax(corners, ["cx", "cy", "cz"]))
+    oc_agg = corners.agg(*_minmax(["cx", "cy", "cz"]))
 
     # ONE action for the whole envelope: the three 1-row aggregates
     # are cross-joined (1x1x1 — broadcast nested loop over single

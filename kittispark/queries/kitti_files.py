@@ -31,6 +31,7 @@ Reference parity: data_utils.py:4-56 (parsers), data_utils.py:59-108
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -140,6 +141,27 @@ def _pts_cte(n_docs: int = _N_DOCS, n_frames: int = _N_FRAMES) -> str:
 _FIXTURE_ROOT: dict[tuple[str, int, int], str] = {}
 
 
+def _cleanup_fixture_roots() -> None:
+    import shutil
+
+    for root in _FIXTURE_ROOT.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_fixture_roots)
+
+
+def _docs(spark: SparkSession, sf_dir: str, n_docs: int) -> DataFrame:
+    """The fixture's id universe — ONE definition shared by the
+    builder and every query that recomputes from doc ids, so the
+    bound/cast can never silently diverge between them."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
 def kitti_fixture_root(
     spark: SparkSession,
     sf_dir: str,
@@ -164,18 +186,31 @@ def kitti_fixture_root(
     if cached is not None and os.path.isdir(cached):
         return cached
 
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < n_docs)
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
-    )
+    # The builder writes label/calib on the DRIVER's filesystem while
+    # the .bin sink writes from EXECUTORS — coherent only when both
+    # see the same filesystem (local master, or a shared mount).
+    master = spark.sparkContext.master
+    if not master.startswith("local") and "SPARK_GRAFT_SHARED_FS" not in os.environ:
+        raise RuntimeError(
+            f"kitti fixture builder needs a filesystem shared between "
+            f"driver and executors; master={master!r}. Set "
+            "SPARK_GRAFT_SHARED_FS=1 if /tmp really is shared."
+        )
+
+    docs = _docs(spark, sf_dir, n_docs)
     ids = sorted(r[0] for r in docs.collect())  # bounded: <= n_docs ints
+    if not ids:
+        raise ValueError(
+            f"no documents with doc_id < {n_docs} in {sf_dir} — cannot "
+            "build the KITTI fixture"
+        )
 
     root = tempfile.mkdtemp(prefix="kittispark-kitti-")
     label_dir = os.path.join(root, "label_2")
     calib_dir = os.path.join(root, "calib")
     os.makedirs(label_dir)
     os.makedirs(calib_dir)
+    os.makedirs(os.path.join(root, "velodyne"), exist_ok=True)
 
     frames = sorted({d % n_frames for d in ids})
     by_frame: dict[int, list[int]] = {f: [] for f in frames}
@@ -386,11 +421,7 @@ def kitti_calib_chain(
     n_frames: int = _N_FRAMES,
 ) -> DataFrame:
     root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
-    docs = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < n_docs)
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
-    )
+    docs = _docs(spark, sf_dir, n_docs)
     calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
     out = axis_align(apply_calibration(_synth_points(docs, n_frames), calib_wide))
     return out.select(
@@ -550,16 +581,16 @@ def kitti_analysis_envelope(
     n_docs: int = _N_DOCS,
     n_frames: int = _N_FRAMES,
 ) -> DataFrame:
-    from kittispark.operators.kitti import frame_z_scale
+    from kittispark.operators.kitti import frame_z_scale, rescale_z
 
     root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     points = read_points(spark, os.path.join(root, "velodyne"))
     calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
     tr = axis_align(apply_calibration(points, calib_wide))
     zs = frame_z_scale(tr)
-    resc = tr.join(F.broadcast(zs), "frame_id").select(
-        "x", "y", (F.col("z") - F.col("z_scale")).alias("z")
-    )
+    # the P7/J2 operator itself, not a hand-rolled twin (zs is shared
+    # with the label rescale below, so it is passed in explicitly)
+    resc = rescale_z(tr, zs).select("x", "y", "z")
     penv = resc.agg(
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),

@@ -90,6 +90,13 @@ def read_points(spark: SparkSession, pocl_dir: str) -> DataFrame:
     return files.mapInPandas(decode, POINTS_SCHEMA)
 
 
+def frame_id_from_file():
+    """Frame id extracted from input_file_name() — THE join-key
+    convention every file-backed source shares (see frame_id_col for
+    the path-column variant)."""
+    return F.regexp_extract(F.input_file_name(), _FRAME_FROM_PATH, 1)
+
+
 def read_labels(spark: SparkSession, label_dir: str) -> DataFrame:
     """S3: whitespace-delimited 15-field KITTI label lines -> typed
     rows (reference data_utils.py:17-33). Pure text scan + positional
@@ -97,10 +104,12 @@ def read_labels(spark: SparkSession, label_dir: str) -> DataFrame:
     lines = (
         spark.read.text(f"{label_dir}/*.txt")
         .select(
-            F.regexp_extract(F.input_file_name(), _FRAME_FROM_PATH, 1).alias(
-                "frame_id"
-            ),
-            F.split(F.col("value"), r"\s+").alias("f"),
+            frame_id_from_file().alias("frame_id"),
+            # trim first: Python str.split() (the reference semantics)
+            # ignores leading whitespace, but split(\s+) on an
+            # untrimmed line yields a leading "" that silently shifts
+            # all 15 fields by one
+            F.split(F.trim(F.col("value")), r"\s+").alias("f"),
         )
         .filter(F.size("f") >= 15)
     )
@@ -136,9 +145,7 @@ def read_calib(spark: SparkSession, calib_dir: str) -> DataFrame:
     return (
         spark.read.text(f"{calib_dir}/*.txt")
         .select(
-            F.regexp_extract(F.input_file_name(), _FRAME_FROM_PATH, 1).alias(
-                "frame_id"
-            ),
+            frame_id_from_file().alias("frame_id"),
             F.trim(F.get(parts, 0)).alias("key"),
             F.transform(
                 F.split(F.trim(F.get(parts, 1)), r"\s+"),
