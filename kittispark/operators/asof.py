@@ -44,27 +44,44 @@ def asof_join(
     unique per (key, ts); pre-aggregate it if not. `tolerance`
     (a Column interval/double matching the ts type's arithmetic)
     optionally voids matches older than `ts - tolerance`.
+
+    All payload columns are carried as ONE struct per right row, so a
+    matched row whose payload value is genuinely NULL serves that
+    NULL (not a stale older row's value), and multiple payload
+    columns always come from the SAME right row — exactly DuckDB's
+    ASOF behavior. (A per-column last(ignorenulls) carry would skip
+    null payloads and could mix columns from different rows.)
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = list(payload)
     if not payload:
         raise ValueError("payload columns required")
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload columns {sorted(clash)} collide with left-side "
+            "columns — rename one side before the as-of join (duplicate "
+            "output names fail only at first downstream reference)"
+        )
 
+    from pyspark.sql import types as T
+
+    p_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in payload]
+    )
     l_tag = left.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(p_type).alias("__p"),
         F.struct(*left.columns).alias("__row"),
     )
     r_tag = right.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
-        F.lit(None)
-        .cast(l_tag.schema["__row"].dataType)
-        .alias("__row"),
+        F.struct(*[F.col(c) for c in payload]).cast(p_type).alias("__p"),
+        F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"),
     )
 
     w = (
@@ -76,7 +93,7 @@ def asof_join(
         "__side",
         "__row",
         "__ts",
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__c"),
         *(
             [F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
              .over(w).alias("__match_ts")]
@@ -86,9 +103,12 @@ def asof_join(
     )
     out_payload = [
         (
-            F.when(F.col("__ts") - F.col("__match_ts") <= tolerance, F.col(f"__c_{c}"))
+            F.when(
+                F.col("__ts") - F.col("__match_ts") <= tolerance,
+                F.col("__c")[c],
+            )
             if tolerance is not None
-            else F.col(f"__c_{c}")
+            else F.col("__c")[c]
         ).alias(c)
         for c in payload
     ]
@@ -116,7 +136,16 @@ def resample_ffill(
     as-of join's single-shuffle linear cost; the grid explode is
     narrow. Observations must be unique per (key, second) —
     pre-aggregate if not.
+
+    Grid-span convention (deliberate, mirrored by the DuckDB oracle):
+    the grid runs from the floor-aligned first observation to the
+    LAST ALIGNED POINT <= max(ts) — observations after that point are
+    not represented by any grid row (the newest value appears only
+    once the next aligned tick would). Callers needing the tail
+    should ceil-align hi themselves (floor(hi/step)*step + step).
     """
+    if step_s <= 0:
+        raise ValueError(f"step_s must be a positive number of seconds, got {step_s}")
     keys = [on] if isinstance(on, str) else list(on)
     secs = F.col(ts).cast("long")
     obs = df.select(*keys, secs.alias("grid_ts"), F.col(value))

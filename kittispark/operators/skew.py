@@ -56,10 +56,19 @@ def salted_join(
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
 
+    # The fallback salt hashes ALL fat columns instead of rand():
+    # rand(seed) is deterministic only w.r.t. partition index and row
+    # order, so a partial stage recompute after a fetch failure can
+    # re-salt the same row differently — rows drop from one reducer
+    # and duplicate in another (the SPARK-23207 repartition-by-rand
+    # hazard). Hashing row content is recompute-stable; fully
+    # identical duplicate rows share a salt (correctness-neutral,
+    # only a residual-skew cost) — pass salt_from for a better spread
+    # key when one exists.
     salt = (
         F.pmod(F.xxhash64(salt_from), F.lit(n_salts))
         if salt_from is not None
-        else (F.rand(seed=7) * n_salts).cast("int")
+        else F.pmod(F.xxhash64(*[F.col(c) for c in fat.columns]), F.lit(n_salts))
     )
     fat_s = fat.withColumn("__salt", salt.cast("int"))
     slim_s = slim.withColumn(

@@ -50,3 +50,34 @@ def test_asof_tolerance(spark):
 def test_asof_preserves_left_rowcount(spark):
     left, right = _mk(spark)
     assert asof_join(left, right, on="k", ts="ts", payload=["v"]).count() == left.count()
+
+
+def test_asof_serves_matched_rows_null_not_stale_value(spark):
+    # DuckDB ASOF semantics: the MATCHED row's payload is served even
+    # when it is NULL — a per-column ignorenulls carry would skip it
+    # and resurrect an older row's value (and could mix columns from
+    # different right rows)
+    import datetime as _dt
+
+    def ts(s):
+        return _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame([(1, ts(3))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts(1), 5.0, "a"), (1, ts(2), None, "b")],
+        "k long, ts timestamp, v double, tag string",
+    )
+    row = asof_join(left, right, on="k", ts="ts", payload=["v", "tag"]).collect()[0]
+    assert row.v is None       # matched ts=2 row's NULL, not stale 5.0
+    assert row.tag == "b"      # both payload columns from the SAME row
+
+
+def test_asof_rejects_payload_name_collision(spark):
+    import datetime as _dt
+    import pytest as _pytest
+
+    t0 = _dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, 9.0)], "k long, ts timestamp, v double")
+    right = spark.createDataFrame([(1, t0, 1.0)], "k long, ts timestamp, v double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", ts="ts", payload=["v"])
