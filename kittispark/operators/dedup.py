@@ -150,18 +150,18 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 8,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banding.
-
-    Explode signature into ``bands`` band keys, self-join within
-    (band_id, band_key) buckets, dedupe pairs. The join key is a
-    skew-safe 8-byte long; AQE splits any hot bucket.
+    """(doc_id, band_id, band_hash) rows — the banded-signature atom
+    shared by the self-join candidate generator (minhash_lsh_candidates)
+    and the persisted incremental index (minhash_write_index /
+    minhash_probe_index). One definition, so the in-corpus and
+    corpus-vs-batch paths can never fork on banding.
 
     Band key construction: with 2 signature rows per band (the
     default 16/8 layout), the two values — each < MINHASH_P < 2^31 —
@@ -196,7 +196,24 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ]
         )
-    banded = sigs.select("doc_id", F.posexplode(band_arr).alias("band_id", "band_hash"))
+    return sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_id", "band_hash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banding.
+
+    Explode signature into ``bands`` band keys (minhash_band_rows),
+    self-join within (band_id, band_hash) buckets, dedupe pairs. The
+    join key is a skew-safe 8-byte long; AQE splits any hot bucket."""
+    banded = minhash_band_rows(df, text_col, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -207,6 +224,55 @@ def minhash_lsh_candidates(
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_write_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> None:
+    """Persist the corpus's banded MinHash signatures as a parquet
+    index, PARTITIONED BY band_id — the production layout for
+    incremental dedup at 100 TB: the expensive full-corpus pass
+    (shingle → hash → signature → bands) runs ONCE, and every later
+    batch probes the on-disk index instead of re-sketching the
+    corpus. band_id partitioning lets a band-at-a-time prober prune
+    to 1/bands of the index per pass; within a partition the 8-byte
+    band_hash key is the (skew-safe, AQE-splittable) join key."""
+    minhash_band_rows(df, text_col, id_col, num_hashes, bands).write.mode(
+        "overwrite"
+    ).partitionBy("band_id").parquet(path)
+
+
+def minhash_probe_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Distinct (new_id, corpus_id) candidate pairs for a NEW batch of
+    documents against a persisted band index (minhash_write_index).
+    The batch is sketched with the SAME banding atom the index was
+    built with (minhash_band_rows), then equi-joined on (band_id,
+    band_hash). Cost scales with |batch| + the index rows whose
+    buckets are actually hit — never with a corpus re-sketch."""
+    idx = spark.read.parquet(index_path).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    probe = minhash_band_rows(batch, text_col, id_col, num_hashes, bands).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_hash"
+    )
+    return (
+        probe.join(idx, ["band_id", "band_hash"])
+        .select("new_id", "corpus_id")
         .distinct()
     )
 

@@ -10,6 +10,8 @@ augmented corpus, high-Jaccard recall) remain as defense in depth.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -558,6 +560,111 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") * F.col("sz")).alias("bytes_before"),
         F.sum("sz").alias("bytes_after"),
         F.sum((F.col("n_copies") - 1) * F.col("sz")).alias("bytes_saved"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup against a PERSISTED band index — the production
+# shape at 100 TB: sketch the corpus once, probe each new batch
+# against the on-disk index (built once per process+sf_dir, like the
+# IVF index and the KITTI file fixtures).
+# --------------------------------------------------------------------------
+
+_MINHASH_INDEX_ROOT: dict[str, str] = {}
+
+
+def _cleanup_minhash_index_roots() -> None:
+    import shutil
+
+    for root in _MINHASH_INDEX_ROOT.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_minhash_index_roots)
+
+
+def _corpus_batch_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic corpus/batch split: every 10th doc is 'new'."""
+    return (
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+def _minhash_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from kittispark.operators.dedup import minhash_write_index
+
+    cached = _MINHASH_INDEX_ROOT.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    corpus, _ = _corpus_batch_split(t(spark, sf_dir, "documents"))
+    root = tempfile.mkdtemp(prefix="kittispark-minhash-idx-")
+    minhash_write_index(corpus, root)
+    _MINHASH_INDEX_ROOT[sf_dir] = root
+    return root
+
+
+def _incremental_dedup_oracle() -> str:
+    """Replays the whole incremental path in closed form: bands for
+    ALL docs via the shared CTE block, then batch-side (doc_id % 10
+    = 0) rows joined against corpus-side (doc_id % 10 <> 0) rows —
+    exactly what probing the persisted corpus index computes."""
+    return f"""
+    WITH {_minhash_cte_block()},
+    hits AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM banded n
+        JOIN banded c ON n.band_id = c.band_id AND n.key = c.key
+        WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    agg AS (SELECT new_id, count(*) AS n_cand FROM hits GROUP BY new_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_candidates,
+           a.new_id IS NULL AS is_novel
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN agg a ON a.new_id = d.doc_id
+    """
+
+
+@register(
+    "incremental_dedup_batch",
+    oracle=_incremental_dedup_oracle(),
+    doc="INCREMENTAL near-dup screening — the production shape of "
+    "dedup at 100 TB, where re-sketching the whole corpus per "
+    "arriving batch is not viable: the corpus's banded MinHash "
+    "signatures are persisted ONCE as a parquet index partitioned by "
+    "band_id (operators.dedup.minhash_write_index), and each new "
+    "batch (every 10th doc here) is sketched alone and equi-joined "
+    "against the on-disk index (minhash_probe_index) — per-batch "
+    "cost scales with the batch, not the corpus. Emits per new doc "
+    "its corpus-candidate count and an is_novel flag (docs shorter "
+    "than the shingle width have no bands and are trivially novel). "
+    "Both sides band through the SAME minhash_band_rows atom, and "
+    "the oracle replays shingling, permutations, banding, and the "
+    "batch-vs-corpus bucket join in closed-form SQL — a hash match "
+    "proves the index WRITE, the re-read, and the probe join all "
+    "preserve the sketch exactly.",
+    tags=("dedup", "llm-pipeline"),
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.dedup import minhash_probe_index
+
+    docs = t(spark, sf_dir, "documents")
+    _, batch = _corpus_batch_split(docs)
+    idx = _minhash_index_path(spark, sf_dir)
+    pairs = minhash_probe_index(spark, idx, batch)
+    counts = pairs.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        batch.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(counts, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_candidates"),
+            F.col("new_id").isNull().alias("is_novel"),
+        )
     )
 
 

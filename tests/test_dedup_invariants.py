@@ -92,3 +92,55 @@ def test_cc_star_and_direction_insensitive(spark):
 def test_cc_only_edge_nodes_emitted(spark):
     got = _cc(spark, [(5, 6)])
     assert got == {(5, 5), (6, 5)}
+
+
+# --------------------------------------------------------------------------
+# Persisted incremental index (minhash_write_index / minhash_probe_index)
+# --------------------------------------------------------------------------
+
+
+def test_probe_index_equals_full_selfjoin_restriction(spark, tmp_path):
+    """Probing a persisted corpus index with a batch must yield exactly
+    the batch-x-corpus restriction of the full in-memory self-join
+    candidate set — the contract that makes incremental dedup a safe
+    substitute for re-sketching the corpus per batch."""
+    from kittispark.operators.dedup import minhash_probe_index, minhash_write_index
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(80)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    idx = str(tmp_path / "mh_idx")
+    minhash_write_index(corpus, idx)
+    probed = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_probe_index(spark, idx, batch).collect()
+    }
+
+    full = minhash_lsh_candidates(docs).collect()
+    expect = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if a % 10 == 0 and b % 10 != 0:
+            expect.add((a, b))
+        elif b % 10 == 0 and a % 10 != 0:
+            expect.add((b, a))
+    assert probed == expect
+
+
+def test_probe_index_finds_planted_clone(spark, tmp_path):
+    """A batch doc that clones an indexed corpus doc MUST surface as a
+    candidate through the on-disk path."""
+    from kittispark.operators.dedup import minhash_probe_index, minhash_write_index
+
+    corpus = load_table(spark, SF, "documents").select("doc_id", "text").limit(30)
+    clone = corpus.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    idx = str(tmp_path / "mh_idx2")
+    minhash_write_index(corpus, idx)
+    pairs = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_probe_index(spark, idx, clone).collect()
+    }
+    assert (2_000_001, 1) in pairs
