@@ -412,3 +412,27 @@ def test_pagerank_single_fact_aggregation(plans):
     # lineitem+orders+customer+supplier once for edges, nation reused:
     # allow re-scans of the small dims but the plan must stay bounded
     assert scans <= 12
+
+
+def test_incremental_dedup_probes_index_not_corpus(plans):
+    """The incremental path's whole point: the corpus text is never
+    re-sketched — it enters only through the persisted band index.
+    Pin that the plan scans the on-disk index (tmp parquet dir) and
+    that every documents-table scan belongs to the BATCH side (the
+    batch filter doc_id % 10 = 0 is pushed into each one)."""
+    plan = plans("incremental_dedup_batch")
+    assert "kittispark-minhash-idx-" in plan
+    # documents appears only on the BATCH side: its shingle pipeline
+    # (1), the signature lineage (1), and the output id list (1) — a
+    # 4th scan would mean the corpus text re-entered the plan and the
+    # per-batch cost contract broke
+    doc_scans = plan.count("documents.parquet")
+    assert 1 <= doc_scans <= 3
+
+
+def test_jsonl_roundtrip_shuffle_free(plans):
+    """The JSONL read-back projection is a pure per-partition scan —
+    zero shuffles at any scale."""
+    plan = plans("jsonl_corpus_roundtrip")
+    assert shuffle_exchanges(plan) == 0
+    assert "Scan json" in plan
