@@ -389,3 +389,70 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return pps_systematic_sample(docs, "doc_id", "n_chars", k=50, bucket_size=256)
+
+
+@register(
+    "weighted_median_supplier_price",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum_qty,
+               sum(l_quantity) OVER (PARTITION BY l_suppkey) AS tot_qty
+        FROM lineitem
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(max(tot_qty), 2) AS total_qty,
+           round(min(CASE WHEN 2 * cum_qty >= tot_qty
+                          THEN l_extendedprice END), 2) AS wmedian_price
+    FROM c GROUP BY l_suppkey
+    """,
+    doc="Weighted median (lower) of line price per supplier, weighted "
+    "by quantity: the order statistic procurement/pricing analytics "
+    "ask for when a plain median over-counts small lots. One "
+    "supplier-partitioned ordered window computes the cumulative "
+    "weight; the median is the first price whose cumulative weight "
+    "reaches half the total (2*cum >= tot in pure integral-double "
+    "arithmetic — quantities are whole numbers, so both engines "
+    "compare exactly; the order is totalized by (price, orderkey, "
+    "linenumber)). Supplier keys are high-cardinality, so the "
+    "partitioned window parallelizes at any scale — for a handful "
+    "of huge groups the global_rank two-level lift is the "
+    "documented alternative. The window's shuffle is reused by the "
+    "final per-supplier agg: one Exchange total.",
+    tags=("analytics", "window"),
+)
+def weighted_median_supplier_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w_cum = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_suppkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cum_qty"),
+        F.sum("l_quantity").over(w_all).alias("tot_qty"),
+    )
+    return c.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.max("tot_qty"), 2).alias("total_qty"),
+        F.round(
+            F.min(
+                F.when(
+                    2 * F.col("cum_qty") >= F.col("tot_qty"),
+                    F.col("l_extendedprice"),
+                )
+            ),
+            2,
+        ).alias("wmedian_price"),
+    )

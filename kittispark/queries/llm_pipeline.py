@@ -367,3 +367,53 @@ def jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("text_len"),
         F.md5("text").alias("text_md5"),
     )
+
+
+@register(
+    "corpus_shard_manifest",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    )
+    SELECT CAST((rk - 1) % 16 AS INT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(rk) AS BIGINT) AS first_rank,
+           CAST(max(rk) AS BIGINT) AS last_rank
+    FROM r GROUP BY 1
+    """,
+    doc="Balanced output-shard manifest — the write-planning step "
+    "before materializing a training corpus: documents are ranked "
+    "globally by size (n_chars desc, doc_id tiebreak) and dealt "
+    "round-robin into 16 shards, the classic greedy balancer that "
+    "bounds shard skew to one max-document (a naive hash split "
+    "leaves the largest docs free to pile into one shard, and one "
+    "fat shard gates the whole training read). The global rank uses "
+    "operators.analytics.global_rank — repartitionByRange + "
+    "per-partition row_number + a broadcast two-level prefix-sum "
+    "lift, NO single-task global window, so the ranking itself "
+    "scales; the oracle replays rank, deal, and per-shard totals "
+    "with a plain window.",
+    tags=("llm-pipeline", "sampling"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import global_rank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = global_rank(
+        docs, F.col("n_chars").desc(), F.col("doc_id").asc(), out_col="rk"
+    )
+    return (
+        ranked.select(
+            "n_chars", "rk", ((F.col("rk") - 1) % 16).cast("int").alias("shard_id")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("rk").alias("first_rank"),
+            F.max("rk").alias("last_rank"),
+        )
+    )

@@ -10,6 +10,8 @@ final hash agg), and nothing ever collects to the driver.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1851,5 +1853,101 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — the storage-layout lever for repeated
+# fact-fact joins at 100 TB. Tables are written ONCE per
+# process+sf_dir (like the persisted IVF/MinHash indexes).
+# --------------------------------------------------------------------------
+
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+_BUCKETED_ROOTS: list[str] = []
+
+
+def _cleanup_bucketed_roots() -> None:
+    import shutil
+
+    for root in _BUCKETED_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_bucketed_roots)
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem as 8-bucket tables hashed on the
+    order key (data under a tmp path, metadata in the session
+    catalog), once per process+sf_dir. Table names carry an md5 tag
+    of sf_dir so two sf dirs never collide in one catalog."""
+    import hashlib
+    import os
+    import tempfile
+
+    cached = _BUCKETED_TABLES.get(sf_dir)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    oname, lname = f"ks_orders_b_{tag}", f"ks_lineitem_b_{tag}"
+    root = tempfile.mkdtemp(prefix="kittispark-bucketed-")
+    _BUCKETED_ROOTS.append(root)
+    for tbl, name, key in (
+        ("orders", oname, "o_orderkey"),
+        ("lineitem", lname, "l_orderkey"),
+    ):
+        (
+            t(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(root, name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    _BUCKETED_TABLES[sf_dir] = (oname, lname)
+    return oname, lname
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100 AS gross_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-fact join over BUCKETED tables — the storage-layout "
+    "lever none of the shuffle-side levers replace at 100 TB: both "
+    "orders and lineitem are persisted bucketed into 8 hash buckets "
+    "on the order key (written once per process; "
+    "spark.sql.sources.bucketing.enabled reads the layout back), so "
+    "the join is CO-LOCATED — bucket i joins bucket i with ZERO "
+    "shuffle of either fact table, the plan every nightly "
+    "fact-to-fact pipeline should converge to instead of re-sorting "
+    "terabytes per run (pinned in tests/test_plans.py: no Exchange "
+    "under the SortMergeJoin; the merge hint keeps AQE from hiding "
+    "the property behind a small-scale broadcast). Revenue uses the "
+    "exact integer-cents sum.",
+    tags=("relational", "join", "storage"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oname, lname = _bucketed_tables(spark, sf_dir)
+    o = spark.table(oname).select("o_orderkey", "o_orderpriority")
+    li = spark.table(lname).select("l_orderkey", "l_extendedprice")
+    return (
+        li.hint("merge")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("gross_revenue"),
         )
     )

@@ -112,27 +112,51 @@ _REVERIFY: frozenset[str] = frozenset({
     "funnel_conversion", "embedding_decontamination",
 })
 
+# Queries registered AFTER the current round's 50-slot window was
+# already exactly full (never-adjudicated fresh + _REVERIFY): they
+# sort BEHIND _REVERIFY so a late addition can never evict a
+# judge-demanded re-adjudication from the window. CLEAR THIS SET AT
+# ROUND START (update_green_bank.py --check warns while it is
+# non-empty): once the round's verdicts land, these are ordinary
+# never-green queries and belong at the head of the fresh tier.
+_DEFER_FRESH: frozenset[str] = frozenset({
+    # added late in r4, after incremental_dedup_batch +
+    # jsonl_corpus_roundtrip filled the window to exactly 50:
+    "bucketed_join_colocated",
+    "corpus_shard_manifest",
+    "weighted_median_supplier_price",
+})
+
 
 def all_specs() -> dict[str, QuerySpec]:
     """All specs: never-adjudicated first, then de-banked rewrites
-    (_REVERIFY), then banked greens least-recently-verified first —
-    so every green is re-adjudicated within ~2 rounds even though
-    the driver window is smaller than the registry (stable within
-    each group by registration order)."""
+    (_REVERIFY), then late additions (_DEFER_FRESH — kept behind the
+    re-adjudications they must not evict), then banked greens
+    least-recently-verified first — so every green is re-adjudicated
+    within ~2 rounds even though the driver window is smaller than
+    the registry (stable within each group by registration order)."""
     _load_all()
     order = {n: i for i, n in enumerate(_REGISTRY)}
     fresh = [
         n for n in _REGISTRY
-        if n not in _DRIVER_GREEN and n not in _REVERIFY
+        if n not in _DRIVER_GREEN
+        and n not in _REVERIFY
+        and n not in _DEFER_FRESH
     ]
     reverify = sorted(
         (n for n in _REGISTRY if n in _REVERIFY), key=order.__getitem__
+    )
+    deferred = sorted(
+        (n for n in _REGISTRY if n in _DEFER_FRESH and n not in _DRIVER_GREEN),
+        key=order.__getitem__,
     )
     banked_names = sorted(
         (n for n in _REGISTRY if n in _DRIVER_GREEN and n not in _REVERIFY),
         key=lambda n: (_DRIVER_GREEN[n], order[n]),
     )
-    return {n: _REGISTRY[n] for n in (*fresh, *reverify, *banked_names)}
+    return {
+        n: _REGISTRY[n] for n in (*fresh, *reverify, *deferred, *banked_names)
+    }
 
 
 _SHIPPED: set[str] = set()

@@ -73,6 +73,14 @@ def render(bank: dict[str, int]) -> str:
 def main() -> int:
     bank = scan_correctness()
     known = registered_names()
+    from kittispark import registry
+
+    if registry._DEFER_FRESH:
+        print(
+            "WARN: registry._DEFER_FRESH is non-empty "
+            f"({sorted(registry._DEFER_FRESH)}) — clear it at round "
+            "start so late additions rejoin the head of the fresh tier"
+        )
     dropped = sorted(set(bank) - known)
     for name in dropped:
         print(f"WARN: green verdict for unregistered query {name!r} — dropped")

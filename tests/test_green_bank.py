@@ -32,22 +32,42 @@ def test_bank_file_matches_correctness_files():
     )
 
 
-def test_window_orders_fresh_then_reverify_then_banked_lrv():
+def test_window_orders_fresh_then_reverify_then_deferred_then_banked():
     from kittispark import registry
-    from kittispark.registry import _DRIVER_GREEN, _REVERIFY
+    from kittispark.registry import _DEFER_FRESH, _DRIVER_GREEN, _REVERIFY
 
     names = list(registry.all_specs())
 
     def rank(n: str) -> int:
-        if n not in _DRIVER_GREEN and n not in _REVERIFY:
+        if n in _REVERIFY:
+            return 1
+        if n in _DEFER_FRESH and n not in _DRIVER_GREEN:
+            return 2
+        if n not in _DRIVER_GREEN:
             return 0
-        return 1 if n in _REVERIFY else 2
+        return 3
 
     ranks = [rank(n) for n in names]
-    assert ranks == sorted(ranks), "fresh/reverify/banked groups interleaved"
-    banked = [n for n in names if rank(n) == 2]
+    assert ranks == sorted(ranks), "fresh/reverify/deferred/banked interleaved"
+    banked = [n for n in names if rank(n) == 3]
     rounds = [_DRIVER_GREEN[n] for n in banked]
     assert rounds == sorted(rounds), "banked greens not least-recently-verified first"
+
+
+def test_deferred_additions_never_evict_reverify_from_window():
+    """The point of the defer tier: with the window already exactly
+    full, late additions must land AFTER every _REVERIFY name."""
+    from kittispark import registry
+    from kittispark.registry import _DEFER_FRESH, _REVERIFY
+
+    names = list(registry.all_specs())
+    if not _DEFER_FRESH:
+        return
+    last_reverify = max(names.index(n) for n in _REVERIFY)
+    first_deferred = min(
+        names.index(n) for n in _DEFER_FRESH if n in names
+    )
+    assert first_deferred > last_reverify
 
 
 def test_reverify_names_are_registered():

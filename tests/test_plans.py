@@ -436,3 +436,14 @@ def test_jsonl_roundtrip_shuffle_free(plans):
     plan = plans("jsonl_corpus_roundtrip")
     assert shuffle_exchanges(plan) == 0
     assert "Scan json" in plan
+
+
+def test_bucketed_join_no_shuffle_before_join(plans):
+    """The bucketed fact-fact join must be CO-LOCATED: both scans read
+    the bucketed layout (Bucketed: true) and the SortMergeJoin runs
+    with no Exchange under it — the only shuffle in the whole plan is
+    the final per-priority aggregation."""
+    plan = plans("bucketed_join_colocated")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert shuffle_exchanges(plan) == 1
