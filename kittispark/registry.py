@@ -125,6 +125,8 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "bucketed_join_colocated",
     "corpus_shard_manifest",
     "weighted_median_supplier_price",
+    "hll_sketch_rollup",
+    "rollup_incremental_maintain",
 })
 
 

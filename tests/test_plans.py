@@ -447,3 +447,13 @@ def test_bucketed_join_no_shuffle_before_join(plans):
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
     assert shuffle_exchanges(plan) == 1
+
+
+def test_incremental_rollup_scans_batch_only(plans):
+    """Incremental maintenance must aggregate only the NEW batch from
+    raw events (split predicate pushed into the single events scan);
+    history enters as persisted partials from the rollup dir."""
+    plan = plans("rollup_incremental_maintain")
+    assert "kittispark-rollup-" in plan
+    assert plan.count("events.parquet") == 1
+    assert "GreaterThanOrEqual(ts," in plan
