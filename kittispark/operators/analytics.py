@@ -328,3 +328,46 @@ def ntile_from_rank(rank: Column, n_rows: Column, k: int) -> Column:
         )
         .cast("int")
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    *tiebreak_cols: str,
+    out_col: str = "wmedian",
+) -> DataFrame:
+    """Lower weighted median of ``value_col`` per group, weighted by
+    ``weight_col``: the smallest value whose cumulative weight reaches
+    half the group total (2*cum >= tot — kept in the inputs'
+    arithmetic, exact whenever weights are integral). One
+    group-partitioned ordered window computes the cumulative weight;
+    the group's shuffle is reused by the final agg, so the whole
+    operator costs ONE Exchange. The order must be totalized via
+    ``tiebreak_cols`` for a deterministic cumulative sequence (ties
+    in value cannot change the answer — every tied row carries the
+    same value — but determinism keeps cross-engine replays exact).
+    Group keys should be high-cardinality for parallelism; for a few
+    huge groups, rank with global_rank per group instead."""
+    w_cum = (
+        W.partitionBy(group_col)
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(group_col).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = df.select(
+        group_col,
+        value_col,
+        F.sum(weight_col).over(w_cum).alias("__cum_w"),
+        F.sum(weight_col).over(w_all).alias("__tot_w"),
+    )
+    return c.groupBy(group_col).agg(
+        F.min(
+            F.when(2 * F.col("__cum_w") >= F.col("__tot_w"), F.col(value_col))
+        ).alias(out_col),
+        F.max("__tot_w").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"),
+    )

@@ -426,33 +426,23 @@ def systematic_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "window"),
 )
 def weighted_median_supplier_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import weighted_median
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
     )
-    w_cum = (
-        W.partitionBy("l_suppkey")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    w_all = W.partitionBy("l_suppkey").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    c = li.select(
+    wm = weighted_median(
+        li,
         "l_suppkey",
         "l_extendedprice",
-        F.sum("l_quantity").over(w_cum).alias("cum_qty"),
-        F.sum("l_quantity").over(w_all).alias("tot_qty"),
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        out_col="__wm",
     )
-    return c.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.max("tot_qty"), 2).alias("total_qty"),
-        F.round(
-            F.min(
-                F.when(
-                    2 * F.col("cum_qty") >= F.col("tot_qty"),
-                    F.col("l_extendedprice"),
-                )
-            ),
-            2,
-        ).alias("wmedian_price"),
+    return wm.select(
+        "l_suppkey",
+        F.col("__n").alias("n_items"),
+        F.round("__tot", 2).alias("total_qty"),
+        F.round("__wm", 2).alias("wmedian_price"),
     )
