@@ -955,3 +955,75 @@ def rollup_incremental_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("val_cents").cast("double") / 100).alias("total_value"),
         )
     )
+
+
+_DAYPART_ROOT: dict[str, str] = {}
+
+
+def _cleanup_daypart_roots() -> None:
+    import shutil
+
+    for root in _DAYPART_ROOT.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_daypart_roots)
+
+
+def _daypart_path(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-written PARTITIONED BY event day (hive-style
+    day=YYYY-MM-DD directories), once per process+sf_dir."""
+    import os
+    import tempfile
+
+    cached = _DAYPART_ROOT.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="kittispark-daypart-")
+    (
+        t(spark, sf_dir, "events")
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(root)
+    )
+    _DAYPART_ROOT[sf_dir] = root
+    return root
+
+
+@register(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+    doc="Date-partitioned layout + partition-pruned read — with "
+    "bucketing, THE data-layout lever at 100 TB: events are "
+    "persisted once under hive-style day=YYYY-MM-DD directories "
+    "(Spark's partitioned parquet sink), and a one-day query filters "
+    "on the partition column so the scan plans PartitionFilters and "
+    "touches exactly ONE directory of ~1/30th the data — no row of "
+    "any other day is read, decoded, or filtered (plan-pinned in "
+    "tests/test_plans.py). The oracle recomputes the same day's "
+    "aggregate from the unpartitioned table, proving the re-write, "
+    "the partition encoding, and the pruned read lose nothing. "
+    "Value is the exact integer-cents sum.",
+    tags=("events", "storage"),
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _daypart_path(spark, sf_dir)
+    day = spark.read.parquet(root).filter(F.col("day") == "2024-01-15")
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+            / 100
+        ).alias("total_value"),
+    )

@@ -127,6 +127,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "weighted_median_supplier_price",
     "hll_sketch_rollup",
     "rollup_incremental_maintain",
+    "partitioned_write_prune",
 })
 
 

@@ -457,3 +457,12 @@ def test_incremental_rollup_scans_batch_only(plans):
     assert "kittispark-rollup-" in plan
     assert plan.count("events.parquet") == 1
     assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_partitioned_write_prune_has_partition_filter(plans):
+    """The one-day query over the day-partitioned layout must prune at
+    the DIRECTORY level: the day predicate plans as a PartitionFilter
+    (metadata-only pruning), not a data filter over all rows."""
+    plan = plans("partitioned_write_prune")
+    assert "kittispark-daypart-" in plan
+    assert re.search(r"PartitionFilters: \[.*day.* = 2024-01-15\)?\]", plan)
