@@ -1027,3 +1027,68 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("total_value"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    outdeg AS (
+        SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           round(CAST(p.n AS DOUBLE) / o.tot, 6) AS p_transition
+    FROM pairs p JOIN outdeg o ON o.from_type = p.from_type
+    """,
+    doc="Event-transition (Markov) matrix — the pattern-mining "
+    "aggregate behind next-action prediction and funnel discovery: "
+    "per user, consecutive events (ordered by ts with event_id "
+    "totalizing ties) pair into (from, to) transitions via ONE "
+    "user-partitioned lead() window; transition counts and "
+    "row-normalized probabilities follow from two tiny hash aggs "
+    "over the 5x5 type space. The window's user_id shuffle is the "
+    "only data-sized Exchange — users partition independently, so "
+    "the shape holds at any event volume; the probability divides "
+    "two exact int64 counts (one rounded quotient, no float "
+    "accumulation).",
+    tags=("events", "window"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(seq_w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    outdeg = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__tot")
+    )
+    return pairs.join(F.broadcast(outdeg), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("__tot"), 6
+        ).alias("p_transition"),
+    )

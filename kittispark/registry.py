@@ -128,6 +128,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "hll_sketch_rollup",
     "rollup_incremental_maintain",
     "partitioned_write_prune",
+    "event_transition_matrix",
 })
 
 
