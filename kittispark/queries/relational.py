@@ -1863,7 +1863,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # process+sf_dir (like the persisted IVF/MinHash indexes).
 # --------------------------------------------------------------------------
 
-_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+# (applicationId, sf_dir) -> (orders_table, lineitem_table)
+_BUCKETED_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
 _BUCKETED_ROOTS: list[str] = []
 
 
@@ -1880,13 +1881,20 @@ atexit.register(_cleanup_bucketed_roots)
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders and lineitem as 8-bucket tables hashed on the
     order key (data under a tmp path, metadata in the session
-    catalog), once per process+sf_dir. Table names carry an md5 tag
-    of sf_dir so two sf dirs never collide in one catalog."""
+    catalog), once per (application, sf_dir). Table names carry an
+    md5 tag of sf_dir so two sf dirs never collide in one catalog.
+
+    The cache key includes the APPLICATION id, not just sf_dir: the
+    file-path fixtures (jsonl/minhash/rollup/daypart) survive a Spark
+    restart because they cache paths, but saveAsTable metadata lives
+    in the application's catalog — a process that stops and recreates
+    its SparkContext would otherwise hit dangling table names."""
     import hashlib
     import os
     import tempfile
 
-    cached = _BUCKETED_TABLES.get(sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BUCKETED_TABLES.get(cache_key)
     if cached is not None:
         return cached
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -1906,7 +1914,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .format("parquet")
             .saveAsTable(name)
         )
-    _BUCKETED_TABLES[sf_dir] = (oname, lname)
+    _BUCKETED_TABLES[cache_key] = (oname, lname)
     return oname, lname
 
 

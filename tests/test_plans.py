@@ -466,3 +466,16 @@ def test_partitioned_write_prune_has_partition_filter(plans):
     plan = plans("partitioned_write_prune")
     assert "kittispark-daypart-" in plan
     assert re.search(r"PartitionFilters: \[.*day.* = 2024-01-15\)?\]", plan)
+
+
+def test_bucketed_table_cache_is_application_scoped(spark):
+    """saveAsTable metadata lives in the application's catalog, so the
+    fixture cache must key on (applicationId, sf_dir) — a path-only
+    key would dangle after a SparkContext restart."""
+    from kittispark.queries.relational import _BUCKETED_TABLES, _bucketed_tables
+
+    oname, lname = _bucketed_tables(spark, SF)
+    assert spark.catalog.tableExists(oname)
+    assert spark.catalog.tableExists(lname)
+    app = spark.sparkContext.applicationId
+    assert (app, SF) in _BUCKETED_TABLES
