@@ -341,7 +341,8 @@ def weighted_median(
     """Lower weighted median of ``value_col`` per group, weighted by
     ``weight_col``: the smallest value whose cumulative weight reaches
     half the group total (2*cum >= tot — kept in the inputs'
-    arithmetic, exact whenever weights are integral). One
+    arithmetic, exact whenever weights are integral; weights must be
+    positive or the cumulative-crossing rule is meaningless). One
     group-partitioned ordered window computes the cumulative weight;
     the group's shuffle is reused by the final agg, so the whole
     operator costs ONE Exchange. The order must be totalized via

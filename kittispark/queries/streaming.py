@@ -350,3 +350,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = S.enrich_counts(_stream(spark, sf_dir), dim, watermark=None)
     return _drain(res, "complete")
+
+
+@register(
+    "stream_jsonl_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS BIGINT) AS total_len
+    FROM documents GROUP BY lang
+    """,
+    doc="Streaming ingestion of the JSONL corpus format — the "
+    "production shape of continuous corpus intake: the JSONL export "
+    "(the same per-process fixture jsonl_corpus_roundtrip "
+    "adjudicates) is consumed by Structured Streaming's JSON file "
+    "source with an EXPLICIT schema, one file per micro-batch "
+    "(maxFilesPerTrigger=1), into a per-language running rollup "
+    "drained with availableNow in complete mode. At scale this is "
+    "exactly how a crawler's landing directory becomes queryable "
+    "tables — files arrive, micro-batches fold them into the "
+    "aggregate, no batch re-scan of the backlog. The oracle "
+    "recomputes the rollup from the parquet table, proving the "
+    "streaming JSON parse and cross-micro-batch aggregation lose "
+    "nothing.",
+    tags=("streaming", "llm-pipeline", "source"),
+)
+def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from kittispark.queries.llm_pipeline import _jsonl_path
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(_jsonl_path(spark, sf_dir))
+    )
+    rollup = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_len"),
+    )
+    return _drain(rollup, "complete")

@@ -129,6 +129,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "rollup_incremental_maintain",
     "partitioned_write_prune",
     "event_transition_matrix",
+    "stream_jsonl_ingest",
 })
 
 
