@@ -417,3 +417,94 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rk").alias("last_rank"),
         )
     )
+
+
+_CSV_ROOT: dict[str, str] = {}
+
+
+def _cleanup_csv_roots() -> None:
+    import shutil
+
+    for root in _CSV_ROOT.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_csv_roots)
+
+
+def _csv_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    cached = _CSV_ROOT.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="kittispark-csv-")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')  # RFC-4180 quote doubling
+        .option("nullValue", "\\N")  # keep NULL distinct from ''
+        .option("emptyValue", '""')
+        .csv(root)
+    )
+    _CSV_ROOT[sf_dir] = root
+    return root
+
+
+@register(
+    "csv_corpus_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           CAST(length(text) AS INT) AS text_len,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+    doc="CSV corpus roundtrip — the other ubiquitous corpus delivery "
+    "format, and a deliberate contrast with jsonl_corpus_roundtrip: "
+    "document text with embedded newlines forces RFC-4180 quoting "
+    "(quote-doubling escape) and multiLine=true on read, which makes "
+    "each CSV file NON-SPLITTABLE — one task per file regardless of "
+    "size, versus JSONL's line-splittable parallel scan; that "
+    "asymmetry is exactly why JSONL is the 100 TB interchange choice "
+    "and CSV is an ingest-then-convert format. NULL-vs-empty-string "
+    "fidelity needs the explicit nullValue sentinel ('\\\\N') and "
+    "emptyValue ('\"\"') write options — the CSV defaults conflate "
+    "the two (probed: a default roundtrip turns '' into NULL). Same "
+    "md5 adjudication as the JSONL twin: a hash match proves every "
+    "body byte, id, and metadata field survived quoting, escaping, "
+    "and the multiLine parse.",
+    tags=("llm-pipeline", "text", "source"),
+)
+def csv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .csv(_csv_path(spark, sf_dir))
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )

@@ -130,6 +130,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "partitioned_write_prune",
     "event_transition_matrix",
     "stream_jsonl_ingest",
+    "csv_corpus_roundtrip",
 })
 
 

@@ -62,3 +62,41 @@ def test_jsonl_registered_query_matches_source_rows(spark):
         .collect()
     }
     assert got == want
+
+
+def test_csv_roundtrip_preserves_null_empty_and_quoting(spark, tmp_path):
+    """CSV needs explicit options for exact fidelity: RFC-4180 quote
+    doubling, a nullValue sentinel so NULL != '', multiLine read for
+    embedded newlines. This pins the exact option set the registered
+    query uses (the defaults conflate '' with NULL)."""
+    rows = [
+        (0, "plain"),
+        (1, 'with "quotes" and, commas'),
+        (2, "embedded\nnewline"),
+        (3, ""),
+        (4, None),
+        (5, "unicode café ☃"),
+        (6, "\\N literal backslash-N"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "csv")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
