@@ -25,6 +25,7 @@ test-only; swap ``.format("parquet")`` + checkpoint for production.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import uuid
@@ -401,3 +402,115 @@ def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_len"),
     )
     return _drain(rollup, "complete")
+
+
+# --------------------------------------------------------------------------
+# Checkpointed resume: the exactly-once file-source contract across
+# restarts, adjudicated through a durable parquet sink.
+# --------------------------------------------------------------------------
+
+_CKPT_SINK: dict[str, str] = {}
+_CKPT_ROOTS: list[str] = []
+
+
+def _cleanup_ckpt_roots() -> None:
+    import shutil
+
+    for root in _CKPT_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_ckpt_roots)
+
+
+def _checkpointed_sink_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+sf_dir) a parquet sink produced by TWO
+    availableNow runs against the SAME checkpoint: run 1 drains the
+    first half of the landing files; more files land; run 2 resumes
+    from the checkpoint and processes ONLY the new files. The sink
+    then holds every event exactly once iff the file-source offset
+    log and sink commit log do their job — which the registered
+    query's oracle (a full recompute over all events) adjudicates:
+    any reprocessing doubles counts, any loss drops them, either
+    breaks the hash."""
+    import os
+    import tempfile
+
+    cached = _CKPT_SINK.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+
+    root = tempfile.mkdtemp(prefix="kittispark-ckpt-")
+    _CKPT_ROOTS.append(root)
+    landing = os.path.join(root, "landing")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 != 0)
+    first.repartition(2).write.mode("overwrite").parquet(landing)
+
+    def drain_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.select("event_id", "ts", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()  # run 1: first half
+    second.repartition(2).write.mode("append").parquet(landing)
+    drain_once()  # run 2: resumes from ckpt, must see ONLY the new files
+
+    _CKPT_SINK[sf_dir] = sink
+    return sink
+
+
+@register(
+    "stream_checkpoint_resume",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exactly-once RESUME across streaming restarts — the property "
+    "every production deployment stands on and the one a single "
+    "availableNow drain never exercises: a parquet sink is filled by "
+    "two separate runs against the same checkpointLocation (half the "
+    "landing files, then a restart after more files land), and the "
+    "registered query aggregates the SINK. The oracle recomputes "
+    "from the raw events table, so reprocessed files (doubled "
+    "counts), lost files, or a torn sink commit all break the hash; "
+    "n_distinct == n_events doubles as an in-row duplicate witness. "
+    "At 100 TB this is the file-source offset log + sink commit "
+    "protocol that lets a crawler-intake job die and resume without "
+    "reprocessing the backlog.",
+    tags=("streaming", "cdc"),
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = _checkpointed_sink_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100
+            ).alias("total_value"),
+        )
+    )

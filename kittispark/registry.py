@@ -131,6 +131,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "event_transition_matrix",
     "stream_jsonl_ingest",
     "csv_corpus_roundtrip",
+    "stream_checkpoint_resume",
 })
 
 
