@@ -448,3 +448,95 @@ def connected_components(
             "large-star/small-star contraction"
         )
     return labels
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document maximal duplicated token spans — the exact-
+    substring deduplication measure of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    re-expressed for Spark: any n-token window whose content occurs
+    ``min_occurrences``+ times ANYWHERE in the corpus (another doc or
+    another offset of the same doc) marks its token range duplicated;
+    overlapping/adjacent marked ranges are unioned into maximal spans.
+
+    Returns (doc_id, n_dup_spans, dup_tokens) — one row per document
+    that contains at least one duplicated span; dup_tokens is the size
+    of the interval union, so it never double-counts overlap.
+
+    Scale shape (the suffix-array of the paper is a single-machine
+    construction; this is the shuffle-native equivalent):
+    1. posexplode tokens + lead() window -> (doc, pos, shingle): ONE
+       shuffle on doc_id, reused by every later per-doc window.
+    2. shingle -> md5 (32-hex fixed-width shuffle key; engine-portable
+       so the DuckDB twin replays values bit-for-bit, and wide enough
+       that collisions are cryptographically negligible where a 60-bit
+       key would collide at corpus scale).
+    3. duplicated-key set via groupBy(h) count >= min_occurrences —
+       partial aggs make the shuffle rows-per-distinct-shingle; a
+       boilerplate mega-shingle lands on one reducer as ONE partial
+       row per map task, so the hot-key risk aggregates away.
+    4. inner equi-join positions to the duplicated set on h (AQE picks
+       broadcast when the dup set is small, shuffle join otherwise).
+    5. interval union per doc: running max(pos + n - 1) window ->
+       break flag -> running-sum island id -> per-island min/max.
+       Partitioned by doc_id — no global window anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos0", "tok"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos0")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    shingled = (
+        toks.select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            *[p.alias(f"__t{i}") for i, p in enumerate(parts)],
+        )
+        .filter(F.col(f"__t{n-1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(" ", *[F.col(f"__t{i}") for i in range(n)])
+            ).alias("h"),
+        )
+    )
+    dup_keys = (
+        shingled.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_occurrences)
+        .select("h")
+    )
+    marked = shingled.join(dup_keys, "h").select("doc_id", "pos")
+
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n - 1).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_end, F.lit(-1)) + 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    grouped = marked.select(
+        "doc_id", "pos", brk.alias("brk")
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("grp"),
+    )
+    spans = grouped.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("sp_start"),
+        (F.max("pos") + n - 1).alias("sp_end"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("sp_end") - F.col("sp_start") + 1).alias("dup_tokens"),
+    )

@@ -749,3 +749,85 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+_EXACT_SUBSTRING_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS h
+    FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+    WHERE len(toks) >= 8
+),
+d AS (SELECT h FROM s GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (h)),
+b AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM m
+),
+g AS (
+    SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM b
+),
+sp AS (
+    SELECT doc_id, grp, min(pos) AS sp_start, max(pos) + 7 AS sp_end
+    FROM g GROUP BY doc_id, grp
+),
+agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(sp_end - sp_start + 1) AS BIGINT) AS dup_tokens
+    FROM sp GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_dup_spans, a.dup_tokens,
+       CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens,
+       round(CAST(a.dup_tokens AS DOUBLE)
+             / len(string_split(dd.text, ' ')), 6) AS dup_frac
+FROM agg a JOIN documents dd ON a.doc_id = dd.doc_id
+"""
+
+
+@register(
+    "exact_substring_spans",
+    oracle=_EXACT_SUBSTRING_ORACLE,
+    doc="Exact-substring duplication spans (Lee et al. 2022, arXiv:"
+    "2107.06499 — the 50-token suffix-array dedup, shrunk to 8-token "
+    "windows for the fixture corpus): every 8-token window whose "
+    "content occurs >= 2 times anywhere in the corpus marks its "
+    "range duplicated, and overlapping/adjacent ranges are unioned "
+    "into MAXIMAL spans per document — the paper's ExactSubstr "
+    "removal unit. Emits per-doc span count, unioned duplicated "
+    "token count, and duplicated fraction. The paper builds one "
+    "giant suffix array (single-machine, memory-bound); the Spark "
+    "form is pure shuffles: one doc_id window for shingling, a "
+    "count>=2 hash-agg on the md5 shingle key (fixed 32-hex shuffle "
+    "width; partial aggs absorb boilerplate hot keys), an equi-join "
+    "back, and a doc_id-partitioned running-max interval union — "
+    "no global ordering, no driver state, every stage keyed on "
+    "doc_id or the hash. Interval-union semantics (not per-window "
+    "counting) mean dup_tokens never double-counts overlap, matching "
+    "how the removal pass would actually cut text.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.dedup import duplicated_token_spans
+    from kittispark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents")
+    spans = duplicated_token_spans(docs, n=8)
+    ntok = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    return spans.join(ntok, "doc_id").select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_tokens",
+        "n_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )

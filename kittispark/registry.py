@@ -132,6 +132,8 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "stream_jsonl_ingest",
     "csv_corpus_roundtrip",
     "stream_checkpoint_resume",
+    "exact_substring_spans",
+    "orc_corpus_roundtrip",
 })
 
 

@@ -144,3 +144,55 @@ def test_probe_index_finds_planted_clone(spark, tmp_path):
         for r in minhash_probe_index(spark, idx, clone).collect()
     }
     assert (2_000_001, 1) in pairs
+
+
+class TestDuplicatedTokenSpans:
+    """Hand-computed fixtures for the exact-substring interval-union
+    semantics (Lee et al. ExactSubstr): overlapping duplicated windows
+    must merge into ONE maximal span with no double-counting."""
+
+    def _spans(self, spark, rows, n=3):
+        from kittispark.operators.dedup import duplicated_token_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+            for r in duplicated_token_spans(df, n=n).collect()
+        }
+
+    def test_two_identical_docs_fully_duplicated(self, spark):
+        text = "a b c d e f"
+        out = self._spans(spark, [(1, text), (2, text)])
+        # every 3-window duplicated -> one maximal span covering all 6
+        assert out == {1: (1, 6), 2: (1, 6)}
+
+    def test_overlapping_windows_union_not_sum(self, spark):
+        # docs share the 4-token run "p q r s": windows (p q r) and
+        # (q r s) both duplicate, but the union is ONE span of 4
+        out = self._spans(
+            spark, [(1, "p q r s x1 y1 z1"), (2, "u2 v2 p q r s w2")]
+        )
+        assert out[1] == (1, 4)
+        assert out[2] == (1, 4)
+
+    def test_disjoint_repeats_make_two_spans(self, spark):
+        # doc 1 shares "a b c" with doc 2 and "x y z" with doc 3,
+        # separated by a unique gap longer than the window
+        out = self._spans(
+            spark,
+            [
+                (1, "a b c m1 m2 m3 m4 x y z"),
+                (2, "a b c k2a k2b k2c"),
+                (3, "j3a j3b j3c x y z"),
+            ],
+        )
+        assert out[1] == (2, 6)
+
+    def test_intra_doc_repeat_counts(self, spark):
+        # the same doc repeating its own trigram is duplication too
+        out = self._spans(spark, [(1, "a b c g1 g2 g3 g4 a b c")])
+        assert out[1] == (2, 6)
+
+    def test_unique_corpus_yields_nothing(self, spark):
+        out = self._spans(spark, [(1, "a b c d"), (2, "e f g h")])
+        assert out == {}

@@ -479,3 +479,25 @@ def test_bucketed_table_cache_is_application_scoped(spark):
     assert spark.catalog.tableExists(lname)
     app = spark.sparkContext.applicationId
     assert (app, SF) in _BUCKETED_TABLES
+
+
+def test_exact_substring_spans_doc_keyed_shuffles_only(plans):
+    """Exact-substring span dedup must be pure equi-join + windows:
+    no cartesian product anywhere, the only join keys being the md5
+    shingle hash and doc_id, and the duplicated-key aggregation a
+    partial+final HashAggregate (hot boilerplate shingles combine
+    map-side instead of flooding one reducer)."""
+    plan = plans("exact_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_orc_roundtrip_pushes_filter_to_orc_scan(plans):
+    """The ORC read-back must keep the splittable columnar contract:
+    a Scan orc node with the n_chars predicate in PushedFilters
+    (stripe-level stats skipping), zero shuffles in the projection."""
+    plan = plans("orc_corpus_roundtrip")
+    assert "Scan orc" in plan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(n_chars,64\)", plan)
+    assert shuffle_exchanges(plan) == 0
