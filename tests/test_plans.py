@@ -501,3 +501,23 @@ def test_orc_roundtrip_pushes_filter_to_orc_scan(plans):
     assert "Scan orc" in plan
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(n_chars,64\)", plan)
     assert shuffle_exchanges(plan) == 0
+
+
+def test_pq_adc_broadcasts_codebook_and_dtable(plans):
+    """PQ serving must keep both small sides broadcast (codebook at
+    encode, distance table at scan) — the corpus-side code scan is
+    the only big relation and it never shuffles into a join build
+    side; no cartesian anywhere."""
+    plan = plans("pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_rerank_fetch_is_equi_join(plans):
+    """The re-rank stage fetches full vectors for shortlist
+    candidates via equi-join on vec_id — point lookups, never a
+    second full-corpus cross."""
+    plan = plans("pq_rerank_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
