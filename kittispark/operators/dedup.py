@@ -468,6 +468,28 @@ def duplicated_token_spans(
     Returns (doc_id, n_dup_spans, dup_tokens) — one row per document
     that contains at least one duplicated span; dup_tokens is the size
     of the interval union, so it never double-counts overlap.
+    Aggregates duplicated_span_intervals(); see it for the scale
+    shape.
+    """
+    spans = duplicated_span_intervals(df, text_col, id_col, n, min_occurrences)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("sp_end") - F.col("sp_start") + 1).alias("dup_tokens"),
+    )
+
+
+def duplicated_span_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """(doc_id, sp_start, sp_end): the maximal duplicated token
+    intervals themselves (1-based, inclusive) — shared by the span
+    STATS (duplicated_token_spans) and the span REMOVAL
+    (remove_duplicated_spans) so the interval-union semantics never
+    fork.
 
     Scale shape (the suffix-array of the paper is a single-machine
     construction; this is the shuffle-native equivalent):
@@ -532,11 +554,65 @@ def duplicated_token_spans(
         "pos",
         F.sum("brk").over(wd.rowsBetween(W.unboundedPreceding, 0)).alias("grp"),
     )
-    spans = grouped.groupBy("doc_id", "grp").agg(
+    return grouped.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("sp_start"),
         (F.max("pos") + n - 1).alias("sp_end"),
+    ).drop("grp")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The removal pass of ExactSubstr dedup: cut every maximal
+    duplicated span (duplicated_span_intervals) out of each document
+    and reassemble the survivors in order. Returns one row per
+    document — (doc_id, n_tokens_before, n_tokens_after, clean_text);
+    a doc with no duplicated spans passes through byte-identical
+    (single-space split/join round-trips text exactly, including
+    consecutive/leading spaces, because empty tokens are preserved),
+    and a fully-duplicated doc comes back as ''.
+
+    Shape: the token explode re-uses the doc_id partitioning; spans
+    join tokens on the doc_id equi-key with the range test as a
+    post-join filter — spans per doc are few (bounded by
+    n_tokens / n), so the fan-out is small and bounded, never a
+    cross product. Reassembly is an order-restoring
+    array_sort(collect_list(struct(pos, tok))) per doc — the same
+    idiom the boilerplate pruner uses — and stays partitioned on
+    doc_id end to end."""
+    spans = duplicated_span_intervals(df, text_col, id_col, n, min_occurrences)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    removed = (
+        toks.join(spans, "doc_id")
+        .filter(F.col("pos").between(F.col("sp_start"), F.col("sp_end")))
+        .select("doc_id", "pos")
+        .distinct()
     )
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("sp_end") - F.col("sp_start") + 1).alias("dup_tokens"),
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens_before"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens_before",
+        F.coalesce(F.col("n_tokens_after"), F.lit(0)).alias("n_tokens_after"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )

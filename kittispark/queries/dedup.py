@@ -751,7 +751,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACT_SUBSTRING_ORACLE = """
+# Shared CTE block: maximal duplicated-span intervals (the SQL twin
+# of operators.dedup.duplicated_span_intervals, n=8). Both the span
+# STATS and the span REMOVAL oracles build on `sp` so the
+# interval-union semantics can never fork between them.
+_SPAN_CTES = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (
     SELECT doc_id, i AS pos,
@@ -778,7 +782,9 @@ g AS (
 sp AS (
     SELECT doc_id, grp, min(pos) AS sp_start, max(pos) + 7 AS sp_end
     FROM g GROUP BY doc_id, grp
-),
+)"""
+
+_EXACT_SUBSTRING_ORACLE = _SPAN_CTES + """,
 agg AS (
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_dup_spans,
@@ -830,4 +836,65 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_tokens",
         "n_tokens",
         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )
+
+
+_EXACT_SUBSTRING_REMOVAL_ORACLE = _SPAN_CTES + """,
+tok AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+),
+rm AS (
+    SELECT DISTINCT tk.doc_id, tk.pos
+    FROM tok tk JOIN sp ON sp.doc_id = tk.doc_id
+                       AND tk.pos BETWEEN sp.sp_start AND sp.sp_end
+),
+kept AS (
+    SELECT tk.doc_id, tk.pos, tk.tok
+    FROM tok tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.pos = tk.pos
+    WHERE rm.pos IS NULL
+),
+rebuilt AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens_after,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens_before,
+       coalesce(r.n_tokens_after, 0) AS n_tokens_after,
+       md5(coalesce(r.clean_text, '')) AS clean_md5
+FROM t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register(
+    "exact_substring_removal",
+    oracle=_EXACT_SUBSTRING_REMOVAL_ORACLE,
+    doc="The removal pass of ExactSubstr dedup (the transform "
+    "exact_substring_spans only measures): every maximal duplicated "
+    "span is cut from its document and the survivors reassembled in "
+    "order. Emits one row per document — before/after token counts "
+    "and an md5 of the cleaned text, so the adjudication covers the "
+    "REBUILT BYTES, not just counts: a doc with no duplicated spans "
+    "must round-trip byte-identical through the split/cut/join "
+    "(single-space split preserves empty tokens, so consecutive "
+    "spaces survive), and a fully-duplicated doc must come back "
+    "empty. Shape: tokens and spans meet on the doc_id equi-key "
+    "with the range test as a post-join filter (spans per doc "
+    "bounded by n_tokens/8 — bounded fan-out, no cross product); "
+    "reassembly is the order-restoring array_sort(collect_list) "
+    "idiom, partitioned by doc_id end to end.",
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.dedup import remove_duplicated_spans
+
+    docs = t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, n=8)
+    return out.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.md5("clean_text").alias("clean_md5"),
     )

@@ -136,6 +136,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "orc_corpus_roundtrip",
     "pq_adc_topk",
     "pq_rerank_topk",
+    "exact_substring_removal",
 })
 
 

@@ -196,3 +196,56 @@ class TestDuplicatedTokenSpans:
     def test_unique_corpus_yields_nothing(self, spark):
         out = self._spans(spark, [(1, "a b c d"), (2, "e f g h")])
         assert out == {}
+
+
+class TestRemoveDuplicatedSpans:
+    """The removal pass must cut exactly the interval union and
+    round-trip untouched documents byte-identically."""
+
+    def _clean(self, spark, rows, n=3):
+        from kittispark.operators.dedup import remove_duplicated_spans
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (
+                r["n_tokens_before"], r["n_tokens_after"], r["clean_text"]
+            )
+            for r in remove_duplicated_spans(df, n=n).collect()
+        }
+
+    def test_untouched_doc_roundtrips_byte_identical(self, spark):
+        # consecutive spaces produce empty tokens; the split/join
+        # round-trip must preserve them exactly
+        text = "solo  tokens   with gaps"
+        out = self._clean(spark, [(1, text), (2, "totally different words")])
+        assert out[1][2] == text
+
+    def test_duplicated_run_is_cut(self, spark):
+        out = self._clean(
+            spark, [(1, "a b c tail1 tail2 tail3"), (2, "pre2a pre2b a b c")]
+        )
+        assert out[1] == (6, 3, "tail1 tail2 tail3")
+        assert out[2] == (5, 2, "pre2a pre2b")
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        text = "x y z"
+        out = self._clean(spark, [(1, text), (2, text)])
+        assert out[1] == (3, 0, "")
+        assert out[2] == (3, 0, "")
+
+    def test_spans_and_removal_agree_on_cut_size(self, spark):
+        from kittispark.operators.dedup import duplicated_token_spans
+
+        rows = [
+            (1, "a b c m1 m2 m3 m4 x y z"),
+            (2, "a b c k2a k2b k2c"),
+            (3, "j3a j3b j3c x y z"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        stats = {
+            r["doc_id"]: r["dup_tokens"]
+            for r in duplicated_token_spans(df, n=3).collect()
+        }
+        out = self._clean(spark, rows)
+        for doc_id, (before, after, _) in out.items():
+            assert before - after == stats.get(doc_id, 0)
