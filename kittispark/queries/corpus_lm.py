@@ -185,3 +185,85 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("weight"),
         F.round(w / natural, 6).alias("upsample_factor"),
     )
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle="""
+    WITH wd AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+        SELECT w, count(*) AS freq FROM wd WHERE length(w) > 0 GROUP BY w
+    ),
+    sym AS (
+        SELECT freq,
+               list_append(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> substring(w, i, 1)),
+                   '</w>') AS syms
+        FROM wf
+    ),
+    p AS (
+        SELECT freq,
+               unnest(list_transform(
+                   generate_series(1, len(syms) - 1),
+                   i -> syms[i] || ' ' || syms[i + 1]
+               )) AS pair
+        FROM sym
+    ),
+    c AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+    )
+    SELECT pair, pair_count, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY pair_count DESC, pair) AS rk
+        FROM c
+    )
+    WHERE rk <= 30
+    """,
+    doc="One round of BPE merge training (Sennrich et al. 2016): "
+    "whitespace words get an end-of-word marker symbol, every "
+    "adjacent symbol pair is counted weighted by word frequency, and "
+    "the top-30 merge candidates are ranked (count desc, pair "
+    "tiebreak) — the argmax of round 1 is exactly the first merge a "
+    "BPE tokenizer would learn. Scale shape: the corpus collapses to "
+    "the DISTINCT-word frequency table first (the classic BPE "
+    "training layout — pair explosion runs over vocab, not corpus, "
+    "so a 100 TB corpus costs one word-count agg plus a vocab-sized "
+    "explode), pair counting is a partial+final hash agg on the "
+    "pair key, and the global top-30 is TakeOrderedAndProject with "
+    "the rank window applied only to the 30 survivors.",
+    tags=("text", "llm-pipeline"),
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    syms = wf.select(
+        "freq",
+        F.array_append(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            F.lit("</w>"),
+        ).alias("syms"),
+    )
+    pairs = syms.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    top = counts.orderBy(F.desc("pair_count"), F.asc("pair")).limit(30)
+    w = W.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.select(
+        "pair", "pair_count", F.row_number().over(w).alias("rk")
+    )

@@ -137,6 +137,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "pq_adc_topk",
     "pq_rerank_topk",
     "exact_substring_removal",
+    "bpe_merge_pair_counts",
 })
 
 

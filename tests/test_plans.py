@@ -521,3 +521,15 @@ def test_pq_rerank_fetch_is_equi_join(plans):
     plan = plans("pq_rerank_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_pairs_take_ordered_below_window(plans):
+    """The global top-30 merge-candidate ranking must plan
+    TakeOrderedAndProject BELOW the rank window, so only 30 rows ever
+    reach the single-partition window — and the pair explosion runs
+    over the distinct-word table, never the raw corpus."""
+    plan = plans("bpe_merge_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    i_take = plan.find("TakeOrderedAndProject")
+    i_win = plan.find("+- Window")
+    assert i_win != -1 and i_win < i_take
