@@ -63,6 +63,12 @@ HEADLINE = [
     # reports the steady-state serve path:
     "bucketed_join_colocated",
     "rollup_incremental_maintain",
+    # round-4 continuation: the two heaviest new training-data ops —
+    # ExactSubstr span detection (corpus-wide shingle hash-agg +
+    # interval-union windows) and PQ shortlist + exact re-rank (ADC
+    # broadcast-table scan + point-lookup refine):
+    "exact_substring_spans",
+    "pq_rerank_topk",
 ]
 
 
