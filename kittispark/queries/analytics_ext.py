@@ -446,3 +446,212 @@ def weighted_median_supplier_price(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("__tot", 2).alias("total_qty"),
         F.round("__wm", 2).alias("wmedian_price"),
     )
+
+
+@register(
+    "constraint_audit_report",
+    oracle="""
+    WITH fk_orders AS (
+        SELECT count(*) AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+    ),
+    fk_lineitem AS (
+        SELECT count(*) AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    qty_range AS (
+        SELECT count(*) AS v FROM lineitem
+        WHERE l_quantity <= 0 OR l_quantity > 50
+    ),
+    pk_orders AS (
+        SELECT count(*) AS v FROM (
+            SELECT o_orderkey FROM orders
+            GROUP BY o_orderkey HAVING count(*) > 1
+        )
+    ),
+    price_sum AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS micro
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    price_consistency AS (
+        SELECT count(*) AS v
+        FROM orders o JOIN price_sum p ON p.l_orderkey = o.o_orderkey
+        WHERE abs(p.micro - CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            * 10000) > 5000
+    ),
+    checked AS (
+        SELECT (SELECT count(*) FROM orders) AS n_orders,
+               (SELECT count(*) FROM lineitem) AS n_lineitem
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+    FROM (
+        SELECT 'fk_orders_custkey' AS rule, v AS n_violations,
+               n_orders AS n_checked FROM fk_orders, checked
+        UNION ALL
+        SELECT 'fk_lineitem_orderkey', v, n_lineitem FROM fk_lineitem, checked
+        UNION ALL
+        SELECT 'lineitem_quantity_range', v, n_lineitem FROM qty_range, checked
+        UNION ALL
+        SELECT 'orders_pk_unique', v, n_orders FROM pk_orders, checked
+        UNION ALL
+        SELECT 'orders_totalprice_consistent', v, n_orders
+        FROM price_consistency, checked
+    )
+    """,
+    doc="Data-quality constraint audit (the dbt-test / Deequ pattern "
+    "as one declarative pass): referential integrity orders->customer "
+    "and lineitem->orders via anti-join counts, a value-range rule on "
+    "quantity, primary-key uniqueness on orderkey, and an order-total "
+    "consistency rule that recomputes each order's lineitem total in "
+    "EXACT integer micro-units (price cents x discount points x tax "
+    "points — order-independent, the house exact-cents discipline) "
+    "against o_totalprice with a half-cent tolerance. Emits one row "
+    "per rule with violation count and rate. Scale shape: every rule "
+    "is an equi/anti join or partial+final agg on its natural key; "
+    "the five rule branches scan each table independently and union "
+    "five one-row aggregates — trivially parallel, no rule ever "
+    "blocks another.",
+    tags=("relational", "audit"),
+)
+def constraint_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    customer = t(spark, sf_dir, "customer")
+
+    n_orders = orders.count()
+    n_lineitem = lineitem.count()
+
+    def one(rule: str, df_v, n_checked: int) -> DataFrame:
+        return df_v.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(rule).alias("rule"),
+            F.col("n_violations"),
+            F.lit(n_checked).cast("long").alias("n_checked"),
+        )
+
+    fk_orders = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    )
+    fk_lineitem = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    qty_range = lineitem.filter(
+        (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+    )
+    pk_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dpts = F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    tpts = F.lit(100) + F.round(F.col("l_tax") * 100, 0).cast("long")
+    price_sum = lineitem.groupBy("l_orderkey").agg(
+        F.sum(cents * dpts * tpts).alias("micro")
+    )
+    price_bad = orders.join(
+        price_sum, orders["o_orderkey"] == price_sum["l_orderkey"]
+    ).filter(
+        F.abs(
+            F.col("micro")
+            - F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000
+        )
+        > 5000
+    )
+    report = (
+        one("fk_orders_custkey", fk_orders, n_orders)
+        .unionByName(one("fk_lineitem_orderkey", fk_lineitem, n_lineitem))
+        .unionByName(one("lineitem_quantity_range", qty_range, n_lineitem))
+        .unionByName(one("orders_pk_unique", pk_orders, n_orders))
+        .unionByName(one("orders_totalprice_consistent", price_bad, n_orders))
+    )
+    return report.select(
+        "rule",
+        "n_violations",
+        "n_checked",
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@register(
+    "shuffle_skew_report",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    g AS (
+        SELECT count(*) AS n_keys,
+               sum(cnt) AS total_rows,
+               sum(cnt * cnt) AS sum_sq,
+               max(cnt) AS max_cnt
+        FROM sizes
+    )
+    SELECT CAST(rk AS INT) AS rk, l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / total_rows, 6) AS pct_of_total,
+           round(CAST(max_cnt AS DOUBLE) * n_keys / total_rows, 6)
+               AS skew_factor,
+           round(sqrt(CAST(sum_sq AS DOUBLE) / n_keys
+                      - (CAST(total_rows AS DOUBLE) / n_keys)
+                        * (CAST(total_rows AS DOUBLE) / n_keys))
+                 / (CAST(total_rows AS DOUBLE) / n_keys), 6) AS cv
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+        FROM sizes
+    ), g
+    WHERE rk <= 10
+    """,
+    doc="Shuffle-skew diagnosis for a join/agg key — the measurement "
+    "that decides whether a key needs salting (operators.skew) or an "
+    "AQE skew-join split before a 100 TB run: per-key row counts for "
+    "the lineitem->supplier join key, the 10 hottest keys with their "
+    "share, a skew factor (hottest key vs mean key), and the "
+    "coefficient of variation of key sizes. The CV is computed from "
+    "EXACT integer sums (sum of counts, sum of squared counts — no "
+    "engine-dependent variance algorithm, no float accumulation "
+    "order), one float sqrt at the end. Scale shape: one "
+    "partial+final count agg on the key, a 4-scalar global agg "
+    "broadcast back, and the top-10 via TakeOrderedAndProject — the "
+    "report costs one shuffle regardless of corpus size.",
+    tags=("relational", "skew", "audit"),
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    sizes = lineitem.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    g = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = sizes.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(10)
+    w = W.orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rk"), "l_suppkey", "cnt"
+    )
+    mean = F.col("total_rows").cast("double") / F.col("n_keys")
+    return ranked.crossJoin(F.broadcast(g)).select(
+        "rk",
+        "l_suppkey",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total_rows"), 6).alias("pct_of_total"),
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys")
+            / F.col("total_rows"),
+            6,
+        ).alias("skew_factor"),
+        F.round(
+            F.sqrt(
+                F.col("sum_sq").cast("double") / F.col("n_keys") - mean * mean
+            )
+            / mean,
+            6,
+        ).alias("cv"),
+    )

@@ -138,6 +138,8 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "pq_rerank_topk",
     "exact_substring_removal",
     "bpe_merge_pair_counts",
+    "constraint_audit_report",
+    "shuffle_skew_report",
 })
 
 

@@ -533,3 +533,15 @@ def test_bpe_pairs_take_ordered_below_window(plans):
     i_take = plan.find("TakeOrderedAndProject")
     i_win = plan.find("+- Window")
     assert i_win != -1 and i_win < i_take
+
+
+def test_skew_report_take_ordered_below_window(plans):
+    """The hottest-keys ranking must plan TakeOrderedAndProject below
+    the rank window (only 10 rows reach the single-partition window),
+    and the global stats enter as a broadcast, never a shuffle."""
+    plan = plans("shuffle_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    i_take = plan.find("TakeOrderedAndProject")
+    i_win = plan.find("+- Window")
+    assert i_win != -1 and i_win < i_take
+    assert "CartesianProduct" not in plan
