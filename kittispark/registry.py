@@ -140,6 +140,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "bpe_merge_pair_counts",
     "constraint_audit_report",
     "shuffle_skew_report",
+    "bpe_learn_merges",
 })
 
 
