@@ -514,3 +514,152 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+_MERGE_SILVER: dict[str, str] = {}
+_MERGE_ROOTS: list[str] = []
+
+
+def _cleanup_merge_roots() -> None:
+    import shutil
+
+    for root in _MERGE_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_merge_roots)
+
+
+def _merged_silver_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+sf_dir) a keyed 'silver' table
+    maintained by a foreachBatch MERGE over the streaming event
+    intake — the bronze->silver pattern of every lakehouse pipeline:
+    each micro-batch is aggregated per user (count + latest-by-
+    (ts, event_id) struct max) and full-outer merged into the
+    previous silver version; versions are immutable parquet dirs, so
+    a reader never observes a half-written table (the poor-man's
+    atomic commit a table format would provide). maxFilesPerTrigger=1
+    over 2 landing files forces >= 2 real merge rounds, so the
+    accumulation path (old.n + batch.n, greatest(last)) is genuinely
+    exercised — a single-batch drain would reduce MERGE to a copy."""
+    cached = _MERGE_SILVER.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+
+    root = tempfile.mkdtemp(prefix="kittispark-mergesilver-")
+    _MERGE_ROOTS.append(root)
+    landing = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(landing)
+
+    last_struct = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("last")
+    state = {"ver": 0}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bagg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), last_struct
+        )
+        if state["ver"] == 0:
+            merged = bagg
+        else:
+            cur = spark.read.parquet(os.path.join(root, f"v{state['ver']}"))
+            merged = (
+                cur.select(
+                    F.col("user_id"),
+                    F.col("n_events").alias("__an"),
+                    F.col("last").alias("__al"),
+                )
+                .join(
+                    bagg.select(
+                        F.col("user_id"),
+                        F.col("n_events").alias("__bn"),
+                        F.col("last").alias("__bl"),
+                    ),
+                    "user_id",
+                    "full_outer",
+                )
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("__an"), F.lit(0))
+                        + F.coalesce(F.col("__bn"), F.lit(0))
+                    ).alias("n_events"),
+                    # greatest() skips NULL, so an unmatched side
+                    # passes the other side's struct through
+                    F.greatest(F.col("__al"), F.col("__bl")).alias("last"),
+                )
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(root, f"v{state['ver'] + 1}")
+        )
+        state["ver"] += 1
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["ver"] < 2:
+        raise RuntimeError(
+            f"merge fixture expected >= 2 micro-batches, got {state['ver']}"
+        )
+    final = os.path.join(root, f"v{state['ver']}")
+    _MERGE_SILVER[sf_dir] = final
+    return final
+
+
+@register(
+    "stream_merge_upsert",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, ts, event_type, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    cnt AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_events,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS last_ts,
+           l.event_type AS last_event_type,
+           round(l.value, 2) AS last_value
+    FROM cnt c JOIN latest l USING (user_id)
+    """,
+    doc="Streaming MERGE upsert (foreachBatch) — the bronze->silver "
+    "maintenance job of a lakehouse pipeline: the event intake "
+    "stream is drained in >= 2 micro-batches, each full-outer-merged "
+    "into an immutable-versioned per-user silver table (running "
+    "count + latest-by-(ts, event_id) state; greatest() on the "
+    "ordered struct makes 'latest' batch-boundary-invariant). The "
+    "registered query reads the FINAL silver version; the oracle "
+    "recomputes per-user count and argmax from raw events, so a "
+    "dropped batch, double merge, or wrong merge arithmetic all "
+    "break the hash. At 100 TB the same shape runs with a table "
+    "format supplying the atomic version swap and the merge becomes "
+    "MERGE INTO; the per-batch cost stays proportional to the BATCH "
+    "(bagg) plus one keyed join against the silver table.",
+    tags=("streaming", "cdc"),
+)
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    silver = _merged_silver_dir(spark, sf_dir)
+    return spark.read.parquet(silver).select(
+        "user_id",
+        "n_events",
+        F.col("last.ts").cast("long").alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.round(F.col("last.value"), 2).alias("last_value"),
+    )

@@ -141,6 +141,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "constraint_audit_report",
     "shuffle_skew_report",
     "bpe_learn_merges",
+    "stream_merge_upsert",
 })
 
 
