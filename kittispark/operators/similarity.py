@@ -914,3 +914,28 @@ def pq_rerank_topk(
     return ranked.select(
         "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rk"
     )
+
+
+def ivf_append_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch of new vectors to a persisted IVF index WITHOUT
+    retraining — the steady-state maintenance path of a serving
+    index: centroids are read back (k tiny rows), the batch is
+    assigned with the SAME GEMM kernel the original build used
+    (shared _assigned_corpus, so layouts can never fork), and the new
+    rows land as additional files inside their cid partition
+    directories (append mode). Serving picks them up with zero
+    changes — partition pruning is directory-based, and a pruned scan
+    reads old and appended files alike. At 100 TB this is the hourly
+    ingest job: cost is one assignment pass over the BATCH, never a
+    rebuild; periodic re-train is a policy decision when drift
+    accumulates, not a correctness requirement."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    assigned = _assigned_corpus(batch, cents, vec_col, id_col)
+    assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")

@@ -833,3 +833,112 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_rerank_topk(emb, queries, k=5, shortlist=100, m=16, n_codes=64)
+
+
+_IVF_APPEND_ROOT: dict[str, str] = {}
+
+
+def _ivf_appended_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Index trained + built from the BASE corpus (80%: vec_id % 5 !=
+    0), then the arriving batch (20%) appended WITHOUT retraining —
+    the steady-state ingest path ann_ivf_index_append adjudicates."""
+    import os
+    import tempfile
+
+    from kittispark.operators.similarity import ivf_append_index, ivf_write_index
+
+    cached = _IVF_APPEND_ROOT.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="kittispark-ivfapp-")
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    ivf_write_index(base, root)
+    ivf_append_index(spark, root, batch)
+    _IVF_APPEND_ROOT[sf_dir] = root
+    return root
+
+
+@register(
+    "ann_ivf_index_append",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_served,
+           TRUE AS append_matches_full
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="Index MAINTENANCE gate for the persisted IVF layout: the "
+    "index is trained and built from the 80% base corpus, then the "
+    "20% arriving batch is appended by assigning it to the EXISTING "
+    "centroids (ivf_append_index — same GEMM kernel, same layout, "
+    "no retrain) as extra files inside the cid partition dirs. "
+    "Serving from the appended index must be row-identical (ids, "
+    "rounded sims, ranks) to an in-memory scoring of the FULL corpus "
+    "assigned to those same base-trained centroids — proving the "
+    "append path neither loses, duplicates, nor misassigns arriving "
+    "vectors. This is the hourly-ingest contract at 100 TB: one "
+    "assignment pass over the batch, directory-pruned serving picks "
+    "up old and new files alike, retraining stays a policy decision. "
+    "Oracle is the closed form of the gate (5 served, match TRUE per "
+    "query).",
+    tags=("similarity", "cdc"),
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from kittispark.operators.similarity import (
+        _assigned_corpus,
+        _assign_nearest,
+        _score_bucketed_topk,
+        ann_ivf_topk_indexed,
+        as_double,
+        norm,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = _ivf_appended_index_path(spark, sf_dir)
+    served = ann_ivf_topk_indexed(spark, idx, queries, k=5, nprobe=2)
+
+    # comparator: FULL corpus assigned in-memory to the SAME
+    # base-trained centroids (read back from the index), scored
+    # through the shared bucketed-topk kernel
+    cent_rows = (
+        spark.read.parquet(f"{idx}/centroids").orderBy("cid").collect()
+    )
+    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(norm_c)
+    c = _assigned_corpus(emb, cents, "embedding", "vec_id", bc=bc).withColumn(
+        "cn", norm(F.col("cv"))
+    )
+    q = (
+        _assign_nearest(queries, cents, "embedding", "__c", nprobe=2, bc=bc)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qv"),
+            F.explode("__c").alias("cid"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    inmem = _score_bucketed_topk(c, q, 5)
+
+    matched = (
+        served.join(inmem, ["query_id", "neighbor_id", "sim", "rk"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        served.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_served"))
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            "n_served",
+            (
+                (F.col("n_served") == 5)
+                & (F.coalesce(F.col("n_matched"), F.lit(0)) == 5)
+            ).alias("append_matches_full"),
+        )
+    )

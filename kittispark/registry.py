@@ -142,6 +142,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "shuffle_skew_report",
     "bpe_learn_merges",
     "stream_merge_upsert",
+    "ann_ivf_index_append",
 })
 
 
