@@ -356,12 +356,28 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm-pipeline", "iterative"),
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_learn(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        merges, "round int, pair string, merge_count long"
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """The shared BPE training loop: returns the learned merge list
+    [(round, pair, weighted_count)] AND the final per-word symbol
+    table (w, freq, sym) with all merges applied — so the learner
+    (bpe_learn_merges) and the applier (bpe_segment_corpus) can never
+    fork on the merge convention. One 1-row collect per round; all
+    heavy work is vocab-collapsed."""
     docs = t(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") > 0
     )
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     cur = wf.select(
+        "w",
         "freq",
         F.concat_ws(
             " ",
@@ -378,8 +394,8 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(element_at(split(sym, ' '), i), ' ',"
         "             element_at(split(sym, ' '), i + 1)))"
     )
-    merges = []
-    for rnd in (1, 2, 3):
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(1, rounds + 1):
         best = (
             cur.select("freq", F.explode(F.expr(pairs_expr)).alias("pair"))
             .groupBy("pair")
@@ -391,6 +407,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append((rnd, best["pair"], int(best["cnt"])))
         merged = best["pair"].replace(" ", "")
         cur = cur.select(
+            "w",
             "freq",
             F.trim(
                 F.replace(
@@ -400,6 +417,106 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sym"),
         )
-    return spark.createDataFrame(
-        merges, "round int, pair string, merge_count long"
+    return merges, cur
+
+
+def _bpe_round_ctes(rounds: int = 3) -> str:
+    """CTE chain replaying `rounds` BPE rounds in DuckDB (word table
+    carried through, scalar-subquery argmax per round). Ends with
+    s{rounds} holding (w, freq, sym)."""
+    head = """
+    wd AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+        SELECT w, count(*) AS freq FROM wd WHERE length(w) > 0 GROUP BY w
+    ),
+    s0 AS (
+        SELECT w, freq,
+               array_to_string(list_append(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> substring(w, i, 1)),
+                   '</w>'), ' ') AS sym
+        FROM wf
+    )"""
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        rounds_sql.append(f""",
+    p{r} AS (
+        SELECT sym2.pair, sum(freq) AS cnt FROM (
+            SELECT freq, unnest(list_transform(
+                generate_series(1, len(string_split(sym, ' ')) - 1),
+                i -> string_split(sym, ' ')[i] || ' '
+                     || string_split(sym, ' ')[i + 1])) AS pair
+            FROM s{r - 1}
+        ) sym2 GROUP BY pair
+    ),
+    m{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+    s{r} AS (
+        SELECT w, freq,
+               trim(replace(' ' || sym || ' ',
+                            ' ' || (SELECT pair FROM m{r}) || ' ',
+                            ' ' || replace((SELECT pair FROM m{r}), ' ', '')
+                            || ' ')) AS sym
+        FROM s{r - 1}
+    )""")
+    return head + "".join(rounds_sql)
+
+
+@register(
+    "bpe_segment_corpus",
+    oracle="WITH " + _bpe_round_ctes(3) + """,
+    wn AS (
+        SELECT w,
+               CAST(length(w) + 1 AS BIGINT) AS n_before,
+               CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_after
+        FROM s3
+    )
+    SELECT wd.doc_id,
+           CAST(sum(wn.n_before) AS BIGINT) AS n_syms_before,
+           CAST(sum(wn.n_after) AS BIGINT) AS n_syms_after,
+           round(CAST(sum(wn.n_after) AS DOUBLE) / sum(wn.n_before), 6)
+               AS compression
+    FROM wd JOIN wn USING (w)
+    GROUP BY wd.doc_id
+    """,
+    doc="BPE APPLICATION — segment the corpus with the 3 learned "
+    "merges (the tokenize step that follows bpe_learn_merges; both "
+    "run through the shared _bpe_learn loop so the merge convention "
+    "can never fork): per document, symbol counts before (chars + "
+    "end-marker per word) and after the merges, plus the compression "
+    "ratio — the measurable benefit of the learned vocabulary. "
+    "Segmentation happens on the DISTINCT-word table (vocab-sized, "
+    "3 literal replaces) and documents join their words back by an "
+    "equi-key — the corpus is never re-segmented row by row. The "
+    "oracle replays learning AND application, so every per-doc count "
+    "is value-adjudicated end to end.",
+    tags=("text", "llm-pipeline", "iterative"),
+)
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, segmented = _bpe_learn(spark, sf_dir, rounds=3)
+    wn = segmented.select(
+        "w",
+        (F.length("w") + 1).cast("long").alias("n_before"),
+        F.size(F.split("sym", " ")).cast("long").alias("n_after"),
+    )
+    docs = t(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        doc_words.join(wn, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_before").alias("n_syms_before"),
+            F.sum("n_after").alias("n_syms_after"),
+        )
+        .select(
+            "doc_id",
+            "n_syms_before",
+            "n_syms_after",
+            F.round(
+                F.col("n_syms_after") / F.col("n_syms_before"), 6
+            ).alias("compression"),
+        )
     )

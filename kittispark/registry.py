@@ -143,6 +143,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "bpe_learn_merges",
     "stream_merge_upsert",
     "ann_ivf_index_append",
+    "bpe_segment_corpus",
 })
 
 
