@@ -177,3 +177,76 @@ def test_pps_sample_total_picks_property(spark, weights, k):
     )
     # bucket size is an execution detail, never a semantic one
     assert rows == rows2
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span detection / removal vs a brute-force Python model
+# ---------------------------------------------------------------------------
+
+# small alphabet + short docs force heavy window collisions, hitting
+# the overlap/adjacency merge paths hard
+_span_docs = st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _model_spans(texts, n):
+    """Brute-force: mark every n-window whose token content occurs
+    >= 2 times anywhere, union intervals per doc."""
+    from collections import Counter
+
+    occ = Counter()
+    toks = [t.split(" ") for t in texts]
+    for tk in toks:
+        for i in range(len(tk) - n + 1):
+            occ[tuple(tk[i : i + n])] += 1
+    out = {}
+    for doc_id, tk in enumerate(toks):
+        marked = set()
+        for i in range(len(tk) - n + 1):
+            if occ[tuple(tk[i : i + n])] >= 2:
+                marked.update(range(i, i + n))
+        if not marked:
+            continue
+        spans = 0
+        prev = None
+        for p in sorted(marked):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        out[doc_id] = (spans, len(marked))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_span_docs)
+def test_duplicated_spans_match_bruteforce_model(spark, texts):
+    from kittispark.operators.dedup import (
+        duplicated_token_spans,
+        remove_duplicated_spans,
+    )
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in duplicated_token_spans(df, n=n).collect()
+    }
+    assert got == _model_spans(texts, n)
+    # removal consistency: cut size equals the span stats, and the
+    # rebuilt text is the model's kept tokens in order
+    cleaned = {
+        r["doc_id"]: (r["n_tokens_before"], r["n_tokens_after"], r["clean_text"])
+        for r in remove_duplicated_spans(df, n=n).collect()
+    }
+    model = _model_spans(texts, n)
+    for doc_id, text in enumerate(texts):
+        before, after, _ = cleaned[doc_id]
+        assert before == len(text.split(" "))
+        assert before - after == model.get(doc_id, (0, 0))[1]
