@@ -726,13 +726,28 @@ def _sub_slices(
 ) -> DataFrame:
     """(out_id, s, sv): each vector split into its m contiguous
     subspace slices (s in 0..m-1), dimensions taken from the data so
-    the same expression serves any embedding width divisible by m."""
+    the same expression serves any embedding width divisible by m.
+    A width NOT divisible by m raises at execution instead of
+    silently truncating the trailing dimensions out of every
+    codebook, code, and distance table (the same remainder guard
+    minhash_band_rows applies statically — here the width lives in
+    the data, so the check is an expression)."""
     v = as_double(vec_col)
+    sd_checked = F.when(
+        F.size(v) % m == 0, (F.size(v) / m).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding width not divisible by m={m} subspaces: "),
+                F.size(v).cast("string"),
+            )
+        ).cast("int")
+    )
     return (
         df.select(
             F.col(id_col).alias(out_id),
             v.alias("__v"),
-            (F.size(v) / m).cast("int").alias("__sd"),
+            sd_checked.alias("__sd"),
         )
         .select(
             out_id,
@@ -760,15 +775,30 @@ def pq_codebooks(
     """Per-subspace PQ codebooks (s, code, cv): the n_codes lowest-id
     vectors donate their subspace slices as codewords — a sampled
     codebook (deterministic, no runtime randomness, SQL-replayable).
-    Production quality would refine each subspace with a few Lloyd
-    rounds (the kmeans_centroids machinery, applied per subspace);
-    the ENCODE and ADC mechanics below are identical either way, and
-    the sampled form keeps every derived value bit-adjudicable
-    (Lloyd re-averaging is a float avg whose last-ulp depends on
-    accumulation order — see _lloyd_rounds' documented limitation)."""
-    donors = vectors.filter(F.col(id_col) < n_codes)
-    return _sub_slices(donors, m, vec_col, id_col, "code").select(
-        "s", "code", F.col("sv").alias("cv")
+    Donors come from orderBy(id).limit(n) — NOT an `id < n` filter,
+    which assumes dense 0-based ids and silently yields a short or
+    EMPTY codebook on any other id space (the robust form
+    ivf_train_centroids already uses); codes are densified to
+    0..n_codes-1 by id rank so downstream byte-width claims hold
+    regardless of donor ids. Production quality would refine each
+    subspace with a few Lloyd rounds (the kmeans_centroids
+    machinery, applied per subspace); the ENCODE and ADC mechanics
+    below are identical either way, and the sampled form keeps every
+    derived value bit-adjudicable (Lloyd re-averaging is a float avg
+    whose last-ulp depends on accumulation order — see
+    _lloyd_rounds' documented limitation)."""
+    from pyspark.sql import Window as W
+
+    donors = vectors.orderBy(id_col).limit(n_codes)
+    # the donor set is <= n_codes rows: the single-partition
+    # rank window is O(n_codes), never corpus-sized
+    ranked = donors.select(
+        (F.row_number().over(W.orderBy(id_col)) - 1).alias("__code"),
+        F.col(id_col).alias("__did"),
+    )
+    sliced = _sub_slices(donors, m, vec_col, id_col, "__did")
+    return sliced.join(ranked, "__did").select(
+        "s", F.col("__code").alias("code"), F.col("sv").alias("cv")
     )
 
 

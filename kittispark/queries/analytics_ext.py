@@ -525,14 +525,25 @@ def constraint_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = t(spark, sf_dir, "lineitem")
     customer = t(spark, sf_dir, "customer")
 
-    n_orders = orders.count()
-    n_lineitem = lineitem.count()
+    # checked-row totals stay IN the returned plan (broadcast one-row
+    # aggregates, the shuffle_skew_report pattern) — eager .count()
+    # here would run two full scans at query-CONSTRUCTION time, before
+    # and outside anything the caller times or explains
+    totals = F.broadcast(
+        orders.agg(F.count(F.lit(1)).alias("__n_orders")).crossJoin(
+            lineitem.agg(F.count(F.lit(1)).alias("__n_lineitem"))
+        )
+    )
 
-    def one(rule: str, df_v, n_checked: int) -> DataFrame:
-        return df_v.agg(F.count(F.lit(1)).alias("n_violations")).select(
-            F.lit(rule).alias("rule"),
-            F.col("n_violations"),
-            F.lit(n_checked).cast("long").alias("n_checked"),
+    def one(rule: str, df_v, checked_col: str) -> DataFrame:
+        return (
+            df_v.agg(F.count(F.lit(1)).alias("n_violations"))
+            .crossJoin(totals)
+            .select(
+                F.lit(rule).alias("rule"),
+                F.col("n_violations"),
+                F.col(checked_col).alias("n_checked"),
+            )
         )
 
     fk_orders = orders.join(
@@ -565,11 +576,13 @@ def constraint_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         > 5000
     )
     report = (
-        one("fk_orders_custkey", fk_orders, n_orders)
-        .unionByName(one("fk_lineitem_orderkey", fk_lineitem, n_lineitem))
-        .unionByName(one("lineitem_quantity_range", qty_range, n_lineitem))
-        .unionByName(one("orders_pk_unique", pk_orders, n_orders))
-        .unionByName(one("orders_totalprice_consistent", price_bad, n_orders))
+        one("fk_orders_custkey", fk_orders, "__n_orders")
+        .unionByName(one("fk_lineitem_orderkey", fk_lineitem, "__n_lineitem"))
+        .unionByName(one("lineitem_quantity_range", qty_range, "__n_lineitem"))
+        .unionByName(one("orders_pk_unique", pk_orders, "__n_orders"))
+        .unionByName(
+            one("orders_totalprice_consistent", price_bad, "__n_orders")
+        )
     )
     return report.select(
         "rule",

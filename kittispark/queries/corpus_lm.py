@@ -269,97 +269,31 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bpe_learn_merges",
-    oracle="""
-    WITH wd AS (
-        SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ),
-    wf AS (
-        SELECT w, count(*) AS freq FROM wd WHERE length(w) > 0 GROUP BY w
-    ),
-    s0 AS (
-        SELECT freq,
-               array_to_string(list_append(
-                   list_transform(generate_series(1, length(w)),
-                                  i -> substring(w, i, 1)),
-                   '</w>'), ' ') AS sym
-        FROM wf
-    ),
-    p1 AS (
-        SELECT sym2.pair, sum(freq) AS cnt FROM (
-            SELECT freq, unnest(list_transform(
-                generate_series(1, len(string_split(sym, ' ')) - 1),
-                i -> string_split(sym, ' ')[i] || ' '
-                     || string_split(sym, ' ')[i + 1])) AS pair
-            FROM s0
-        ) sym2 GROUP BY pair
-    ),
-    m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-    s1 AS (
-        SELECT freq,
-               trim(replace(' ' || sym || ' ',
-                            ' ' || (SELECT pair FROM m1) || ' ',
-                            ' ' || replace((SELECT pair FROM m1), ' ', '')
-                            || ' ')) AS sym
-        FROM s0
-    ),
-    p2 AS (
-        SELECT sym2.pair, sum(freq) AS cnt FROM (
-            SELECT freq, unnest(list_transform(
-                generate_series(1, len(string_split(sym, ' ')) - 1),
-                i -> string_split(sym, ' ')[i] || ' '
-                     || string_split(sym, ' ')[i + 1])) AS pair
-            FROM s1
-        ) sym2 GROUP BY pair
-    ),
-    m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-    s2 AS (
-        SELECT freq,
-               trim(replace(' ' || sym || ' ',
-                            ' ' || (SELECT pair FROM m2) || ' ',
-                            ' ' || replace((SELECT pair FROM m2), ' ', '')
-                            || ' ')) AS sym
-        FROM s1
-    ),
-    p3 AS (
-        SELECT sym2.pair, sum(freq) AS cnt FROM (
-            SELECT freq, unnest(list_transform(
-                generate_series(1, len(string_split(sym, ' ')) - 1),
-                i -> string_split(sym, ' ')[i] || ' '
-                     || string_split(sym, ' ')[i + 1])) AS pair
-            FROM s2
-        ) sym2 GROUP BY pair
-    ),
-    m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-    SELECT CAST(round AS INT) AS round, pair,
-           CAST(cnt AS BIGINT) AS merge_count
-    FROM (
-        SELECT 1 AS round, pair, cnt FROM m1
-        UNION ALL SELECT 2, pair, cnt FROM m2
-        UNION ALL SELECT 3, pair, cnt FROM m3
+def _bpe_splice(sym_col, pair: str, merged: str):
+    """Apply one BPE merge to a space-delimited symbol string with
+    subword-nmt run semantics: a plain space-anchored replace
+    UNDER-merges runs (' a a a a ' -> 'aa a a' — the first match
+    consumes the shared boundary space), so the splice works in a
+    DOUBLED-space domain where every symbol carries its own flanking
+    spaces: double the delimiters, replace the doubled pair, collapse
+    the doubles, trim. 'a a a a' with merge (a,a) then yields
+    'aa aa', matching the reference left-to-right non-overlapping
+    scan (subword-nmt uses non-consuming lookaround anchors, which
+    RE2 — the oracle's regex engine — lacks; this literal-replace
+    form is engine-portable). Oracle twin: _bpe_round_ctes."""
+    doubled = F.concat(
+        F.lit(" "), F.replace(sym_col, F.lit(" "), F.lit("  ")), F.lit(" ")
     )
-    """,
-    doc="Three rounds of BPE merge LEARNING (Sennrich et al. 2016) — "
-    "the iterative algorithm, not just round-1 counts: each round "
-    "counts adjacent symbol pairs over the vocab-collapsed symbol "
-    "sequences, adopts the argmax pair (count desc, pair tiebreak) "
-    "as a merge, and RE-SEGMENTS every word by splicing the merged "
-    "symbol in (literal space-anchored replace — left-to-right "
-    "non-overlapping in both engines, matching the BPE convention "
-    "for runs like 'a a a'). The per-round argmax is a 1-row scalar "
-    "witness collect (the connected-components pattern: bounded "
-    "driver state, never data); everything else is vocab-sized "
-    "partial+final aggs. The oracle replays all three rounds with "
-    "scalar subqueries, so the learned merge TABLE itself — pair "
-    "and weighted count per round — is value-adjudicated.",
-    tags=("text", "llm-pipeline", "iterative"),
-)
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _ = _bpe_learn(spark, sf_dir, rounds=3)
-    return spark.createDataFrame(
-        merges, "round int, pair string, merge_count long"
-    )
+    pat = " " + pair.replace(" ", "  ") + " "
+    spliced = F.replace(doubled, F.lit(pat), F.lit(f" {merged} "))
+    return F.trim(F.replace(spliced, F.lit("  "), F.lit(" ")))
+
+
+# Learned-merge cache, scoped to the Spark application (localCheckpoint
+# blocks die with the app — same scoping rule as the bucketed-table
+# cache): bpe_learn_merges and bpe_segment_corpus share one training
+# run per (app, sf_dir) instead of re-collecting 3 rounds each.
+_BPE_CACHE: dict = {}
 
 
 def _bpe_learn(
@@ -370,7 +304,14 @@ def _bpe_learn(
     table (w, freq, sym) with all merges applied — so the learner
     (bpe_learn_merges) and the applier (bpe_segment_corpus) can never
     fork on the merge convention. One 1-row collect per round; all
-    heavy work is vocab-collapsed."""
+    heavy work is vocab-collapsed, and each round's table is
+    localCheckpoint-ed so round r's collect never re-executes rounds
+    1..r-1 from the raw corpus (the iterative-lineage trap
+    connected_components documents)."""
+    key = (spark.sparkContext.applicationId, sf_dir, rounds)
+    cached = _BPE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = t(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") > 0
@@ -388,7 +329,7 @@ def _bpe_learn(
                 F.lit("</w>"),
             ),
         ).alias("sym"),
-    )
+    ).localCheckpoint(eager=True)
     pairs_expr = (
         "transform(sequence(1, size(split(sym, ' ')) - 1),"
         " i -> concat(element_at(split(sym, ' '), i), ' ',"
@@ -409,21 +350,19 @@ def _bpe_learn(
         cur = cur.select(
             "w",
             "freq",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                    F.lit(f" {best['pair']} "),
-                    F.lit(f" {merged} "),
-                )
-            ).alias("sym"),
-        )
+            _bpe_splice(F.col("sym"), best["pair"], merged).alias("sym"),
+        ).localCheckpoint(eager=True)
+    _BPE_CACHE[key] = (merges, cur)
     return merges, cur
 
 
 def _bpe_round_ctes(rounds: int = 3) -> str:
     """CTE chain replaying `rounds` BPE rounds in DuckDB (word table
-    carried through, scalar-subquery argmax per round). Ends with
-    s{rounds} holding (w, freq, sym)."""
+    carried through, scalar-subquery argmax per round, the SAME
+    doubled-space splice as _bpe_splice). Ends with s{rounds} holding
+    (w, freq, sym). BOTH BPE oracles compose from this one generator
+    so learner and applier can never adjudicate different merge
+    semantics."""
     head = """
     wd AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -454,13 +393,51 @@ def _bpe_round_ctes(rounds: int = 3) -> str:
     m{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
     s{r} AS (
         SELECT w, freq,
-               trim(replace(' ' || sym || ' ',
-                            ' ' || (SELECT pair FROM m{r}) || ' ',
-                            ' ' || replace((SELECT pair FROM m{r}), ' ', '')
-                            || ' ')) AS sym
+               trim(replace(
+                   replace(' ' || replace(sym, ' ', '  ') || ' ',
+                           ' ' || replace((SELECT pair FROM m{r}),
+                                          ' ', '  ') || ' ',
+                           ' ' || replace((SELECT pair FROM m{r}),
+                                          ' ', '') || ' '),
+                   '  ', ' ')) AS sym
         FROM s{r - 1}
     )""")
     return head + "".join(rounds_sql)
+
+
+@register(
+    "bpe_learn_merges",
+    oracle="WITH " + _bpe_round_ctes(3) + """
+    SELECT CAST(round AS INT) AS round, pair,
+           CAST(cnt AS BIGINT) AS merge_count
+    FROM (
+        SELECT 1 AS round, pair, cnt FROM m1
+        UNION ALL SELECT 2, pair, cnt FROM m2
+        UNION ALL SELECT 3, pair, cnt FROM m3
+    )
+    """,
+    doc="Three rounds of BPE merge LEARNING (Sennrich et al. 2016) — "
+    "the iterative algorithm, not just round-1 counts: each round "
+    "counts adjacent symbol pairs over the vocab-collapsed symbol "
+    "sequences, adopts the argmax pair (count desc, pair tiebreak) "
+    "as a merge, and RE-SEGMENTS every word with the doubled-space "
+    "literal splice (_bpe_splice — run-correct: 'a a a a' merges to "
+    "'aa aa' like subword-nmt, where a plain anchored replace "
+    "under-merges). The per-round argmax is a 1-row scalar witness "
+    "collect (the connected-components pattern: bounded driver "
+    "state, never data), each round localCheckpoint-ed so lineage "
+    "never compounds; everything else is vocab-sized partial+final "
+    "aggs. The oracle replays all three rounds with scalar "
+    "subqueries from the SAME CTE generator the applier uses, so "
+    "the learned merge TABLE itself is value-adjudicated and the "
+    "two BPE oracles cannot fork.",
+    tags=("text", "llm-pipeline", "iterative"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_learn(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        merges, "round int, pair string, merge_count long"
+    )
 
 
 @register(
@@ -482,12 +459,13 @@ def _bpe_round_ctes(rounds: int = 3) -> str:
     """,
     doc="BPE APPLICATION — segment the corpus with the 3 learned "
     "merges (the tokenize step that follows bpe_learn_merges; both "
-    "run through the shared _bpe_learn loop so the merge convention "
-    "can never fork): per document, symbol counts before (chars + "
+    "run through the shared, per-application-cached _bpe_learn loop "
+    "so the merge convention can never fork and training happens "
+    "once per process): per document, symbol counts before (chars + "
     "end-marker per word) and after the merges, plus the compression "
     "ratio — the measurable benefit of the learned vocabulary. "
     "Segmentation happens on the DISTINCT-word table (vocab-sized, "
-    "3 literal replaces) and documents join their words back by an "
+    "3 literal splices) and documents join their words back by an "
     "equi-key — the corpus is never re-segmented row by row. The "
     "oracle replays learning AND application, so every per-doc count "
     "is value-adjudicated end to end.",

@@ -9,6 +9,8 @@ brute-force baseline.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -304,6 +306,18 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _IVF_INDEX_ROOT: dict[str, str] = {}
+
+
+def _cleanup_ivf_roots() -> None:
+    import shutil
+
+    # _IVF_APPEND_ROOT is defined further down; resolved at call time
+    for store in (_IVF_INDEX_ROOT, _IVF_APPEND_ROOT):
+        for root in store.values():
+            shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_ivf_roots)
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:

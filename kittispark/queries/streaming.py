@@ -562,13 +562,22 @@ def _merged_silver_dir(spark: SparkSession, sf_dir: str) -> str:
     state = {"ver": 0}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent MERGE: the target version is keyed by the
+        # batch_id Spark hands us, and a committed version is never
+        # rebuilt — if a micro-batch is RETRIED after its merge wrote
+        # but before the offset committed, re-running would read a
+        # silver that already contains the batch and double-count it.
+        target = os.path.join(root, f"v{batch_id + 1}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            state["ver"] = max(state["ver"], batch_id + 1)
+            return
         bagg = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"), last_struct
         )
-        if state["ver"] == 0:
+        if batch_id == 0:
             merged = bagg
         else:
-            cur = spark.read.parquet(os.path.join(root, f"v{state['ver']}"))
+            cur = spark.read.parquet(os.path.join(root, f"v{batch_id}"))
             merged = (
                 cur.select(
                     F.col("user_id"),
@@ -595,10 +604,8 @@ def _merged_silver_dir(spark: SparkSession, sf_dir: str) -> str:
                     F.greatest(F.col("__al"), F.col("__bl")).alias("last"),
                 )
             )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(root, f"v{state['ver'] + 1}")
-        )
-        state["ver"] += 1
+        merged.write.mode("overwrite").parquet(target)
+        state["ver"] = batch_id + 1
 
     stream = (
         spark.readStream.schema(ev.schema)
