@@ -575,3 +575,70 @@ def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("text_len"),
         F.md5("text").alias("text_md5"),
     )
+
+
+@register(
+    "length_grouped_batches",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n,
+               row_number() OVER (ORDER BY n DESC, doc_id) AS rk
+        FROM tok
+    ),
+    b AS (SELECT CAST((rk - 1) // 32 AS BIGINT) AS batch_id, n FROM r)
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n) AS BIGINT) AS max_len,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste,
+           round(CAST(count(*) * max(n) - sum(n) AS DOUBLE)
+                 / (count(*) * max(n)), 6) AS waste_frac
+    FROM b GROUP BY batch_id
+    """,
+    doc="Length-grouped batch packing with padding-waste accounting "
+    "(the group_by_length training-efficiency lever): documents are "
+    "totally ordered by token count (doc_id tiebreak), dealt into "
+    "fixed-size batches of 32, and each batch reports its max "
+    "length, total tokens, absolute padding waste (what a "
+    "pad-to-batch-max collator burns), and waste fraction — "
+    "length-sorted batching drives waste_frac toward 0 where random "
+    "batching pays the corpus length variance on every batch. The "
+    "global ordering uses operators.analytics.global_rank "
+    "(repartitionByRange + per-partition row_number + a broadcast "
+    "prefix-sum lift — NO single-partition window), so the ranking "
+    "itself scales; everything after is one partial+final agg on "
+    "batch_id.",
+    tags=("llm-pipeline", "sampling"),
+)
+def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import global_rank
+    from kittispark.operators.text import tokens_col
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col("text")).alias("n")
+    )
+    ranked = global_rank(
+        docs, F.col("n").desc(), F.col("doc_id").asc(), out_col="rk"
+    )
+    batched = ranked.select(
+        "n", ((F.col("rk") - 1) / 32).cast("long").alias("batch_id")
+    )
+    agg = batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n").cast("long").alias("max_len"),
+        F.sum("n").alias("total_tokens"),
+    )
+    waste = F.col("n_docs") * F.col("max_len") - F.col("total_tokens")
+    return agg.select(
+        "batch_id",
+        "n_docs",
+        "max_len",
+        "total_tokens",
+        waste.alias("padding_waste"),
+        F.round(waste / (F.col("n_docs") * F.col("max_len")), 6).alias(
+            "waste_frac"
+        ),
+    )

@@ -144,6 +144,7 @@ _DEFER_FRESH: frozenset[str] = frozenset({
     "stream_merge_upsert",
     "ann_ivf_index_append",
     "bpe_segment_corpus",
+    "length_grouped_batches",
 })
 
 
