@@ -337,20 +337,29 @@ def weighted_median(
     weight_col: str,
     *tiebreak_cols: str,
     out_col: str = "wmedian",
+    total_weight_col: str = "total_weight",
+    n_rows_col: str = "n_rows",
 ) -> DataFrame:
     """Lower weighted median of ``value_col`` per group, weighted by
     ``weight_col``: the smallest value whose cumulative weight reaches
     half the group total (2*cum >= tot — kept in the inputs'
     arithmetic, exact whenever weights are integral; weights must be
-    positive or the cumulative-crossing rule is meaningless). One
-    group-partitioned ordered window computes the cumulative weight;
-    the group's shuffle is reused by the final agg, so the whole
-    operator costs ONE Exchange. The order must be totalized via
-    ``tiebreak_cols`` for a deterministic cumulative sequence (ties
-    in value cannot change the answer — every tied row carries the
-    same value — but determinism keeps cross-engine replays exact).
-    Group keys should be high-cardinality for parallelism; for a few
-    huge groups, rank with global_rank per group instead."""
+    positive or the cumulative-crossing rule is meaningless).
+
+    Output schema (the full contract — ADVICE r4 made the side
+    columns explicit): ``group_col``, ``out_col`` (the median),
+    ``total_weight_col`` (the group's total weight — the window
+    already paid for it, callers invariably want it), and
+    ``n_rows_col`` (group row count).
+
+    One group-partitioned ordered window computes the cumulative
+    weight; the group's shuffle is reused by the final agg, so the
+    whole operator costs ONE Exchange. The order must be totalized
+    via ``tiebreak_cols`` for a deterministic cumulative sequence
+    (ties in value cannot change the answer — every tied row carries
+    the same value — but determinism keeps cross-engine replays
+    exact). Group keys should be high-cardinality for parallelism;
+    for a few huge groups, rank with global_rank per group instead."""
     w_cum = (
         W.partitionBy(group_col)
         .orderBy(value_col, *tiebreak_cols)
@@ -369,6 +378,6 @@ def weighted_median(
         F.min(
             F.when(2 * F.col("__cum_w") >= F.col("__tot_w"), F.col(value_col))
         ).alias(out_col),
-        F.max("__tot_w").alias("__tot"),
-        F.count(F.lit(1)).alias("__n"),
+        F.max("__tot_w").alias(total_weight_col),
+        F.count(F.lit(1)).alias(n_rows_col),
     )

@@ -442,8 +442,8 @@ def weighted_median_supplier_price(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return wm.select(
         "l_suppkey",
-        F.col("__n").alias("n_items"),
-        F.round("__tot", 2).alias("total_qty"),
+        F.col("n_rows").alias("n_items"),
+        F.round("total_weight", 2).alias("total_qty"),
         F.round("__wm", 2).alias("wmedian_price"),
     )
 

@@ -330,10 +330,17 @@ def _bpe_learn(
             ),
         ).alias("sym"),
     ).localCheckpoint(eager=True)
+    # zip_with over shifted slices, NOT transform(sequence(1, n-1)):
+    # once a word fully merges to a single symbol, n-1 = 0 and Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] (element_at then throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT), whereas slice(syms, k, 0) is
+    # empty — single-symbol words contribute no pairs, matching the
+    # DuckDB oracle's empty generate_series(1, 0).
     pairs_expr = (
-        "transform(sequence(1, size(split(sym, ' ')) - 1),"
-        " i -> concat(element_at(split(sym, ' '), i), ' ',"
-        "             element_at(split(sym, ' '), i + 1)))"
+        "zip_with("
+        " slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1),"
+        " slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     merges: list[tuple[int, str, int]] = []
     for rnd in range(1, rounds + 1):

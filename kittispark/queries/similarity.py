@@ -696,7 +696,14 @@ sub AS (
     FROM e, unnest(generate_series(0, 3)) AS u(s)
 ),
 cb AS (
-    SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16
+    -- mirror pq_codebooks: donors are the n_codes LOWEST ids (not
+    -- `id < n`, which assumes dense 0-based ids), codes densified
+    -- to 0..n-1 by id rank (dense_rank is constant across a donor's
+    -- m slices, so every subspace gets the same donor->code map)
+    SELECT s, code, sv AS cv FROM (
+        SELECT s, sv, dense_rank() OVER (ORDER BY vec_id) - 1 AS code
+        FROM sub
+    ) WHERE code < 16
 ),
 enc AS (
     SELECT vec_id, s, code FROM (
@@ -771,7 +778,11 @@ sub AS (
     FROM e, unnest(generate_series(0, 15)) AS u(s)
 ),
 cb AS (
-    SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 64
+    -- rank-densified donor codebook; see _PQ_ADC_ORACLE's cb note
+    SELECT s, code, sv AS cv FROM (
+        SELECT s, sv, dense_rank() OVER (ORDER BY vec_id) - 1 AS code
+        FROM sub
+    ) WHERE code < 64
 ),
 enc AS (
     SELECT vec_id, s, code FROM (

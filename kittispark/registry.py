@@ -95,22 +95,11 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset({
-    # r3 rewrites (exact-cents money sums, integer-micros average,
-    # nanosecond session gaps) whose r1/r2 greens predate the code:
-    "join_three_way", "q5_region_revenue", "grouping_sets_explicit",
-    "stream_sliding_avg", "stream_session_tracker",
-    # r4 rewrites of r3 greens: exact-cents sums (ADVICE r3),
-    "q6_forecast_revenue", "q14_promo_revenue_share",
-    # md5-portable MinHash base hash replaced xxhash64 (same output
-    # CONTRACT, different compute — re-prove it),
-    "minhash_signatures", "minhash_lsh_recall",
-    # oracle rewrites: ordered iteration-2 distance fold / NULLIF
-    # division guards (value-identical on DuckDB 1.0.0, but the
-    # adjudicated pair changed):
-    "kmeans_two_iterations", "zscore_outlier_stats",
-    "funnel_conversion", "embedding_decontamination",
-})
+_REVERIFY: frozenset[str] = frozenset()
+# r5 start: empty — all 13 r3/r4 rewrites (exact-cents sums, md5
+# MinHash, ordered kmeans fold, NULLIF guards, …) were re-adjudicated
+# green in CORRECTNESS_r04.json (50/50 window). Re-populate the same
+# day any already-adjudicated query's output or oracle is rewritten.
 
 # Queries registered AFTER the current round's 50-slot window was
 # already exactly full (never-adjudicated fresh + _REVERIFY): they
@@ -119,33 +108,11 @@ _REVERIFY: frozenset[str] = frozenset({
 # ROUND START (update_green_bank.py --check warns while it is
 # non-empty): once the round's verdicts land, these are ordinary
 # never-green queries and belong at the head of the fresh tier.
-_DEFER_FRESH: frozenset[str] = frozenset({
-    # added late in r4, after incremental_dedup_batch +
-    # jsonl_corpus_roundtrip filled the window to exactly 50:
-    "bucketed_join_colocated",
-    "corpus_shard_manifest",
-    "weighted_median_supplier_price",
-    "hll_sketch_rollup",
-    "rollup_incremental_maintain",
-    "partitioned_write_prune",
-    "event_transition_matrix",
-    "stream_jsonl_ingest",
-    "csv_corpus_roundtrip",
-    "stream_checkpoint_resume",
-    "exact_substring_spans",
-    "orc_corpus_roundtrip",
-    "pq_adc_topk",
-    "pq_rerank_topk",
-    "exact_substring_removal",
-    "bpe_merge_pair_counts",
-    "constraint_audit_report",
-    "shuffle_skew_report",
-    "bpe_learn_merges",
-    "stream_merge_upsert",
-    "ann_ivf_index_append",
-    "bpe_segment_corpus",
-    "length_grouped_batches",
-})
+_DEFER_FRESH: frozenset[str] = frozenset()
+# r5 start: empty — the 23 late-r4 additions rejoin the head of the
+# fresh tier (none has a driver verdict, so they auto-sort into the
+# r5 window per VERDICT r4 #1). Re-populate only if a round's window
+# is already exactly full when a new query registers.
 
 
 def all_specs() -> dict[str, QuerySpec]:

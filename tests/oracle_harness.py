@@ -8,6 +8,7 @@ every pytest run.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 
@@ -17,6 +18,11 @@ from kittispark.sources.tables import TABLES
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
+        # partial fixture dirs (edge-input tests write only the tables
+        # they need) register only what exists — DuckDB validates the
+        # file at CREATE VIEW time, not first query
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )

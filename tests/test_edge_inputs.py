@@ -111,3 +111,72 @@ def test_lsh_recall_gate_vacuous_on_no_high_pairs(spark):
     # overkill; instead run the real query and assert the 1-row shape
     row = specs["minhash_lsh_recall"].fn(spark, "/root/testdata/sf0.001").collect()
     assert len(row) == 1 and row[0].recall_ok is True
+
+
+def test_bpe_learn_survives_fully_merged_word(spark, tmp_path):
+    # ADVICE r4 (medium): once a word fully merges to ONE symbol
+    # (e.g. 'a' after merge 'a </w>'), the old transform(sequence(1,
+    # size-1)) pairing hit Spark's descending sequence(1, 0) = [1, 0]
+    # and element_at threw INVALID_ARRAY_INDEX_IN_ELEMENT_AT in the
+    # next round, while DuckDB's empty generate_series(1, 0) let the
+    # oracle succeed. The zip_with/slice form must yield no pairs for
+    # single-symbol words — rounds 2-3 keep running and still match
+    # the oracle end to end.
+    import pandas as pd
+
+    from kittispark.queries.corpus_lm import _bpe_learn
+    from kittispark.registry import all_specs
+    from tests.oracle_harness import compare
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a a a a a", "b c"],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [11, 3],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+
+    merges, segmented = _bpe_learn(spark, sf, rounds=3)
+    # round 1 merges 'a </w>' (freq 6) -> word 'a' becomes the single
+    # symbol 'a</w>'; rounds 2-3 must not crash on it
+    assert merges == [(1, "a </w>", 6), (2, "b </w>", 1), (3, "c </w>", 1)]
+    syms = {r.w: r.sym for r in segmented.collect()}
+    assert syms == {"a": "a</w>", "b": "b</w>", "c": "c</w>"}
+
+    specs = all_specs()
+    for name in ("bpe_learn_merges", "bpe_segment_corpus"):
+        compare(specs[name].fn(spark, sf), specs[name].oracle, sf, name)
+
+
+def test_pq_oracles_survive_non_dense_id_space(spark, tmp_path):
+    # ADVICE r4 (low): the PQ oracles hardcoded the codebook as
+    # WHERE vec_id < n_codes with code = vec_id — the dense-0-based
+    # assumption pq_codebooks' docstring calls unsafe. With offset /
+    # gapped ids that yields a SHORT codebook and the oracle forks
+    # from the operator. The rank-densified oracle form must keep
+    # agreeing on a corpus whose ids are 0..4 (queries) then sparse.
+    import numpy as np
+    import pandas as pd
+
+    from kittispark.registry import all_specs
+    from tests.oracle_harness import compare
+
+    rng = np.random.RandomState(7)
+    ids = list(range(5)) + [100 + 7 * i for i in range(115)]
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [
+                rng.randn(64).astype("float32") for _ in ids
+            ],
+        }
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    specs = all_specs()
+    for name in ("pq_adc_topk", "pq_rerank_topk"):
+        df = specs[name].fn(spark, str(tmp_path))
+        assert df.count() > 0, f"{name}: empty result on non-dense ids"
+        compare(df, specs[name].oracle, str(tmp_path), name)

@@ -61,7 +61,9 @@ def test_deferred_additions_never_evict_reverify_from_window():
     from kittispark.registry import _DEFER_FRESH, _REVERIFY
 
     names = list(registry.all_specs())
-    if not _DEFER_FRESH:
+    # either set may legitimately be empty at a round boundary
+    # (ADVICE r4: max() over an empty _REVERIFY raised ValueError)
+    if not _DEFER_FRESH or not _REVERIFY:
         return
     last_reverify = max(names.index(n) for n in _REVERIFY)
     first_deferred = min(
