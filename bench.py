@@ -69,7 +69,32 @@ HEADLINE = [
     # broadcast-table scan + point-lookup refine):
     "exact_substring_spans",
     "pq_rerank_topk",
+    # round-5 (VERDICT r4 #4): the remaining heaviest deferred
+    # families. BPE re-trains every timed iteration (RESETS clears
+    # its cache — timing a memoized result is not a benchmark);
+    # the streaming/index queries warm their one-time fixture in the
+    # untimed pre-run and the median times the steady-state serve
+    # path, same framing as bucketed_join_colocated:
+    "exact_substring_removal",
+    "bpe_learn_merges",
+    "bpe_segment_corpus",
+    "pq_adc_topk",
+    "incremental_dedup_batch",
+    "stream_merge_upsert",
 ]
+
+# Pre-iteration reset hooks: queries whose per-process memoization
+# would otherwise turn timed iterations into cache reads.
+def _reset_bpe() -> None:
+    from kittispark.queries import corpus_lm
+
+    corpus_lm._BPE_CACHE.clear()
+
+
+RESETS = {
+    "bpe_learn_merges": _reset_bpe,
+    "bpe_segment_corpus": _reset_bpe,
+}
 
 
 def main() -> None:
@@ -104,8 +129,19 @@ def main() -> None:
     spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Untimed pre-run: one-time fixture builds (bucketed tables,
+        # streaming checkpoint sinks, JSONL/CSV/ORC corpora, persisted
+        # indexes) and plan compile land here, NOT in iteration 1 —
+        # VERDICT r4 #3: a 20 s build under a 0.2 s median poisoned
+        # the spread column. The median is the steady-state number.
+        reset = RESETS.get(name)
+        if reset is not None:
+            reset()
+        fn(spark, sf_dir).count()
         runs = []
         for _ in range(iters):
+            if reset is not None:
+                reset()
             start = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
@@ -131,7 +167,10 @@ def main() -> None:
                 # charged to each query); r02+ report the median of
                 # `iterations` runs (steady state). Compare r01 numbers
                 # to later rounds only with that break in mind.
-                "methodology": "median_of_iterations_steady_state",
+                # r5+: each query additionally gets ONE untimed
+                # pre-run (fixture builds + plan compile excluded
+                # from all timed iterations).
+                "methodology": "median_of_iterations_steady_state_prewarmed",
             }
         )
     )
