@@ -530,6 +530,52 @@ def _cleanup_merge_roots() -> None:
 atexit.register(_cleanup_merge_roots)
 
 
+def user_event_agg(df: DataFrame) -> DataFrame:
+    """Per-user silver-state aggregation: running event count plus the
+    latest event as an ordered (ts, event_id, ...) struct max. Shared
+    by the foreachBatch MERGE below and its property tests — the
+    batch-split invariance (fold of merges == one-shot agg) only
+    holds if both sides use this exact shape."""
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+    )
+
+
+def merge_user_state(cur: DataFrame, bagg: DataFrame) -> DataFrame:
+    """One MERGE step: full-outer combine of the current silver state
+    with a batch aggregate — counts add, 'last' is the struct max
+    (greatest() skips NULL, so an unmatched side passes the other
+    side's struct through). Associative and commutative in the batch
+    dimension, which is what makes the streaming fold equal a batch
+    recompute regardless of how micro-batches split or arrive
+    (property-tested for N>=3 splits and shuffled batch order)."""
+    return (
+        cur.select(
+            F.col("user_id"),
+            F.col("n_events").alias("__an"),
+            F.col("last").alias("__al"),
+        )
+        .join(
+            bagg.select(
+                F.col("user_id"),
+                F.col("n_events").alias("__bn"),
+                F.col("last").alias("__bl"),
+            ),
+            "user_id",
+            "full_outer",
+        )
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("__an"), F.lit(0))
+                + F.coalesce(F.col("__bn"), F.lit(0))
+            ).alias("n_events"),
+            F.greatest(F.col("__al"), F.col("__bl")).alias("last"),
+        )
+    )
+
+
 def _merged_silver_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process+sf_dir) a keyed 'silver' table
     maintained by a foreachBatch MERGE over the streaming event
@@ -556,9 +602,6 @@ def _merged_silver_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     ev.repartition(2).write.mode("overwrite").parquet(landing)
 
-    last_struct = F.max(
-        F.struct("ts", "event_id", "event_type", "value")
-    ).alias("last")
     state = {"ver": 0}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -571,39 +614,12 @@ def _merged_silver_dir(spark: SparkSession, sf_dir: str) -> str:
         if os.path.exists(os.path.join(target, "_SUCCESS")):
             state["ver"] = max(state["ver"], batch_id + 1)
             return
-        bagg = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"), last_struct
-        )
+        bagg = user_event_agg(batch_df)
         if batch_id == 0:
             merged = bagg
         else:
             cur = spark.read.parquet(os.path.join(root, f"v{batch_id}"))
-            merged = (
-                cur.select(
-                    F.col("user_id"),
-                    F.col("n_events").alias("__an"),
-                    F.col("last").alias("__al"),
-                )
-                .join(
-                    bagg.select(
-                        F.col("user_id"),
-                        F.col("n_events").alias("__bn"),
-                        F.col("last").alias("__bl"),
-                    ),
-                    "user_id",
-                    "full_outer",
-                )
-                .select(
-                    "user_id",
-                    (
-                        F.coalesce(F.col("__an"), F.lit(0))
-                        + F.coalesce(F.col("__bn"), F.lit(0))
-                    ).alias("n_events"),
-                    # greatest() skips NULL, so an unmatched side
-                    # passes the other side's struct through
-                    F.greatest(F.col("__al"), F.col("__bl")).alias("last"),
-                )
-            )
+            merged = merge_user_state(cur, bagg)
         merged.write.mode("overwrite").parquet(target)
         state["ver"] = batch_id + 1
 
