@@ -381,3 +381,47 @@ def weighted_median(
         F.max("__tot_w").alias(total_weight_col),
         F.count(F.lit(1)).alias(n_rows_col),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str | Column,
+    *order_cols: Column,
+    out_col: str = "cum_before",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` over a total order,
+    without a single-partition window — the same two-level
+    prefix-sum shape as global_rank: range-repartition so partition
+    i's keys all precede partition i+1's, per-partition exclusive
+    cumsum in parallel, then lift by a broadcast running offset over
+    the (tiny, one row per partition) partial-sum table. The order
+    must be total (include a unique tiebreak) for determinism.
+
+    Exclusive (sum of strictly-preceding rows, 0 for the first) is
+    the planning-friendly form: bin-by-cumulative-size assignments
+    ``floor(cum_before / target)`` put a row in the bin its START
+    offset falls in."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    parts = df.repartitionByRange(
+        *([partitions] if partitions else []), *order_cols
+    )
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lc", F.coalesce(F.sum(val).over(w_local), F.lit(0))
+    )
+    sizes = local.groupBy("__pid").agg(F.sum(val).alias("__s"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = sizes.select(
+        F.col("__pid").alias("__opid"),
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), F.col("__pid") == F.col("__opid"))
+        .withColumn(out_col, F.col("__off") + F.col("__lc"))
+        .drop("__pid", "__lc", "__opid", "__off")
+    )

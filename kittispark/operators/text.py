@@ -8,6 +8,7 @@ operator is a narrow projection or a single hash aggregation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -401,3 +402,25 @@ def md5_nibble(col: Column, i: int) -> Column:
         )
         - 1
     )
+
+
+def nfc_col(col: str | Column) -> Column:
+    """Unicode NFC normalization as a vectorized Arrow pandas UDF.
+
+    Spark SQL has no normalization builtin (SPARK-28962 open), so this
+    is one of the few places Python belongs in a hot path: the UDF
+    receives whole Arrow batches and runs unicodedata.normalize (a C
+    routine) per value — one Arrow roundtrip per batch, never per row.
+    NULLs pass through. The DuckDB twin is its native nfc_normalize,
+    which gives byte-exact cross-engine adjudication (md5 of the
+    normalized text matches)."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)

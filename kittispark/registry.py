@@ -34,6 +34,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # the driver's correctness gate adjudicates the first 50 registered
 # queries, so the families without a prior driver verdict come first.
 _QUERY_MODULES = (
+    "kittispark.queries.curation",
     "kittispark.queries.kitti_files",
     "kittispark.queries.llm_pipeline",
     "kittispark.queries.corpus_lm",
