@@ -35,6 +35,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # queries, so the families without a prior driver verdict come first.
 _QUERY_MODULES = (
     "kittispark.queries.curation",
+    "kittispark.queries.storage_ops",
     "kittispark.queries.kitti_files",
     "kittispark.queries.llm_pipeline",
     "kittispark.queries.corpus_lm",
