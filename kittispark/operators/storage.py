@@ -106,3 +106,20 @@ def compaction_bins(
             F.floor(F.col("__cum") / F.lit(target_bytes)).cast("int"),
         )
     return out.drop("__cum")
+
+
+def zorder_key(x: Column, y: Column, bits: int = 3) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit bucket ids
+    into one 2*bits-bit clustering key: bit i of x lands at position
+    2i, bit i of y at 2i+1. Pure integer expression (whole-stage
+    codegen); the standard multi-dimensional clustering key behind
+    Delta OPTIMIZE ZORDER BY / Iceberg sort orders — range-
+    partitioning by z keeps BOTH dimensions locally clustered, so
+    zone maps prune on either predicate column."""
+    z: Column = F.lit(0)
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z

@@ -36,6 +36,8 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "kittispark.queries.curation",
     "kittispark.queries.storage_ops",
+    "kittispark.queries.vectors_ext",
+    "kittispark.queries.corpus_ext",
     "kittispark.queries.kitti_files",
     "kittispark.queries.llm_pipeline",
     "kittispark.queries.corpus_lm",
