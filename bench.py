@@ -81,6 +81,14 @@ HEADLINE = [
     "pq_adc_topk",
     "incremental_dedup_batch",
     "stream_merge_upsert",
+    # round-5 continuation: the heaviest of the new wave — binary
+    # Hamming ANN (full packed-corpus scan + top-k window), global
+    # paragraph dedup (chunk-keyed window + doc rebuild agg), and
+    # content-defined chunking (per-position portable hash, the
+    # densest md5 workload in the registry):
+    "hamming_ann_topk",
+    "paragraph_global_dedup",
+    "cdc_chunk_stats",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

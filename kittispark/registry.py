@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "kittispark.queries.storage_ops",
     "kittispark.queries.vectors_ext",
     "kittispark.queries.corpus_ext",
+    "kittispark.queries.sampling_stats",
     "kittispark.queries.kitti_files",
     "kittispark.queries.llm_pipeline",
     "kittispark.queries.corpus_lm",

@@ -545,3 +545,47 @@ def test_skew_report_take_ordered_below_window(plans):
     i_win = plan.find("+- Window")
     assert i_win != -1 and i_win < i_take
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_topk_corpus_never_shuffles_before_window(plans):
+    # Binary ANN's scale claim: packed queries broadcast, the corpus
+    # flows map-side through XOR/popcount, and the ONLY exchange is
+    # the query_id-keyed top-k window.
+    plan = plans("hamming_ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchanges(plan) == 1, plan
+
+
+def test_binary_sign_pack_is_map_side_only(plans):
+    # packing is an expression fold: no explode, no shuffle, filter
+    # on vec_id pushed to the parquet scan
+    plan = plans("binary_sign_pack")
+    assert shuffle_exchanges(plan) == 0, plan
+    assert "Generate" not in plan  # no explode
+    assert "LessThan(vec_id,200)" in plan
+
+
+def test_paragraph_dedup_shuffles_on_chunk_then_doc(plans):
+    # one exchange for the chunk_text first-occurrence window, one
+    # for the doc rebuild agg — nothing else, no join at all
+    plan = plans("paragraph_global_dedup")
+    assert shuffle_exchanges(plan) == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_prunes_postings_before_join(plans):
+    # the phrase term filter must land before the posting-list join,
+    # so only the phrase terms' postings ever shuffle
+    plan = plans("phrase_search_postings")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"= batch\)", plan)) >= 2, plan
+
+
+def test_vocab_pairs_block_join_not_cartesian(plans):
+    # levenshtein pairing joins on the length block key — an
+    # equi-join, never an all-pairs product
+    plan = plans("vocab_edit_distance_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
