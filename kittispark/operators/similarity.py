@@ -41,6 +41,16 @@ def as_double(col: str | Column) -> Column:
     )
 
 
+
+def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+    """Row-normalize, leaving zero-norm rows at zero instead of NaN:
+    a zero vector then scores cosine 0 against everything in the
+    NumPy kernels (assignment/bucketing), while the expression-side
+    scorers exclude it via NULL — either way it can never rank."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0.0, 1.0, n)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right folded dot product in double precision."""
     return F.aggregate(
@@ -53,7 +63,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash)
+    when either side has zero norm — a zero vector has no direction,
+    so its similarity is undefined and every consumer excludes it."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -66,6 +79,9 @@ def rank_topk(scored: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    # zero-norm vectors score NULL (undefined direction) — excluded
+    # from every ranking rather than riding NULLS LAST into the tail
+    scored = scored.filter(F.col("sim").isNotNull())
     return (
         scored.select(
             "query_id",
@@ -101,7 +117,8 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            (dot(F.col("qv"), F.col("cv"))
+             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("sim"),
         )
     )
     return rank_topk(scored, k)
@@ -199,7 +216,8 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            (dot(F.col("qv"), F.col("cv"))
+             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("sim"),
         )
     )
     return rank_topk(scored, k)
@@ -276,8 +294,8 @@ def cosine_near_dup_pairs(
         b_ids = b["id"].to_numpy(dtype="int64")
         am = np.stack(a["v"].to_numpy()).astype("float64")
         bm = np.stack(b["v"].to_numpy()).astype("float64")
-        am /= np.linalg.norm(am, axis=1, keepdims=True)
-        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        am = _unit_rows(am)
+        bm = _unit_rows(bm)
         sims = am @ bm.T
         hit = sims >= threshold
         if gi == gj:
@@ -309,15 +327,14 @@ def _assign_nearest(df: DataFrame, cents, vec_col: str, out_col: str, nprobe: in
 
     if bc is None:
         sc = df.sparkSession.sparkContext
-        norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        norm_c = _unit_rows(cents)
         bc = sc.broadcast(norm_c)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def nearest(v: pd.Series) -> pd.Series:
         if len(v) == 0:  # np.stack raises on an empty Arrow batch
             return pd.Series([], dtype=object)
-        m = np.stack(v.to_numpy()).astype("float64")
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m = _unit_rows(np.stack(v.to_numpy()).astype("float64"))
         sims = m @ bc.value.T
         # stable argsort: descending sim, ascending centroid id on ties
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
@@ -349,10 +366,10 @@ def ivf_train_centroids(
         .collect()
     )
     m = np.array([r["v"] for r in sample], dtype="float64")
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    mn = _unit_rows(m)
     cents = m[:n_centroids].copy()
     for _ in range(n_iter):
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cn = _unit_rows(cents)
         # ties -> lowest centroid id, matching _assign_nearest's stable sort
         assign = np.argmax(mn @ cn.T, axis=1)
         for cid in range(n_centroids):
@@ -387,7 +404,8 @@ def _score_bucketed_topk(corpus: DataFrame, q: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            (dot(F.col("qv"), F.col("cv"))
+             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("sim"),
         )
     )
     return rank_topk(scored, k)
@@ -415,7 +433,7 @@ def ann_ivf_topk(
     # One broadcast of the normalized centroid matrix, shared by the
     # corpus and query assignment passes (two pandas_udf kernels, one
     # payload shipped).
-    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    norm_c = _unit_rows(cents)
     bc = vectors.sparkSession.sparkContext.broadcast(norm_c)
     c = _assigned_corpus(vectors, cents, vec_col, id_col, bc=bc).withColumn(
         "cn", norm(F.col("cv"))
@@ -482,7 +500,7 @@ def ann_ivf_topk_indexed(
     training determinism, same tiebreaks) — pinned by tests."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
-    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    norm_c = _unit_rows(cents)
     bc = spark.sparkContext.broadcast(norm_c)
     q = (
         _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe, bc=bc)

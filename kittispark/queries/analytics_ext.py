@@ -111,8 +111,8 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT query_id, neighbor_id,
                list_dot_product(qv, cv)
-                 / (sqrt(list_dot_product(qv, qv))
-                    * sqrt(list_dot_product(cv, cv))) AS cos_raw,
+                 / NULLIF(sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv)), 0) AS cos_raw,
                (list_dot_product(qv, qv) + list_dot_product(cv, cv))
                  - 2 * list_dot_product(qv, cv) AS l2_raw
         FROM c CROSS JOIN q
@@ -124,7 +124,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY cos_raw DESC, neighbor_id) AS rk_cos,
                row_number() OVER (PARTITION BY query_id
                    ORDER BY l2_raw ASC, neighbor_id) AS rk_l2
-        FROM scored
+        FROM scored WHERE cos_raw IS NOT NULL
     ),
     fused AS (
         SELECT query_id, neighbor_id,
@@ -164,12 +164,16 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(qv, cv) / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)))).alias(
-                "cos_raw"
-            ),
+            (
+                dot(qv, cv)
+                / F.nullif(F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)), F.lit(0.0))
+            ).alias("cos_raw"),
             ((dot(qv, qv) + dot(cv, cv)) - 2 * dot(qv, cv)).alias("l2_raw"),
         )
     )
+    # zero-norm neighbors have undefined cosine -> excluded from BOTH
+    # rankings (a pair must hold both ranks for the fusion sum)
+    scored = scored.filter(F.col("cos_raw").isNotNull())
     wq = W.partitionBy("query_id")
     ranked = scored.select(
         "query_id",

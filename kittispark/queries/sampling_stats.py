@@ -277,6 +277,7 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                        AS UBIGINT) / {float(_TWO60)!r}) / n_chars AS k
         FROM documents
+        WHERE n_chars > 0
     )
     SELECT doc_id, n_chars, CAST(rk AS INT) AS rk
     FROM (SELECT doc_id, n_chars,
@@ -297,7 +298,10 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "documents"),
 )
 def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    keyed = t(spark, sf_dir, "documents").select(
+    # A-ES requires strictly positive weights: zero-length docs have
+    # no defined key (ln(u)/0) and NULL n_chars no weight at all —
+    # both are excluded from the draw (oracle filters identically).
+    keyed = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0).select(
         "doc_id",
         "n_chars",
         (

@@ -36,8 +36,8 @@ _EMBED_DIM = 64
     scored AS (
         SELECT query_id, neighbor_id,
                list_dot_product(qv, cv)
-                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-                 AS sim_raw
+                 / NULLIF(sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv)), 0) AS sim_raw
         FROM c CROSS JOIN q
         WHERE query_id <> neighbor_id
     )
@@ -45,7 +45,7 @@ _EMBED_DIM = 64
            CAST(rk AS INT) AS rk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY sim_raw DESC, neighbor_id) AS rk
-          FROM scored)
+          FROM scored WHERE sim_raw IS NOT NULL)
     WHERE rk <= 5
     """,
     doc="Brute-force cosine top-5 for 5 query vectors against the "
@@ -189,8 +189,8 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
                list_dot_product(qe.v, ne.v)
-                 / (sqrt(list_dot_product(qe.v, qe.v))
-                    * sqrt(list_dot_product(ne.v, ne.v))) AS sim_raw
+                 / NULLIF(sqrt(list_dot_product(qe.v, qe.v))
+                          * sqrt(list_dot_product(ne.v, ne.v)), 0) AS sim_raw
         FROM probe p
         JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
         JOIN e qe ON qe.vec_id = p.query_id
@@ -200,7 +200,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rk AS INT) AS rk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY sim_raw DESC, neighbor_id) AS rk
-          FROM scored)
+          FROM scored WHERE sim_raw IS NOT NULL)
     WHERE rk <= 5
     """,
     doc="IVF approximate top-k, fully value-adjudicated "
@@ -671,7 +671,9 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__v").alias("ev"),
         F.col("__n").alias("en"),
     )
-    sim = dot(F.col("ev"), F.col("tv")) / (F.col("en") * F.col("tn"))
+    sim = dot(F.col("ev"), F.col("tv")) / F.nullif(
+        F.col("en") * F.col("tn"), F.lit(0.0)
+    )
     return (
         train.crossJoin(F.broadcast(ev))
         .select("eval_id", sim.alias("sim"))

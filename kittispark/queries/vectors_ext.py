@@ -124,11 +124,16 @@ def hamming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT qv.query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (PARTITION BY qv.query_id ORDER BY
                        list_dot_product(qv.qv, c.embedding::DOUBLE[])
-                         / (sqrt(list_dot_product(qv.qv, qv.qv))
-                            * sqrt(list_dot_product(c.embedding::DOUBLE[],
-                                                    c.embedding::DOUBLE[])))
+                         / NULLIF(sqrt(list_dot_product(qv.qv, qv.qv))
+                                  * sqrt(list_dot_product(
+                                        c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[])), 0)
                        DESC, c.vec_id) AS rk
-            FROM embeddings c CROSS JOIN qv WHERE c.vec_id <> qv.query_id)
+            FROM embeddings c CROSS JOIN qv
+            WHERE c.vec_id <> qv.query_id
+              AND list_dot_product(c.embedding::DOUBLE[],
+                                   c.embedding::DOUBLE[]) <> 0
+              AND list_dot_product(qv.qv, qv.qv) <> 0)
         WHERE rk <= 10
     )
     SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
@@ -159,9 +164,10 @@ def hamming_recall_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)"
     sim = (
         F.expr(dot.format(a="qv", b="embedding"))
-        / (
+        / F.nullif(
             F.sqrt(F.expr(dot.format(a="qv", b="qv")))
-            * F.sqrt(F.expr(dot.format(a="embedding", b="embedding")))
+            * F.sqrt(F.expr(dot.format(a="embedding", b="embedding"))),
+            F.lit(0.0),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -175,6 +181,7 @@ def hamming_recall_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             sim.alias("sim_raw"),
         )
+        .where(F.col("sim_raw").isNotNull())
         .withColumn("rk", F.row_number().over(win))
         .where(F.col("rk") <= 10)
         .select("query_id", "neighbor_id")

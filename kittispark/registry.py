@@ -100,11 +100,25 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset()
-# r5 start: empty — all 13 r3/r4 rewrites (exact-cents sums, md5
-# MinHash, ordered kmeans fold, NULLIF guards, …) were re-adjudicated
-# green in CORRECTNESS_r04.json (50/50 window). Re-populate the same
-# day any already-adjudicated query's output or oracle is rewritten.
+_REVERIFY: frozenset[str] = frozenset(
+    {
+        # r5 adversarial-sweep fixes, class A (null-safe cosine /
+        # positive-weight contracts — SCALING.md "Round-5 adversarial
+        # sweep"): banked verdicts predate the NULLIF/zero-norm
+        # exclusion rewrite, so they need fresh adjudication.
+        "cosine_topk_bruteforce",
+        "ann_lsh_topk",
+        "ann_ivf_recall",
+        "ann_ivf_indexed_match",
+        "ann_ivf_topk",
+        "embedding_decontamination",
+        "rank_fusion_rrf",
+        "cosine_near_dup",
+    }
+)
+# (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
+# green in CORRECTNESS_r04.json. Populated again the same day the
+# adversarial-sweep rewrites landed, per VERDICT r4 #2.)
 
 # Queries registered AFTER the current round's 50-slot window was
 # already exactly full (never-adjudicated fresh + _REVERIFY): they

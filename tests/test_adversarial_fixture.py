@@ -1,0 +1,53 @@
+"""Adversarial-fixture oracle parity: the round-5 depth gate.
+
+scripts/gen_adversarial.py distorts a driver sf dir with the inputs
+real 100 TB corpora contain but the clean generator never emits —
+NULLs in every nullable column, heavy key skew, one shared duplicate
+timestamp, zero-norm and duplicate embeddings, and a unicode zoo
+(NFD, ZWJ emoji, RTL, CJK, zero-width, surrogate pairs, Thai). Every
+query pinned here previously CRASHED (ANSI DIVIDE_BY_ZERO) or
+diverged from its DuckDB oracle on that fixture; the full census
+lives in SCALING.md ("Round-5 adversarial sweep").
+
+The list grows as divergence classes are fixed — a query joins the
+pin the commit its fix lands.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kittispark import registry
+from tests.oracle_harness import compare
+
+# fixed divergence classes, pinned on the adversarial fixture:
+# A: ANSI DIVIDE_BY_ZERO on zero-norm vectors / zero-weight docs
+ADVERSARIAL_PINNED = [
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "embedding_decontamination",
+    "rank_fusion_rrf",
+    "hamming_recall_vs_cosine",
+    "weighted_reservoir_sample",
+    "cosine_near_dup",
+]
+
+
+@pytest.fixture(scope="session")
+def adv_dir(tmp_path_factory) -> str:
+    from scripts.gen_adversarial import generate
+
+    # sf0.01 — the driver's own gate scale: the ANN recall floors
+    # (ann_lsh_topk >= 1 hit/query etc.) are calibrated there, and the
+    # sweep that produced the pinned census ran there.
+    dst = tmp_path_factory.mktemp("sfadv")
+    generate("/root/testdata/sf0.01", str(dst))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", ADVERSARIAL_PINNED)
+def test_adversarial_oracle_parity(spark, adv_dir, name):
+    spec = registry.all_specs()[name]
+    compare(spec.fn(spark, adv_dir), spec.oracle, adv_dir, name)

@@ -589,3 +589,37 @@ def test_vocab_pairs_block_join_not_cartesian(plans):
     plan = plans("vocab_edit_distance_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jl_projection_is_literal_fold_no_broadcast_table(plans):
+    """JL's ±1 matrix is burned into the expression as literals: the
+    plan must contain NO extra join beyond the pair self-join — in
+    particular no broadcast of a signs table — and the vec_id slice
+    must reach the parquet scan as a pushed filter."""
+    plan = plans("jl_projection_audit")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*vec_id", plan), plan
+    # exactly one join (the even/odd pair join); a signs-table design
+    # would add a second
+    assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE)) <= 1, plan
+
+
+def test_bootstrap_explode_collapses_map_side(plans):
+    """The 32x Poisson explode must collapse via partial aggregation
+    BEFORE the shuffle — the exchange carries 32 keys per partition,
+    never 32x the event rows."""
+    plan = plans("bootstrap_ci_mean")
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_take_ordered_below_window(plans):
+    """A-ES top-50 must plan TakeOrderedAndProject (per-partition
+    top-k + 50-row merge) below the rank window, so the
+    single-partition window only ever sees the 50-row reservoir."""
+    plan = plans("weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    i_take = plan.find("TakeOrderedAndProject")
+    i_win = plan.find("+- Window")
+    assert i_win != -1 and i_win < i_take
+    assert "SortMergeJoin" not in plan
