@@ -76,7 +76,12 @@ def asof_join(
         F.lit(None).cast(p_type).alias("__p"),
         F.struct(*left.columns).alias("__row"),
     )
-    r_tag = right.select(
+    # DuckDB ASOF semantics for NULL timestamps: a right row with no
+    # time can never be "at or before" anything (the comparison is
+    # NULL) — drop it. A LEFT row with NULL ts is kept and serves a
+    # NULL payload: it sorts NULLS FIRST below, ahead of every right
+    # row, so the carry-forward finds nothing.
+    r_tag = right.filter(F.col(ts).isNotNull()).select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -86,7 +91,9 @@ def asof_join(
 
     w = (
         W.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        # explicit NULLS FIRST (Spark's ASC default, pinned against
+        # refactors): NULL-ts LEFT rows must precede every right row
+        .orderBy(F.asc_nulls_first("__ts"), F.asc("__side"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(

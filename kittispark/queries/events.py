@@ -144,11 +144,14 @@ def json_extract_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(sum(value), 2) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="10-minute tumbling event-time window aggregation (batch twin "
     "of streaming window(ts, '10 minutes') — Spark aligns windows to "
-    "the epoch origin, so start == floor(epoch/600)*600).",
+    "the epoch origin, so start == floor(epoch/600)*600). Events "
+    "without a timestamp belong to no bucket: Spark's window() "
+    "drops them by construction and the oracle filters identically.",
     tags=("window", "streaming-analog"),
 )
 def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +180,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
                     ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id,
@@ -191,7 +195,9 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "streaming-analog"),
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = t(spark, sf_dir, "events")
+    # an event with no timestamp belongs to no session — excluded
+    # (the oracle filters identically; n_events counts timed events)
+    events = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts").cast("double")).over(w)
     flagged = events.select(
@@ -238,12 +244,22 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
         SELECT user_id, ts, max(value) AS click_value
-        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+        GROUP BY 1, 2
     ), l AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type <> 'click'
     )
+    -- NULL-ts handling made explicit (DuckDB's raw ASOF sorts NULL as
+    -- greatest and would match unknown times to each other — file
+    -- order masquerading as time): timed left rows as-of join timed
+    -- clicks; un-timed left rows keep a NULL payload.
     SELECT l.event_id, l.user_id, round(r.click_value, 6) AS click_value
-    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    FROM (SELECT * FROM l WHERE ts IS NOT NULL) l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    UNION ALL
+    SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS click_value
+    FROM l WHERE ts IS NULL
     """,
     doc="As-of join: each non-click event annotated with the value of "
     "the user's latest click at-or-before it — the union+window "
@@ -428,7 +444,7 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(row_number() OVER w AS INT) AS version,
            (lead(ts) OVER w IS NULL) AS is_current
     FROM events
-    WHERE event_type = 'view'
+    WHERE event_type = 'view' AND ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     doc="Type-2 slowly-changing-dimension build: each change event "
@@ -442,7 +458,11 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "cdc"),
 )
 def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    # a change event with no timestamp can't anchor a validity
+    # interval — excluded on both engines
+    events = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "view") & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return events.select(
@@ -606,7 +626,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS v_to,
                CAST(row_number() OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS INT) AS version
-        FROM events WHERE event_type = 'view'
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
     )
     SELECT p.event_id,
            p.user_id,
@@ -635,7 +655,7 @@ def temporal_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     hist = (
-        ev.filter(F.col("event_type") == "view")
+        ev.filter((F.col("event_type") == "view") & F.col("ts").isNotNull())
         .select(
             F.col("user_id").alias("h_user"),
             F.col("value").alias("dim_value"),
@@ -927,7 +947,7 @@ def _rollup_path(spark: SparkSession, sf_dir: str) -> str:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
                / 100 AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     doc="Incremental rollup maintenance — the nightly-ETL shape that "
     "replaces full recomputation at 100 TB: the historical rollup "
@@ -1038,6 +1058,7 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS next_type
         FROM events
+        WHERE ts IS NOT NULL
     ),
     pairs AS (
         SELECT event_type AS from_type, next_type AS to_type,
@@ -1069,7 +1090,9 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq_w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
+        # un-timestamped events have no place in a sequence — excluded
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .select(
             "user_id",
             "event_type",

@@ -47,7 +47,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_total
     FROM orders
@@ -60,7 +60,9 @@ def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        # unknown-date orders sort FIRST (engine convention: NULL
+        # ordering keys lead, pinned explicitly on both engines)
+        .orderBy(F.asc_nulls_first("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return orders.select(
@@ -75,7 +77,7 @@ def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round(value - lag(value) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id), 6) AS delta
+                 ORDER BY ts NULLS FIRST, event_id), 6) AS delta
     FROM events
     """,
     doc="lag() delta per user over event time (change detection shape).",
@@ -83,7 +85,9 @@ def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), F.asc("event_id")
+    )
     return events.select(
         "event_id",
         "user_id",
@@ -128,7 +132,7 @@ def rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(event_type)  OVER w AS last_type,
            CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="first_value/last_value over full-partition frame, deduped to "
@@ -139,7 +143,7 @@ def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_first("ts"), F.asc("event_id"))
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return (

@@ -114,6 +114,17 @@ _REVERIFY: frozenset[str] = frozenset(
         "embedding_decontamination",
         "rank_fusion_rrf",
         "cosine_near_dup",
+        # class B (explicit NULL-ordering / NULL-timestamp contracts
+        # in the window & temporal family):
+        "running_sum",
+        "lag_delta",
+        "first_last_value",
+        "tumbling_window_counts",
+        "sessionization",
+        "asof_join_latest_click",
+        "resample_ffill_grid",
+        "scd2_user_value_history",
+        "temporal_interval_lookup",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

@@ -32,6 +32,18 @@ ADVERSARIAL_PINNED = [
     "hamming_recall_vs_cosine",
     "weighted_reservoir_sample",
     "cosine_near_dup",
+    # B: NULL-ordering / NULL-timestamp contracts (windows, temporal)
+    "running_sum",
+    "lag_delta",
+    "first_last_value",
+    "tumbling_window_counts",
+    "sessionization",
+    "asof_join_latest_click",
+    "resample_ffill_grid",
+    "scd2_user_value_history",
+    "temporal_interval_lookup",
+    "rollup_incremental_maintain",
+    "event_transition_matrix",
 ]
 
 
