@@ -174,8 +174,10 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_edit_distance_pairs",
     oracle="""
     WITH v AS (
-        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        SELECT DISTINCT tok
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents) s
+        WHERE regexp_matches(tok, '^[!-~]+$')
     )
     SELECT a.tok AS tok_a, b.tok AS tok_b,
            CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
@@ -188,7 +190,9 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "left side explodes each token into its 5 admissible lengths "
     "(|len(a)-len(b)| <= d is a necessary condition for lev <= d), "
     "the join is an equi-join on (candidate_length), and the exact "
-    "distance filters the survivors. The oracle cross-joins (its "
+    "distance filters the survivors. Vocabulary is restricted to "
+    "printable-ASCII tokens — the one domain where levenshtein's "
+    "edit unit is engine-independent. The oracle cross-joins (its "
     "vocab is tiny); the Spark plan is the one that scales — blocks "
     "shrink the candidate set from |V|^2 to sum of length-bucket "
     "products, and a first-char sub-block can be layered on when "
@@ -196,9 +200,14 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup"),
 )
 def vocab_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy pairing is defined over printable-ASCII tokens only:
+    # levenshtein's edit unit for non-ASCII text is engine-specific
+    # (DuckDB counts UTF-8 bytes for Latin accents but not for CJK;
+    # the JVM counts code points) — inside ASCII every engine agrees
     vocab = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok").rlike("^[!-~]+$"))
         .distinct()
     )
     left = vocab.select(

@@ -479,7 +479,7 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS doc_a,
            doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_b,
            TRUE AS in_candidates
-    FROM documents WHERE doc_id < 50
+    FROM documents WHERE doc_id < 50 AND text IS NOT NULL
     """,
     doc="SimHash(64-bit) with 16-bit band blocking, driver-"
     "adjudicated on a clone-augmented corpus: identical texts hash to "
@@ -495,7 +495,10 @@ def simhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = _clone_offset(docs)
     aug = _cloned_docs(docs, off=off)
     cands = simhash_near_dup_candidates(aug).withColumn("__hit", F.lit(True))
-    known = _clone_pairs(docs, off=off)
+    # a NULL-text doc has no tokens, hence no SimHash: it can never
+    # appear in the candidate set, so the clone-recall assertion only
+    # ranges over docs that hash (the oracle filters identically)
+    known = _clone_pairs(docs.filter(F.col("text").isNotNull()), off=off)
     return known.join(cands, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",

@@ -449,6 +449,10 @@ def _csv_path(spark: SparkSession, sf_dir: str) -> str:
         .option("escape", '"')  # RFC-4180 quote doubling
         .option("nullValue", "\\N")  # keep NULL distinct from ''
         .option("emptyValue", '""')
+        # the CSV WRITER trims cell whitespace by default (univocity
+        # legacy) — a whitespace-only document would come back empty
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(root)
     )
     _CSV_ROOT[sf_dir] = root

@@ -168,9 +168,15 @@ def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "min_day",
         "max_day",
-        (
-            (F.col("max_day") < "2024-01-15") | (F.col("min_day") > "2024-01-15")
+        # a zone whose stats are NULL (un-timestamped rows) can never
+        # be pruned: when() falls through to 0 exactly like the
+        # oracle's CASE, where a bare boolean cast would emit NULL
+        F.when(
+            (F.col("max_day") < "2024-01-15")
+            | (F.col("min_day") > "2024-01-15"),
+            1,
         )
+        .otherwise(0)
         .cast("int")
         .alias("prunable"),
     )
@@ -283,7 +289,10 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_x",
         "min_y",
         "max_y",
-        ((F.col("min_y") > 3) | (F.col("max_y") < 2))
+        # NULL stats (rows whose coordinates derive from NULL inputs)
+        # -> not prunable, matching the oracle's CASE fall-through
+        F.when((F.col("min_y") > 3) | (F.col("max_y") < 2), 1)
+        .otherwise(0)
         .cast("int")
         .alias("prunable"),
     )

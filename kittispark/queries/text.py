@@ -131,7 +131,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tokens AS (
         SELECT doc_id, t.term
         FROM documents,
-             LATERAL (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+             LATERAL (SELECT unnest(string_split_regex(
+                          translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'))
                       AS term) t
         WHERE doc_id < 50 AND t.term <> ''
     ),
@@ -149,7 +151,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored)
     WHERE rk <= 3
     """,
-    doc="tf-idf top-3 terms per document (docs 0-49): tokenize with a "
+    doc="tf-idf top-3 terms per document (docs 0-49): ASCII-only case "
+    "fold (translate A-Z, not lower() — full-Unicode case mappings "
+    "differ between JVM and utf8proc), tokenize with a "
     "shared [^a-z]+ regex, tf per (doc,term), idf = ln(N/df), "
     "deterministic rank tiebreak. The aggregation skeleton of every "
     "bag-of-words feature pipeline. ONE tokenize pass: df comes from a "
@@ -166,7 +170,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tokens = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        # ASCII-only case fold (translate, not lower): JVM full-Unicode
+        # lowercasing maps U+0130 'İ' to "i"+combining-dot while
+        # utf8proc maps it to plain "i" — the engines fork on any
+        # locale-sensitive mapping. Non-ASCII letters pass through
+        # untouched and the [a-z] token class drops them identically
+        # on both engines.
+        F.explode(
+            F.split(
+                F.translate(
+                    "text",
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    "abcdefghijklmnopqrstuvwxyz",
+                ),
+                "[^a-z]+",
+            )
+        ).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # Document frequency as a window over tf — tf has one row per
@@ -483,13 +502,15 @@ def lang_balance_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tokens,
            COALESCE(array_to_string(list_filter([
+               CASE WHEN n_tokens IS NULL THEN 'no_text' END,
                CASE WHEN n_tokens < 50 THEN 'too_short' END,
                CASE WHEN n_tokens > 120 THEN 'too_long' END,
                CASE WHEN n_distinct * 10 < n_tokens * 3
                     THEN 'low_diversity' END,
                CASE WHEN n_nonspace > n_tokens * 8 THEN 'long_words' END
            ], x -> x IS NOT NULL), '|'), '') AS reasons,
-           (n_tokens >= 50 AND n_tokens <= 120
+           (n_tokens IS NOT NULL
+            AND n_tokens >= 50 AND n_tokens <= 120
             AND n_distinct * 10 >= n_tokens * 3
             AND n_nonspace <= n_tokens * 8) AS keep
     FROM m
@@ -518,6 +539,11 @@ def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_nonspace"),
     )
     rules = [
+        # NULL text trips an explicit rule: without it every other
+        # predicate is NULL, when() drops them all, and a text-less
+        # doc would sail through with keep=true while the oracle's
+        # three-valued AND said NULL
+        (F.col("n_tokens").isNull(), "no_text"),
         (F.col("n_tokens") < 50, "too_short"),
         (F.col("n_tokens") > 120, "too_long"),
         (F.col("n_distinct") * 10 < F.col("n_tokens") * 3, "low_diversity"),

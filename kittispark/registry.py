@@ -125,6 +125,11 @@ _REVERIFY: frozenset[str] = frozenset(
         "resample_ffill_grid",
         "scd2_user_value_history",
         "temporal_interval_lookup",
+        # class C (unicode/text contracts: ASCII-only case fold,
+        # NULL-text exclusion, engine-safe fuzzy-pairing domain):
+        "tfidf_top_terms",
+        "simhash_candidates",
+        "quality_filter_composite",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

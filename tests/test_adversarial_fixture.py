@@ -44,6 +44,15 @@ ADVERSARIAL_PINNED = [
     "temporal_interval_lookup",
     "rollup_incremental_maintain",
     "event_transition_matrix",
+    # C: unicode/text contracts (ASCII case fold, NULL text, CSV trim)
+    "tfidf_top_terms",
+    "simhash_candidates",
+    "quality_filter_composite",
+    "vocab_edit_distance_pairs",
+    "csv_corpus_roundtrip",
+    # D: NULL-stat zones are never prunable
+    "zonemap_skip_audit",
+    "zorder_layout_audit",
 ]
 
 
