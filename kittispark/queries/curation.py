@@ -201,6 +201,7 @@ _CHUNK_W, _CHUNK_S = 32, 24
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n
         FROM documents
+        WHERE text IS NOT NULL
     ),
     c AS (
         SELECT doc_id, n, CAST(k AS INT) AS chunk_id,
@@ -229,7 +230,10 @@ _CHUNK_W, _CHUNK_S = 32, 24
     tags=("curation", "text", "llm-pipeline"),
 )
 def tokenizer_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # NULL text -> zero chunks (without the filter both engines emit
+    # one phantom chunk whose digest forks: concat_ws serves '' for a
+    # NULL array while array_to_string serves NULL)
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     d = docs.select(
         "doc_id", tokens_col("text").alias("toks")
     ).withColumn("n", F.size("toks"))

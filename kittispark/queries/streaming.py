@@ -127,6 +127,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
                     ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
         SELECT user_id, ts,
@@ -140,7 +141,10 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM numbered GROUP BY user_id, session_no
     """,
-    doc="session_window(ts, '30 minutes') on the streaming path; the "
+    doc="session_window(ts, '30 minutes') on the streaming path "
+    "(events without a timestamp belong to no session — "
+    "session_window drops them by construction, the oracle filters "
+    "identically); the "
     "oracle rebuilds merged sessions via lag + cumulative flags "
     "(session_end = last event + gap, Spark's session-window semantics).",
     tags=("streaming",),
@@ -296,6 +300,7 @@ def events_landing_dir_ordered(spark: SparkSession, sf_dir: str) -> str:
                     WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1
                     ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), numbered AS (
         SELECT user_id, ts,

@@ -130,6 +130,10 @@ _REVERIFY: frozenset[str] = frozenset(
         "tfidf_top_terms",
         "simhash_candidates",
         "quality_filter_composite",
+        # streaming session contracts (NULL event time -> no session;
+        # the tracker was batch-order-FLAKY on NaT ticks before):
+        "stream_session_counts",
+        "stream_session_tracker",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

@@ -502,6 +502,11 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
             out, columns=["user_id", "session_start", "session_last", "n_events"]
         )
 
+    # NULL event time belongs to no session (the built-in
+    # session_window drops such rows by construction; without this a
+    # NaT becomes INT64_MIN ticks and poisons gap/watermark math
+    # batch-order-dependently)
+    events = events.filter(F.col("ts").isNotNull())
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return src.groupBy("user_id").applyInPandasWithState(
         track,
