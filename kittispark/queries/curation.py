@@ -652,7 +652,10 @@ def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("raw").alias("raw_len"),
         F.length(nfc_col("raw")).alias("nfc_len"),
-        (F.length(nfc_col("raw")) != F.length("raw"))
+        # NULL text -> NULL raw: changed falls through to 0 exactly
+        # like the oracle CASE (a bare boolean cast would emit NULL)
+        F.when(F.length(nfc_col("raw")) != F.length("raw"), 1)
+        .otherwise(0)
         .cast("int")
         .alias("changed"),
         F.md5(nfc_col("raw")).alias("nfc_md5"),

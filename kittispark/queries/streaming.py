@@ -77,6 +77,7 @@ def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(sum(value), 2) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Tumbling event-time windows executed by Structured Streaming "
@@ -95,6 +96,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buckets AS (
         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS slide0, value
         FROM events
+        WHERE ts IS NOT NULL
     ), expanded AS (
         SELECT slide0 AS bucket_start, value FROM buckets
         UNION ALL

@@ -134,6 +134,8 @@ _REVERIFY: frozenset[str] = frozenset(
         # the tracker was batch-order-FLAKY on NaT ticks before):
         "stream_session_counts",
         "stream_session_tracker",
+        "stream_tumbling_counts",
+        "stream_sliding_avg",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

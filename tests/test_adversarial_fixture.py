@@ -58,6 +58,9 @@ ADVERSARIAL_PINNED = [
     "tokenizer_chunk_windows",
     "stream_session_counts",
     "stream_session_tracker",
+    "stream_tumbling_counts",
+    "stream_sliding_avg",
+    "unicode_nfc_normalize",
 ]
 
 
