@@ -623,3 +623,14 @@ def test_weighted_reservoir_take_ordered_below_window(plans):
     i_win = plan.find("+- Window")
     assert i_win != -1 and i_win < i_take
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_union_window_not_range_join(plans):
+    """The as-of join must stay the union+window composition: ONE
+    window over the key shuffle, no join node anywhere (a range-join
+    rewrite would explode qualifying pairs), and only two exchanges —
+    the clicks pre-aggregation and the per-key window sort."""
+    plan = plans("asof_join_latest_click")
+    assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE)) == 0, plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE)) == 1
+    assert shuffle_exchanges(plan) == 2, plan
