@@ -161,22 +161,22 @@ def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_time_range",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER (
-               PARTITION BY user_id
-               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ), 6) AS avg_1h,
-           CAST(count(*) OVER (
-               PARTITION BY user_id
-               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS n_1h
+           round(CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                      AS DOUBLE) / 100
+                 / NULLIF(count(value) OVER w, 0), 6) AS avg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h
     FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     doc="Event-time RANGE-frame window: trailing 1-hour average per "
     "user — the value-based frame (peers included) vs the row-based "
     "frames elsewhere. Both engines order by floor-epoch-seconds so "
-    "frame boundaries agree on sub-second timestamps. One shuffle on "
+    "frame boundaries agree on sub-second timestamps; the average "
+    "rides exact integer cents (window sum of BIGINT cents / count) "
+    "so no accumulation-order ulp can fork the engines on large "
+    "frames. One shuffle on "
     "user_id; frame evaluation is a per-partition sliding scan.",
     tags=("window",),
 )
@@ -187,9 +187,17 @@ def moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-3600, 0)
     )
+    # exact-cents window average (same idiom as stream_sliding_avg):
+    # the hot-key frame at scale holds 1e5+ rows and a float avg's
+    # accumulation order forks the engines by one ulp at round-6
+    # midpoints (observed at adversarial-sf0.1, row 36155)
+    cents = F.sum(F.floor(F.col("value") * 100).cast("long")).over(w)
+    nv = F.count(F.col("value")).over(w)
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.round(
+            cents.cast("double") / 100 / F.nullif(nv, F.lit(0)), 6
+        ).alias("avg_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )

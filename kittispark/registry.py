@@ -136,6 +136,9 @@ _REVERIFY: frozenset[str] = frozenset(
         "stream_session_tracker",
         "stream_tumbling_counts",
         "stream_sliding_avg",
+        # scale-revealed at adversarial-sf0.1 (hot-key 1e5-row frame
+        # ulp fork): rewritten to exact-cents window average
+        "moving_avg_time_range",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

@@ -61,6 +61,10 @@ ADVERSARIAL_PINNED = [
     "stream_tumbling_counts",
     "stream_sliding_avg",
     "unicode_nfc_normalize",
+    # scale-revealed ulp fork in the RANGE-frame average (fixed via
+    # exact integer cents; reproduces only at adversarial-sf0.1 hot
+    # keys, pinned here for the NULL-value/NULL-ts handling)
+    "moving_avg_time_range",
 ]
 
 
