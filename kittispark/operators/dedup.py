@@ -264,8 +264,12 @@ def minhash_probe_index(
     built with (minhash_band_rows), then equi-joined on (band_id,
     band_hash). Cost scales with |batch| + the index rows whose
     buckets are actually hit — never with a corpus re-sketch."""
-    idx = spark.read.parquet(index_path).select(
-        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    # explicit schema: a just-initialized EMPTY index (no data files
+    # yet, only _SUCCESS) must read as zero rows, not fail inference
+    idx = (
+        spark.read.schema("doc_id bigint, band_hash bigint, band_id int")
+        .parquet(index_path)
+        .select(F.col("doc_id").alias("corpus_id"), "band_id", "band_hash")
     )
     probe = minhash_band_rows(batch, text_col, id_col, num_hashes, bands).select(
         F.col("doc_id").alias("new_id"), "band_id", "band_hash"

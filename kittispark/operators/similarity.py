@@ -365,6 +365,11 @@ def ivf_train_centroids(
         .select(as_double(vec_col).alias("v"))
         .collect()
     )
+    if not sample:
+        # empty corpus: an index over nothing has no cells — return a
+        # (0, 1) matrix so every downstream assignment/scoring stage
+        # flows through empty instead of tripping numpy axis errors
+        return np.zeros((0, 1), dtype="float64")
     m = np.array([r["v"] for r in sample], dtype="float64")
     mn = _unit_rows(m)
     cents = m[:n_centroids].copy()
@@ -498,8 +503,17 @@ def ann_ivf_topk_indexed(
     partition prune into a static scan filter. Results are identical
     to ann_ivf_topk run in-memory with the same parameters (same
     training determinism, same tiebreaks) — pinned by tests."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
-    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    cent_rows = (
+        spark.read.schema("cid int, centroid array<double>")
+        .parquet(f"{path}/centroids")
+        .orderBy("cid")
+        .collect()
+    )
+    cents = (
+        np.array([r["centroid"] for r in cent_rows], dtype="float64")
+        if cent_rows
+        else np.zeros((0, 1), dtype="float64")
+    )
     norm_c = _unit_rows(cents)
     bc = spark.sparkContext.broadcast(norm_c)
     q = (
@@ -517,7 +531,10 @@ def ann_ivf_topk_indexed(
     q = q.localCheckpoint(eager=True)
     probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
     corpus = (
-        spark.read.parquet(f"{path}/corpus")
+        spark.read.schema(
+            "neighbor_id bigint, cv array<double>, cid int"
+        )
+        .parquet(f"{path}/corpus")
         .filter(F.col("cid").isin(probed))
         .withColumn("cn", norm(F.col("cv")))
     )
@@ -983,7 +1000,16 @@ def ivf_append_index(
     ingest job: cost is one assignment pass over the BATCH, never a
     rebuild; periodic re-train is a policy decision when drift
     accumulates, not a correctness requirement."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
-    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    cent_rows = (
+        spark.read.schema("cid int, centroid array<double>")
+        .parquet(f"{path}/centroids")
+        .orderBy("cid")
+        .collect()
+    )
+    cents = (
+        np.array([r["centroid"] for r in cent_rows], dtype="float64")
+        if cent_rows
+        else np.zeros((0, 1), dtype="float64")
+    )
     assigned = _assigned_corpus(batch, cents, vec_col, id_col)
     assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")

@@ -494,7 +494,8 @@ def weighted_median_supplier_price(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
            CAST(n_checked AS BIGINT) AS n_checked,
-           round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+           round(CAST(n_violations AS DOUBLE) / NULLIF(n_checked, 0), 6)
+               AS violation_rate
     FROM (
         SELECT 'fk_orders_custkey' AS rule, v AS n_violations,
                n_orders AS n_checked FROM fk_orders, checked
@@ -592,9 +593,10 @@ def constraint_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         "n_violations",
         "n_checked",
-        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
-            "violation_rate"
-        ),
+        # NULL rate over zero checked rows (empty table), both engines
+        F.round(
+            F.col("n_violations") / F.nullif(F.col("n_checked"), F.lit(0)), 6
+        ).alias("violation_rate"),
     )
 
 

@@ -344,14 +344,21 @@ def _bpe_learn(
     )
     merges: list[tuple[int, str, int]] = []
     for rnd in range(1, rounds + 1):
-        best = (
+        rows = (
             cur.select("freq", F.explode(F.expr(pairs_expr)).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # no pair anywhere (empty corpus, or every word fully
+            # merged): learning stops early with the merges found so
+            # far — the oracle's per-round LIMIT 1 CTEs go empty the
+            # same way
+            break
+        best = rows[0]
         merges.append((rnd, best["pair"], int(best["cnt"])))
         merged = best["pair"].replace(" ", "")
         cur = cur.select(

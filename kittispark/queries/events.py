@@ -1038,7 +1038,16 @@ def _daypart_path(spark: SparkSession, sf_dir: str) -> str:
 )
 def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _daypart_path(spark, sf_dir)
-    day = spark.read.parquet(root).filter(F.col("day") == "2024-01-15")
+    # explicit schema: an all-NULL-ts (or empty) events table writes
+    # zero partitions and schema inference would fail on the bare dir
+    day = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string, day string"
+        )
+        .parquet(root)
+        .filter(F.col("day") == "2024-01-15")
+    )
     return day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),

@@ -150,6 +150,11 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0  -- Spark emits NO grand-total row on empty
+                         -- input; DuckDB emits the () group with
+                         -- count 0. On non-empty input every
+                         -- grouping-set row covers >= 1 row, so the
+                         -- guard only aligns the empty case.
     """,
     doc="ROLLUP hierarchy totals (SURVEY §2.4: absent from reference, "
     "free in Spark).",
@@ -169,6 +174,7 @@ def group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING count(*) > 0  -- see group_rollup: empty-input alignment
     """,
     doc="CUBE over two grouping columns (SURVEY §2.4 generalized surface).",
     tags=("agg",),
@@ -966,11 +972,18 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_custs"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    rel_err = F.abs(F.col("_approx") - F.col("exact_custs")) / F.col("exact_custs")
+    # empty input: exact == approx == 0 and the estimate is trivially
+    # in bound — without the guard the ANSI division throws
+    rel_err = F.abs(F.col("_approx") - F.col("exact_custs")) / F.nullif(
+        F.col("exact_custs"), F.lit(0)
+    )
+    flag = F.when(
+        F.col("exact_custs") == 0, (F.col("_approx") == 0).cast("int")
+    ).otherwise((rel_err <= 0.03).cast("int"))
     return agg.select(
         "exact_custs",
         "n_orders",
-        (rel_err <= 0.03).cast("int").alias("estimate_within_3pct"),
+        flag.alias("estimate_within_3pct"),
     )
 
 
@@ -984,6 +997,7 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                / 100 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    HAVING count(*) > 0  -- see group_rollup: empty-input alignment
     """,
     doc="Explicit GROUPING SETS (the general form behind rollup/cube): "
     "three aggregation granularities in ONE pass — Spark expands rows "

@@ -918,6 +918,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assigned_corpus,
         _assign_nearest,
         _score_bucketed_topk,
+        _unit_rows,
         ann_ivf_topk_indexed,
         as_double,
         norm,
@@ -932,10 +933,17 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base-trained centroids (read back from the index), scored
     # through the shared bucketed-topk kernel
     cent_rows = (
-        spark.read.parquet(f"{idx}/centroids").orderBy("cid").collect()
+        spark.read.schema("cid int, centroid array<double>")
+        .parquet(f"{idx}/centroids")
+        .orderBy("cid")
+        .collect()
     )
-    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
-    norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = (
+        np.array([r["centroid"] for r in cent_rows], dtype="float64")
+        if cent_rows
+        else np.zeros((0, 1), dtype="float64")
+    )
+    norm_c = _unit_rows(cents)
     bc = spark.sparkContext.broadcast(norm_c)
     c = _assigned_corpus(emb, cents, "embedding", "vec_id", bc=bc).withColumn(
         "cn", norm(F.col("cv"))

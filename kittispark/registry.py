@@ -139,6 +139,13 @@ _REVERIFY: frozenset[str] = frozenset(
         # scale-revealed at adversarial-sf0.1 (hot-key 1e5-row frame
         # ulp fork): rewritten to exact-cents window average
         "moving_avg_time_range",
+        # empty-input sweep fixes (grand-total alignment, guarded
+        # rates, schema-explicit index reads):
+        "group_rollup",
+        "group_cube",
+        "grouping_sets_explicit",
+        "approx_count_distinct",
+        "incremental_dedup_batch",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
