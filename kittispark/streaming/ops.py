@@ -423,6 +423,15 @@ def session_tracker(events: DataFrame, gap_s: int = 1800, watermark: str = "2 ho
     always-on job emits it when its timeout fires). Input should be
     roughly event-time-ordered across micro-batches (landing files
     range-partitioned by ts); the watermark absorbs in-batch disorder.
+
+    PRECONDITION — non-negative event times: Spark initializes the
+    event-time watermark at 0 ms, so every pre-1970 timestamp is
+    born "late" and silently dropped by the state store (measured:
+    a corpus straddling the epoch lost exactly its pre-1970
+    sessions). Pre-1970 event times are sentinel/corrupt values in
+    any real stream — route them to a dead-letter path before a
+    watermarked stateful operator. The batch twin and the
+    watermark=None session_window path handle them fine.
     """
 
     # Gap detection runs on FULL-resolution nanosecond ticks; floors
