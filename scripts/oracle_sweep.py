@@ -80,8 +80,100 @@ def sweep(sf_dirs: list[str], kitti_scale: bool = False) -> int:
     return 1 if fails else 0
 
 
+def materialize_fixture(kind: str, base: str = "/root/testdata/sf0.01") -> str:
+    """Regenerate one of the round-5 depth fixtures on demand and
+    return its directory, so the whole depth suite reproduces with
+    `python scripts/oracle_sweep.py --fixture adversarial` etc.
+
+    kinds: adversarial (NULLs/skew/ties/zero-norm/unicode zoo, from
+    gen_adversarial), empty (every table, exact schema, zero rows),
+    dup (every document 5x: 3 exact clones + 1 near-dup), neg
+    (events shifted to straddle 1970 — negative epochs).
+    """
+    import shutil
+
+    import duckdb
+
+    dst = f"/tmp/ks-fixture-{kind}"
+    shutil.rmtree(dst, ignore_errors=True)
+    if kind == "adversarial":
+        from scripts.gen_adversarial import generate
+
+        generate(base, dst)
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    if kind == "empty":
+        for t in tables:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{base}/{t}.parquet') "
+                f"WHERE false) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    elif kind == "dup":
+        for t in tables:
+            if t == "documents":
+                continue
+            shutil.copyfile(f"{base}/{t}.parquet", f"{dst}/{t}.parquet")
+        con.execute(
+            f"""
+            COPY (
+              WITH base AS (SELECT * FROM read_parquet('{base}/documents.parquet')),
+              mx AS (SELECT max(doc_id) + 1 AS off FROM base)
+              SELECT doc_id, text, lang, source, n_chars FROM base
+              UNION ALL
+              SELECT b.doc_id + m.off * c.r, b.text, b.lang, b.source, b.n_chars
+              FROM base b, mx m, (SELECT unnest([1, 2, 3]) AS r) c
+              UNION ALL
+              SELECT b.doc_id + m.off * 4, b.text || ' neardupmarker',
+                     b.lang, b.source,
+                     CAST(length(b.text || ' neardupmarker') AS BIGINT)
+              FROM base b, mx m
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+    elif kind == "neg":
+        for t in tables:
+            if t == "events":
+                continue
+            shutil.copyfile(f"{base}/{t}.parquet", f"{dst}/{t}.parquet")
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id,
+                     CAST(ts - (SELECT min(ts) FROM
+                                read_parquet('{base}/events.parquet'))
+                        - INTERVAL 15 DAY + TIMESTAMP '1970-01-01'
+                        AS TIMESTAMP) AS ts,
+                     user_id, event_type, value, props
+              FROM read_parquet('{base}/events.parquet')
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+    else:
+        raise SystemExit(f"unknown --fixture kind: {kind}")
+    con.close()
+    return dst
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     ks = "--kitti-scale" in args
-    dirs = [a for a in args if not a.startswith("--")] or ["/root/testdata/sf0.1"]
+    fixtures = [
+        a.split("=", 1)[1] for a in args if a.startswith("--fixture=")
+    ]
+    if "--fixture" in args:
+        fixtures.append(args[args.index("--fixture") + 1])
+    dirs = [
+        a
+        for i, a in enumerate(args)
+        if not a.startswith("--")
+        and not (i > 0 and args[i - 1] == "--fixture")
+    ]
+    dirs += [materialize_fixture(k) for k in fixtures]
+    if not dirs:
+        dirs = ["/root/testdata/sf0.1"]
     raise SystemExit(sweep(dirs, kitti_scale=ks))
