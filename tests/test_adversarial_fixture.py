@@ -84,3 +84,18 @@ def adv_dir(tmp_path_factory) -> str:
 def test_adversarial_oracle_parity(spark, adv_dir, name):
     spec = registry.all_specs()[name]
     compare(spec.fn(spark, adv_dir), spec.oracle, adv_dir, name)
+
+
+def test_generator_is_deterministic(tmp_path):
+    """Two generate() runs must produce byte-identical parquet — the
+    fixture is pure key-modulo + literal payloads, so the sweeps and
+    pins are reproducible bit-for-bit across sessions."""
+    import filecmp
+
+    from scripts.gen_adversarial import generate
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    generate("/root/testdata/sf0.001", str(a))
+    generate("/root/testdata/sf0.001", str(b))
+    for f in sorted(p.name for p in a.iterdir()):
+        assert filecmp.cmp(a / f, b / f, shallow=False), f
