@@ -634,3 +634,32 @@ def test_asof_join_is_union_window_not_range_join(plans):
     assert len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE)) == 0, plan
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE)) == 1
     assert shuffle_exchanges(plan) == 2, plan
+
+
+def test_zonemap_audit_span_broadcasts_no_extra_shuffle(plans):
+    """The date span enters as a 1-row broadcast (nested-loop on one
+    row, never a shuffle join); the only exchanges are the two
+    per-layout bucket aggregations."""
+    plan = plans("zonemap_skip_audit")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchanges(plan) <= 2, plan
+
+
+def test_cdc_chunk_positions_map_side_single_agg(plans):
+    """Content-defined chunking: candidate positions and boundary
+    hashes are map-side expressions — ONE doc-keyed aggregation
+    exchange, document join broadcast."""
+    plan = plans("cdc_chunk_stats")
+    assert shuffle_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whitening_moments_broadcast_back(plans):
+    """Per-dim moment table (64 rows) broadcasts back onto the
+    corpus — the standardization join must never shuffle the
+    vectors; exchanges are the dim agg and final projection only."""
+    plan = plans("embedding_whitening")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_exchanges(plan) <= 2, plan
