@@ -1,0 +1,61 @@
+"""Partition-count invariance: the engine's exact-arithmetic claims
+(integer cents, nano-int folds, dimension-order dot products,
+deterministic tiebreaks), tested against the engine itself.
+
+The DuckDB oracle harness proves Spark matches an independent engine
+at ONE parallelism. This module proves the results don't depend on
+the parallelism: each query runs under 32 and then 7 shuffle
+partitions — different partial-aggregation grouping, different merge
+order, different task boundaries — and must produce identical
+normalized rows. Any float accumulation leaking into a result would
+fork here long before a 1000-executor cluster makes the ordering
+truly adversarial.
+
+Queries chosen: every headline-family query whose output includes a
+float aggregate, a ranked window, or an iterative composition.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kittispark import registry
+from tests.oracle_harness import _norm_rows
+
+SF = "/root/testdata/sf0.01"
+
+INVARIANCE_SET = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "tumbling_window_counts",
+    "moving_avg_time_range",
+    "bootstrap_ci_mean",
+    "kmeans_two_iterations",
+    "pagerank_nation_flow",
+    "bigram_lm_score",
+    "tfidf_top_terms",
+    "embedding_whitening",
+    "jl_projection_audit",
+    "weighted_median_supplier_price",
+    "semantic_dedup_clustered",
+    "minhash_lsh_candidates",
+    "hll_sketch_rollup",
+    "weighted_reservoir_sample",
+]
+
+
+def _run(spark, name: str, shuffle_partitions: int):
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        df = registry.all_specs()[name].fn(spark, SF)
+        return df.columns, [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SET)
+def test_result_invariant_under_partitioning(spark, name):
+    cols_a, rows_a = _run(spark, name, 32)
+    cols_b, rows_b = _run(spark, name, 7)
+    assert cols_a == cols_b
+    assert _norm_rows(cols_a, rows_a) == _norm_rows(cols_b, rows_b), name
