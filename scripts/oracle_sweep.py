@@ -161,6 +161,19 @@ def materialize_fixture(kind: str, base: str = "/root/testdata/sf0.01") -> str:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    known = {"--kitti-scale", "--fixture"}
+    unknown = [
+        a
+        for a in args
+        if a.startswith("--")
+        and a not in known
+        and not a.startswith("--fixture=")
+    ]
+    if unknown:
+        raise SystemExit(
+            f"unknown flag(s) {unknown}; usage: oracle_sweep.py "
+            "[--kitti-scale] [--fixture KIND ...] [sf_dir ...]"
+        )
     ks = "--kitti-scale" in args
     fixtures = [
         a.split("=", 1)[1] for a in args if a.startswith("--fixture=")
