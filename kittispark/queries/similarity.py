@@ -548,8 +548,9 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k-means cells (broadcast argmin, same seeding the kmeans "
     "queries adjudicate) and candidate pairs form ONLY within a "
     "cell, so the all-pairs O(n^2) becomes sum of per-cell "
-    "quadratics (with cid-partitioned layout at 100 TB the pair "
-    "join is shuffle-free). Assignment and scoring run on UNIT "
+    "quadratics, triangle-blocked over (cid, lo-block, hi-block) "
+    "keys so no single task owns a whole cell's quadratic. "
+    "Assignment and scoring run on UNIT "
     "vectors (spherical cells — L2 over raw vectors would split "
     "high-cosine pairs differing in magnitude); pairs above cosine "
     "0.45 are reported "
@@ -599,17 +600,53 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
     )
-    sided = asg.join(base, "vec_id")
+    # triangle block-pair enumeration: a join keyed on cid alone puts
+    # each cell's FULL quadratic on one task (k cells => at most k fat
+    # tasks; the measured bench variance concentrated exactly there,
+    # and at 100 TB a fat cell serializes the stage). Splitting each
+    # cell into B id-hash blocks and joining on (cid, lo-block,
+    # hi-block) spreads the same pairs over k*B*(B+1)/2 buckets for a
+    # 2B-fold row replication — negligible next to the per-cell
+    # quadratic whenever rows-per-cell >> B. Every unordered pair
+    # {x, y} with blocks (px <= py) lands in exactly bucket (px, py):
+    # x explodes the lo-side buckets (px, j >= px), y the hi-side
+    # buckets (i <= py, py). Same-block buckets dedupe with a strict
+    # id inequality; cross-block buckets are disjoint by construction,
+    # and least/greatest restores the id_a < id_b output contract
+    # (dot on unit vectors is bit-symmetric: same products, same
+    # element-index fold order).
+    blocks = 4
+    sided = asg.join(base, "vec_id").withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(blocks))
+    )
     a = sided.select(
-        "cid", F.col("vec_id").alias("id_a"), F.col("nv").alias("va")
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("nv").alias("va"),
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(blocks - 1))).alias("bj"),
     )
     b = sided.select(
-        "cid", F.col("vec_id").alias("id_b"), F.col("nv").alias("vb")
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("nv").alias("vb"),
+        F.col("blk").alias("bb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
     )
     return (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "cid", dot(F.col("va"), F.col("vb")).alias("sim"))
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("ba") == F.col("bi"))
+            & (F.col("bj") == F.col("bb")),
+        )
+        .filter((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cid",
+            dot(F.col("va"), F.col("vb")).alias("sim"),
+        )
         .filter(F.col("sim") > 0.45)
         .select("id_a", "id_b", "cid", F.round("sim", 4).alias("sim"))
     )

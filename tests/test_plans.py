@@ -305,6 +305,12 @@ def test_semantic_dedup_pairs_only_within_cells(plans):
     # the pair join itself must be an equi-join on cid
     n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
     assert 1 <= n_bnlj <= 2, n_bnlj
+    # and the pair equi-join must carry the triangle block columns in
+    # its shuffle key (3-part key: cid + lo-block + hi-block), so one
+    # cell's quadratic can never re-collapse onto a single fat task
+    assert re.search(r"Left keys \[3\]: \[cid#\d+L, ba#\d+L, bj#\d+L\]", plan), plan[
+        :2000
+    ]
 
 
 def test_q8_single_fact_shuffle_all_dims_broadcast(plans):
