@@ -110,7 +110,13 @@ def main() -> None:
     from kittispark import get_spark, registry  # noqa: F401
     from kittispark import registry as reg
 
-    spark = get_spark("kittispark-bench")
+    # Progress-bar \r frames share the captured output stream with the
+    # final JSON line; suppress them so the driver's bounded tail is
+    # spent on the line that matters.
+    spark = get_spark(
+        "kittispark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     qs = reg.queries()
 
     # Warm the JVM + parquet footers, and spawn the Arrow Python
@@ -161,28 +167,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "iterations": iters,
-                # Methodology: r01 was a SINGLE cold run (plan compile
-                # charged to each query); r02+ report the median of
-                # `iterations` runs (steady state). Compare r01 numbers
-                # to later rounds only with that break in mind.
-                # r5+: each query additionally gets ONE untimed
-                # pre-run (fixture builds + plan compile excluded
-                # from all timed iterations).
-                "methodology": "median_of_iterations_steady_state_prewarmed",
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the LAST ~2000 chars of the combined
+    # stdout/stderr stream and parses the JSON line out of that tail
+    # (BENCH_r05 came back parsed:null when the line — 38 queries +
+    # the spread dict — outgrew the buffer). So: the stdout line is
+    # the minimal contract {metric,value,unit,queries,sf}; spread /
+    # iteration count / methodology go to BENCH_DETAIL.json in the
+    # repo instead. If the per-query dict itself ever nears the
+    # buffer, degrade precision before dropping information.
+    line_obj = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    line = json.dumps(line_obj)
+    if len(line) > 1800:
+        line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(line_obj)
+    detail = {
+        **line_obj,
+        "queries": timings,
+        "spread": spread,
+        "iterations": iters,
+        # Methodology: r01 was a SINGLE cold run (plan compile charged
+        # to each query); r02+ report the median of `iterations` runs
+        # (steady state). r5+: each query additionally gets ONE
+        # untimed pre-run (fixture builds + plan compile excluded from
+        # all timed iterations).
+        "methodology": "median_of_iterations_steady_state_prewarmed",
+    }
+    Path(REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
+    # Stop Spark BEFORE printing: executor/shutdown chatter shares the
+    # captured stream, and anything printed after the JSON line eats
+    # tail budget.
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

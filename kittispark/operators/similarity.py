@@ -334,6 +334,14 @@ def _assign_nearest(df: DataFrame, cents, vec_col: str, out_col: str, nprobe: in
     def nearest(v: pd.Series) -> pd.Series:
         if len(v) == 0:  # np.stack raises on an empty Arrow batch
             return pd.Series([], dtype=object)
+        if bc.value.shape[0] == 0:
+            # Index trained on an empty corpus (the (0,1) sentinel from
+            # ivf_train_centroids): there are no cells to probe, so
+            # every row gets an empty probe list — downstream explode/
+            # join stages then flow through empty instead of this GEMM
+            # raising a (n,64)@(1,0) shape ValueError (ADVICE r5).
+            empty = np.array([], dtype="int32")
+            return pd.Series([empty] * len(v))
         m = _unit_rows(np.stack(v.to_numpy()).astype("float64"))
         sims = m @ bc.value.T
         # stable argsort: descending sim, ascending centroid id on ties

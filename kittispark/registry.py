@@ -106,7 +106,11 @@ _REVERIFY: frozenset[str] = frozenset(
         # positive-weight contracts — SCALING.md "Round-5 adversarial
         # sweep"): banked verdicts predate the NULLIF/zero-norm
         # exclusion rewrite, so they need fresh adjudication.
-        "cosine_topk_bruteforce",
+        # (cosine_topk_bruteforce, tfidf_top_terms, simhash_candidates,
+        # quality_filter_composite, incremental_dedup_batch were the
+        # first 5 in registry order; re-adjudicated GREEN in
+        # CORRECTNESS_r05.json and removed at r6 start. The 25 below
+        # head the r6 window under the fresh-first policy.)
         "ann_lsh_topk",
         "ann_ivf_recall",
         "ann_ivf_indexed_match",
@@ -125,11 +129,6 @@ _REVERIFY: frozenset[str] = frozenset(
         "resample_ffill_grid",
         "scd2_user_value_history",
         "temporal_interval_lookup",
-        # class C (unicode/text contracts: ASCII-only case fold,
-        # NULL-text exclusion, engine-safe fuzzy-pairing domain):
-        "tfidf_top_terms",
-        "simhash_candidates",
-        "quality_filter_composite",
         # streaming session contracts (NULL event time -> no session;
         # the tracker was batch-order-FLAKY on NaT ticks before):
         "stream_session_counts",
@@ -145,7 +144,6 @@ _REVERIFY: frozenset[str] = frozenset(
         "group_cube",
         "grouping_sets_explicit",
         "approx_count_distinct",
-        "incremental_dedup_batch",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

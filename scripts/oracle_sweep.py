@@ -178,8 +178,18 @@ if __name__ == "__main__":
     fixtures = [
         a.split("=", 1)[1] for a in args if a.startswith("--fixture=")
     ]
-    if "--fixture" in args:
-        fixtures.append(args[args.index("--fixture") + 1])
+    # Every bare `--fixture KIND` pair, not just the first (ADVICE r5:
+    # args.index found only the first flag, silently dropping repeats;
+    # a trailing bare --fixture crashed with IndexError, not usage).
+    for i, a in enumerate(args):
+        if a == "--fixture":
+            if i + 1 >= len(args) or args[i + 1].startswith("--"):
+                raise SystemExit(
+                    "--fixture requires a KIND argument; usage: "
+                    "oracle_sweep.py [--kitti-scale] [--fixture KIND ...] "
+                    "[sf_dir ...]"
+                )
+            fixtures.append(args[i + 1])
     dirs = [
         a
         for i, a in enumerate(args)

@@ -244,3 +244,27 @@ def test_ivf_serving_path_never_uses_declarative_fold_assignment(
         src = inspect.getsource(fn)
         assert "ivf_topk_declarative" not in src
         assert "_lloyd_d2" not in src
+
+
+def test_assign_nearest_empty_index_nonempty_batch(emb, spark):
+    """ADVICE r5: an index trained on an EMPTY corpus yields the (0,1)
+    centroid sentinel; a NON-empty query batch against it must assign
+    an empty probe list per row (downstream explode -> zero candidates)
+    instead of raising a numpy matmul shape ValueError inside the
+    Arrow kernel."""
+    import numpy as np
+
+    from kittispark.operators import similarity as S
+
+    empty_cents = S.ivf_train_centroids(emb.filter(F.col("vec_id") < 0))
+    assert empty_cents.shape[0] == 0
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    assigned = S._assign_nearest(queries, empty_cents, "embedding", "__c",
+                                 nprobe=2)
+    rows = assigned.select("vec_id", "__c").collect()
+    assert len(rows) == 8
+    assert all(list(r["__c"]) == [] for r in rows)
+    # and the full explode path flows through empty, no crash
+    n = assigned.select(F.explode("__c")).count()
+    assert n == 0

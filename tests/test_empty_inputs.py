@@ -2,16 +2,20 @@
 but ZERO rows — the degenerate case every 100 TB pipeline hits
 (a filter that matches nothing, a new partition, a fresh index).
 
-The round-5 empty-fixture sweep found 12 fixable divergences (raw
-numpy axis errors in IVF training/append, an unguarded argmax
-collect in the BPE learner, UNABLE_TO_INFER_SCHEMA on freshly
-initialized partitioned datasets, ANSI div-by-zero in audit rates,
-and Spark omitting ROLLUP/CUBE grand-total rows that DuckDB emits).
-All are fixed and pinned here. The remaining empty-input failures
-are DOCUMENTED PRECONDITIONS that raise clear errors by contract:
-the 7 KITTI file queries (need >= 160 document rows to synthesize
-their binary fixtures) and stream_merge_upsert (needs >= 2
-micro-batches of source data).
+The round-5 empty-fixture sweep surfaced 20 failures: 8 are
+DOCUMENTED PRECONDITIONS that raise clear errors by contract (the
+7 KITTI file queries need >= 160 document rows to synthesize their
+binary fixtures; stream_merge_upsert needs >= 2 micro-batches of
+source data), and the rest were fixable divergences (raw numpy axis
+errors in IVF training/append, an unguarded argmax collect in the
+BPE learner, UNABLE_TO_INFER_SCHEMA on freshly initialized
+partitioned datasets, ANSI div-by-zero in audit rates, and Spark
+omitting ROLLUP/CUBE grand-total rows that DuckDB emits). All are
+fixed; EMPTY_PINNED below pins every query whose code or oracle the
+fix commit (6d8c26f) touched — including the three that shared a
+fixed helper rather than failing directly (distinct_agg,
+weighted_median_supplier_price, ann_ivf_indexed_match), per ADVICE
+r5's count-reconciliation ask.
 """
 
 from __future__ import annotations
@@ -36,6 +40,9 @@ EMPTY_PINNED = [
     "bpe_segment_corpus",
     "ann_ivf_recall",
     "ann_ivf_index_append",
+    "distinct_agg",
+    "weighted_median_supplier_price",
+    "ann_ivf_indexed_match",
 ]
 
 TABLES = (
