@@ -674,3 +674,210 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cv"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D skyline (Pareto front)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pareto_front_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS order_day
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    )
+    , bp AS (
+        SELECT price_cents, min(order_day) AS bd
+        FROM o GROUP BY price_cents
+    ),
+    runm AS (
+        SELECT price_cents, bd,
+               min(bd) OVER (ORDER BY price_cents DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ms
+        FROM bp
+    )
+    SELECT r.o_orderkey, r.price_cents, r.order_day
+    FROM o r JOIN runm b USING (price_cents)
+    WHERE r.order_day = b.bd AND (b.ms IS NULL OR b.ms > r.order_day)
+    ORDER BY r.price_cents DESC, r.order_day, r.o_orderkey
+    """,
+    doc="2-D skyline (Pareto front) of orders maximizing total price "
+    "and minimizing order date: a row survives iff no other order "
+    "is >= on price AND <= on date with at least one strict. "
+    "Distributed as the classic TWO-PHASE skyline: a local pass "
+    "prunes each hash partition with two windows (prefix-min of "
+    "date over strictly-higher prices via a RANGE frame; min date "
+    "within the exact price tie-group), then the same logic runs "
+    "once more over the union of local survivors — correct because "
+    "skyline is distributive (a locally dominated row is globally "
+    "dominated; transitivity keeps its dominator's dominator). The "
+    "final pass's window is unpartitioned but its input is only "
+    "the local skylines (O(partitions x per-partition front), "
+    "~log-sized on real distributions) — the full fact table never "
+    "sees a global sort. Duplicated (price, date) points dominate "
+    "each other strictly on neither axis, so all survive — ties "
+    "deterministic. Rows with NULL price or date are excluded by "
+    "contract — dominance is undefined under three-valued "
+    "comparison and the engines would fork on it. The ORACLE is "
+    "an independent derivation: collapse to one best (minimum) "
+    "day per distinct price, take the ROWS-frame running min of "
+    "those days down the price-descending order, and keep rows "
+    "matching their price's best day with every strictly-higher "
+    "price's best day later — grouped-reduction + rows-frame "
+    "mechanics, none of the Spark side's RANGE/tie-partition "
+    "windows (the naive NOT EXISTS dominance anti-join was "
+    "measured quadratic in DuckDB: 238 s at sf0.1). Exact cents "
+    "/ epoch-day integers.",
+    tags=("window", "analytics"),
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        # o_orderdate reads as TIMESTAMP_NTZ; cast through session-tz
+        # TIMESTAMP (UTC) before the epoch cast — NTZ has no direct
+        # long cast in Spark 4
+        F.floor(
+            F.col("o_orderdate").cast("timestamp").cast("long") / 86400
+        )
+        .cast("bigint")
+        .alias("order_day"),
+    )
+
+    def _skyline(df: DataFrame, *part_cols: str) -> DataFrame:
+        w_strict = (
+            W.partitionBy(*part_cols)
+            .orderBy(F.col("price_cents").desc())
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        tie_cols = [*part_cols, "price_cents"]
+        w_tie = W.partitionBy(*tie_cols)
+        m_strict = F.min("order_day").over(w_strict)
+        m_tie = F.min("order_day").over(w_tie)
+        return df.withColumn("_ms", m_strict).withColumn(
+            "_mt", m_tie
+        ).where(
+            (F.col("_ms").isNull() | (F.col("_ms") > F.col("order_day")))
+            & (F.col("_mt") == F.col("order_day"))
+        ).drop("_ms", "_mt")
+
+    local = _skyline(
+        o.withColumn("_pid", F.spark_partition_id()), "_pid"
+    ).drop("_pid")
+    front = _skyline(local)
+    return front.orderBy(
+        F.col("price_cents").desc(), "order_day", "o_orderkey"
+    ).select("o_orderkey", "price_cents", "order_day")
+
+
+# --------------------------------------------------------------------------
+# One-pass table profiler
+# --------------------------------------------------------------------------
+
+# (column, kind) of the orders table; kind drives which stats apply.
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_duck_select(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(min({col}) AS DOUBLE)"
+        mx = f"CAST(max({col}) AS DOUBLE)"
+        ln = "CAST(NULL AS BIGINT)"
+    elif kind == "ts":
+        mn = f"CAST(floor(epoch(min({col}))) AS DOUBLE)"
+        mx = f"CAST(floor(epoch(max({col}))) AS DOUBLE)"
+        ln = "CAST(NULL AS BIGINT)"
+    else:
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+        ln = f"CAST(max(length({col})) AS BIGINT)"
+    return f"""
+        SELECT '{col}' AS column_name,
+               CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {mn} AS min_num, {mx} AS max_num, {ln} AS max_len
+        FROM orders
+    """
+
+
+@register(
+    "table_profile_report",
+    oracle=" UNION ALL ".join(
+        _profile_duck_select(c, k) for c, k in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+    doc="One-pass data profiler over the orders table: per column, "
+    "null count, exact distinct count, numeric/timestamp min-max "
+    "(timestamps as epoch seconds; ids and money are < 2^53 so the "
+    "double carries them exactly), and max string length. All 6 "
+    "columns' aggregates run in ONE aggregation (Catalyst plans "
+    "the multi-distinct via expand, a single scan of the table), "
+    "then one literal-array inline pivots the single row to "
+    "per-column rows — profiling cost at 100 TB is one pass, not "
+    "one pass per column, which is the difference between a "
+    "nightly audit and an unrunnable one. The oracle is the naive "
+    "6-scan UNION ALL — independent formulation, same facts.",
+    tags=("analytics", "aggregate"),
+)
+def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        elif kind == "ts":
+            ep = F.col(c).cast("timestamp").cast("long")
+            aggs.append(F.min(ep).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(ep).cast("double").alias(f"{c}__mx"))
+        else:
+            aggs.append(F.max(F.length(c)).cast("bigint").alias(f"{c}__ml"))
+    row = o.agg(*aggs)
+
+    structs = []
+    for c, kind in _PROFILE_COLS:
+        mn = F.col(f"{c}__mn") if kind in ("num", "ts") else F.lit(None).cast(
+            "double"
+        )
+        mx = F.col(f"{c}__mx") if kind in ("num", "ts") else F.lit(None).cast(
+            "double"
+        )
+        ml = (
+            F.col(f"{c}__ml")
+            if kind == "str"
+            else F.lit(None).cast("bigint")
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("_n") - F.col(f"{c}__nn"))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                ml.alias("max_len"),
+            )
+        )
+    return (
+        row.select(F.inline(F.array(*structs)))
+        .orderBy("column_name")
+    )

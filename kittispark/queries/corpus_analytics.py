@@ -1,0 +1,302 @@
+"""Corpus-level lexical analytics: sentence segmentation profile,
+exact lexical-diversity indices, and collocation mining by lift.
+
+These are the profile-the-corpus operators that run before any
+training-data decision (which sources are boilerplate-heavy? how
+lexically diverse is each language slice? which word pairs are
+fused units?). All three keep the cross-engine discipline:
+
+- tokenization is the shared ASCII fold + ``[^a-z]+`` split used by
+  tfidf/token_count (full-Unicode case mapping forks JVM vs
+  utf8proc; ASCII translate does not);
+- NO logarithms cross the engine boundary: diversity uses the
+  Simpson index (pure rational arithmetic — exact integer
+  numerators/denominators, one final division) instead of Shannon
+  entropy, and collocation strength uses LIFT (c_xy*N / (c_x*c_y),
+  again one exact rational) instead of log-PMI — same orderings,
+  zero float-accumulation or libm-variance risk;
+- every cross-row sum is integer; floats appear once, at emission,
+  rounded.
+
+Reference parity: none (SURVEY.md §6 breadth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kittispark.queries._util import t
+from kittispark.registry import register
+
+# the shared ASCII-fold tokenizer (see tfidf_top_terms for why
+# translate-not-lower)
+_FOLD_SPARK = (
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+    "'abcdefghijklmnopqrstuvwxyz')"
+)
+_FOLD_DUCK = (
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+    "'abcdefghijklmnopqrstuvwxyz')"
+)
+
+
+@register(
+    "sentence_split_profile",
+    oracle="""
+    WITH segs AS (
+        SELECT lang, s.seg
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(text, '[.!?]+'))
+                      AS seg) s
+        WHERE text IS NOT NULL
+    ),
+    sent AS (
+        SELECT lang, length(seg) AS n_chars
+        FROM segs WHERE regexp_matches(seg, '[a-zA-Z0-9]')
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)
+               AS avg_sentence_chars
+    FROM sent
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Sentence segmentation profile per language: split on "
+    "[.!?]+ runs, keep segments containing at least one "
+    "alphanumeric (pure-punctuation/whitespace fragments are not "
+    "sentences), count and measure them. Segment lengths include "
+    "their incidental whitespace — a documented, engine-identical "
+    "convention (trimming semantics differ subtly across engines; "
+    "the raw length does not). The split and the keep-filter are "
+    "the same RE2/Java-compatible character classes on both "
+    "engines. Plan: one map-side explode + one hash agg keyed on "
+    "lang — the explode multiplies rows but never shuffles "
+    "un-aggregated sentences (partial aggregation combines "
+    "map-side). NULL text excluded by contract.",
+    tags=("text", "corpus"),
+)
+def sentence_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    segs = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("seg")
+    )
+    sent = segs.where(F.col("seg").rlike("[a-zA-Z0-9]")).select(
+        "lang", F.length("seg").alias("n_chars")
+    )
+    return (
+        sent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sentences"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_sentences",
+            "total_chars",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_sentences"),
+                4,
+            ).alias("avg_sentence_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "token_diversity_index",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT source, t.term
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(
+                          {_FOLD_DUCK}, '[^a-z]+')) AS term) t
+        WHERE text IS NOT NULL AND t.term <> ''
+    ),
+    tc AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM tokens GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS type_token_ratio,
+           round(1.0 - CAST(sum(c * c) AS DOUBLE)
+                       / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)),
+                 6) AS simpson_index
+    FROM tc
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Lexical diversity per source: token count, vocabulary size, "
+    "type-token ratio, and the SIMPSON diversity index "
+    "1 - sum(c_i^2)/N^2 — chosen over Shannon entropy precisely "
+    "because it is pure rational arithmetic: the numerator and "
+    "denominator are exact integer sums (DuckDB HUGEINT / Spark "
+    "the same sums under 2^63 here because c_i^2 sums are bounded "
+    "by N^2), so no per-term logarithm — whose libm rounding can "
+    "differ across engines — ever crosses the comparison boundary. "
+    "Same diversity ORDERING as entropy for the screening decision "
+    "this feeds (flag low-diversity = template/boilerplate-heavy "
+    "sources). Plan: tokenize once, two stacked hash aggs "
+    "((source,term) then source) — both map-side combined.",
+    tags=("text", "corpus", "aggregate"),
+)
+def token_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tokens = docs.select(
+        "source",
+        F.explode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tc = tokens.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("type_token_ratio"),
+            F.round(
+                1.0
+                - F.col("ssq").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("simpson_index"),
+        )
+        .orderBy("source")
+    )
+
+
+_COLL_MIN_COUNT = 5
+_COLL_TOP = 25
+
+
+@register(
+    "bigram_collocation_lift",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex({_FOLD_DUCK}, '[^a-z]+')) AS term,
+               unnest(generate_series(1, len(string_split_regex(
+                   {_FOLD_DUCK}, '[^a-z]+')))) AS p0
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    toks AS (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY p0) AS pos
+        FROM raw WHERE term <> ''
+    ),
+    uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks),
+    bi AS (
+        SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT w1, w2, cb,
+               round(CAST(cb AS DOUBLE) * CAST(n.nt AS DOUBLE)
+                     / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6)
+                   AS lift
+        FROM bi
+        JOIN uni u1 ON u1.term = bi.w1
+        JOIN uni u2 ON u2.term = bi.w2
+        CROSS JOIN n
+        WHERE cb >= {_COLL_MIN_COUNT}
+    )
+    SELECT w1, w2, cb, lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_COLL_TOP}
+    """,
+    doc="Collocation mining by LIFT: adjacent-token bigrams with "
+    f"count >= {_COLL_MIN_COUNT}, scored by cb*N/(c1*c2) — the "
+    "PMI exponent — and the top "
+    f"{_COLL_TOP} returned (lift desc, lexicographic tiebreak). "
+    "Lift preserves PMI's ranking exactly (PMI = log2(lift), log "
+    "is monotone) while keeping the score ONE exact rational: "
+    "integer counts, one double division, no logarithm whose "
+    "last-ulp could fork the engines. Token positions come from "
+    "the split-array ordinality, so adjacency is a doc-partitioned "
+    "self-join on pos+1 — at 100 TB this is posexplode + one "
+    "(doc,pos)-keyed shuffle, never a corpus-wide window; unigram "
+    "totals join back on the term key and N rides a 1-row "
+    "broadcast. The same skeleton serves phrase detection for "
+    "tokenizer vocab prep (word2vec-style phrase merging).",
+    tags=("text", "corpus", "join"),
+)
+def bigram_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    raw = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias(
+            "p0", "term"
+        ),
+    ).where(F.col("term") != "")
+    # dense position among the KEPT tokens (the raw split emits ''
+    # placeholders at boundaries; ranks must count only real tokens)
+    toks = raw.select(
+        "doc_id",
+        "term",
+        F.row_number()
+        .over(W.partitionBy("doc_id").orderBy("p0"))
+        .alias("pos"),
+    )
+    uni = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = toks.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(
+            F.col("a.term").alias("w1"), F.col("b.term").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .where(F.col("cb") >= _COLL_MIN_COUNT)
+    )
+    scored = (
+        bi.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.round(
+                F.col("cb").cast("double")
+                * F.col("nt").cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "w1", "w2"
+    ).limit(_COLL_TOP).select("w1", "w2", "cb", "lift")

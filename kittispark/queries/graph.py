@@ -1,0 +1,317 @@
+"""Graph analytics over the part co-occurrence graph.
+
+Nodes are parts; an undirected edge (u, v) exists when parts u and v
+appear in the same order (weight = number of co-occurring orders).
+This is the classic market-basket graph, built with ONE self-join
+per order — the fan-out per order is bounded by the order's line
+count (<= 7 in TPC-H, <= 17 in this generator), so the pair
+enumeration is per-key-quadratic with a tiny constant, never a
+global cross join.
+
+Three operators, each a standard large-graph primitive:
+
+- ``graph_degree_histogram`` — the degree distribution (the first
+  thing anyone profiles on a 100 TB graph);
+- ``triangle_count_parts`` — exact triangle counting with DEGREE
+  ORIENTATION (each undirected edge directed from its lower-(deg,id)
+  endpoint to its higher one; wedges are enumerated only from each
+  vertex's higher-ordered out-neighbors). This is the standard
+  distributed algorithm (Cohen's MapReduce triangle counting /
+  Schank-Wagner): out-degree after orientation is O(sqrt(m)), so the
+  wedge join's fan-out is bounded even when raw degrees are
+  power-law skewed. The ORACLE deliberately uses the naive
+  u<v<w triple-join formulation — an independent derivation the
+  oriented plan must agree with.
+- ``graph_label_propagation`` — two synchronous rounds of min-label
+  propagation (the bounded-round core of connected components /
+  community detection; each round is one shuffle on the node key,
+  exactly the Pregel superstep shape).
+
+Reference parity: none — the reference (NumPy KITTI scripts) has no
+graph surface; this is SURVEY.md §6 large-pipeline breadth.
+
+Cross-engine discipline: everything here is pure integer arithmetic
+(ids, counts, degrees, labels) — no float anywhere, so the oracle
+comparison is exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kittispark.queries._util import t
+from kittispark.registry import register
+
+# Shared SQL: the deduplicated undirected edge list (u < v) with
+# co-occurrence weight, from the distinct (order, part) incidence.
+_EDGES_SQL = """
+    lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ed AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lp a
+        JOIN lp b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted edge list (u < v). One shuffle on
+    l_orderkey for the per-order pair enumeration, one on (u, v) for
+    the weight agg — at 100 TB both are plain hash shuffles with
+    per-order-bounded fan-out, no broadcast, no skew hotspots (order
+    sizes are uniformly small by construction of the data model)."""
+    lp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree (count of incident distinct edges)."""
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (
+            SELECT u AS node FROM ed
+            UNION ALL
+            SELECT v AS node FROM ed
+        )
+        GROUP BY node
+    )
+    SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY deg
+    ORDER BY degree
+    """,
+    doc="Degree distribution of the part co-occurrence graph: for "
+    "each degree value, how many nodes carry it. Two hash "
+    "aggregations after the edge build — the canonical first-look "
+    "profile of a large graph (skew in this histogram is what "
+    "decides whether triangle counting needs orientation and "
+    "whether joins need salting). Pure integer counts, exact in "
+    "both engines.",
+    tags=("graph", "aggregate"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg = _degrees(_edges(spark, sf_dir))
+    return (
+        deg.groupBy(F.col("deg").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@register(
+    "triangle_count_parts",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    tri AS (
+        SELECT count(*) AS n
+        FROM ed e1
+        JOIN ed e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM ed) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM (
+               SELECT u FROM ed UNION SELECT v FROM ed)) AS BIGINT)
+               AS n_nodes
+    FROM tri
+    """,
+    doc="Exact triangle count via degree orientation: each "
+    "undirected edge is directed from its lower-(deg, id) endpoint "
+    "to the higher one, wedges are enumerated between each source's "
+    "out-neighbors (ordered pairs only), and a wedge closes iff the "
+    "oriented edge between its two endpoints exists. Orientation "
+    "bounds every vertex's out-degree by O(sqrt(edges)) regardless "
+    "of raw-degree skew — the property that makes the wedge join "
+    "survive power-law graphs at 100 TB, where enumerating wedges "
+    "from a raw hub vertex would be quadratic in its degree. The "
+    "oracle counts the SAME triangles with the naive u<v<w "
+    "triple-join — an independent formulation, so agreement checks "
+    "the orientation logic itself. Emits (triangles, edges, nodes) "
+    "as one audit row; all-integer, engine-exact.",
+    tags=("graph", "join"),
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The edge list feeds FIVE consumers (degrees, both orientation
+    # sides, the closing-edge probe, the audit counts): materialize it
+    # once (localCheckpoint — same lineage-truncation idiom as the
+    # BPE learner / PageRank rounds) instead of replaying the
+    # distinct + per-order self-join + weight agg per consumer. At
+    # cluster scale this is "persist the frontier" — the standard
+    # multi-pass graph-analytics move.
+    edges = (
+        _edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=True)
+    )
+    deg = _degrees(edges)
+
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    # orient: src -> dst along increasing (deg, id)
+    src_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented feeds three consumers (two wedge sides + the closing
+    # probe) — materialize it too, or the deg joins replay 3x
+    oriented = with_deg.select(
+        F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(src_is_u, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).localCheckpoint(eager=True)
+
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges (s; x, y) with x before y in (deg, id) order — each
+    # unordered out-neighbor pair exactly once
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddeg") < F.col("o2.ddeg"))
+            | (
+                (F.col("o1.ddeg") == F.col("o2.ddeg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y")
+    )
+    # close: the x -> y oriented edge (orientation follows the same
+    # (deg, id) order, so a closing edge is always oriented x -> y)
+    closing = oriented.select(
+        F.col("src").alias("x"), F.col("dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_nodes = _degrees(edges).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    # three scalar audit values -> one row (1-row crossJoins, same
+    # pattern as the other audit queries)
+    return tri.crossJoin(n_edges).crossJoin(n_nodes)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+        SELECT u AS x, v AS y FROM ed
+        UNION ALL
+        SELECT v AS x, u AS y FROM ed
+    ),
+    l0 AS (SELECT DISTINCT x AS node, x AS lbl FROM sym),
+    l1 AS (
+        SELECT s.x AS node,
+               least(min(p.lbl), min(s.x)) AS lbl
+        FROM sym s JOIN l0 p ON p.node = s.y
+        GROUP BY s.x
+    ),
+    l2 AS (
+        SELECT s.x AS node,
+               least(min(p.lbl), min(own.lbl)) AS lbl
+        FROM sym s
+        JOIN l1 p   ON p.node = s.y
+        JOIN l1 own ON own.node = s.x
+        GROUP BY s.x
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS size
+    FROM l2
+    GROUP BY lbl
+    ORDER BY size DESC, community
+    LIMIT 20
+    """,
+    doc="Two synchronous rounds of min-label propagation over the "
+    "co-occurrence graph (labels start as node ids; each round every "
+    "node takes the minimum of its own and its neighbors' labels). "
+    "This is the bounded-round core of distributed connected "
+    "components and community detection: one shuffle per round, "
+    "keyed on the node id — the Pregel superstep shape — with NO "
+    "driver-side iteration state (contrast dedup_cluster_assign, "
+    "which iterates to convergence with a scalar witness collect "
+    "per round; here the round count is part of the operator's "
+    "contract, so the whole plan is a fixed DAG Catalyst can see "
+    "end-to-end). Emits the 20 largest round-2 communities, "
+    "size-desc / label-asc — ties deterministic. All-integer.",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).select("u", "v")
+    # sym is consumed once per round plus the label init — materialize
+    # it so the edge build runs once, not 3x
+    sym = (
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(
+            edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    labels = sym.select(F.col("x").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("y"), F.col("lbl").alias("ylbl")
+                ),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ylbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nb, labels.node == nb.x, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

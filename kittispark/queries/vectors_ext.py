@@ -296,3 +296,123 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("white_norm2")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall
+# --------------------------------------------------------------------------
+
+_TRUNC_DIM = 16
+_TRUNC_K = 10
+
+
+@register(
+    "dim_truncation_recall",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+    ),
+    full_rk AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                            / NULLIF(sqrt(list_dot_product(qv, qv))
+                                     * sqrt(list_dot_product(cv, cv)), 0)
+                            DESC, neighbor_id) AS rk
+        FROM q JOIN c ON query_id <> neighbor_id
+        WHERE list_dot_product(qv, cv)
+              / NULLIF(sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(cv, cv)), 0) IS NOT NULL
+    ),
+    tr AS (
+        SELECT query_id, qv[1:{_TRUNC_DIM}] AS qt FROM q
+    ),
+    tc AS (
+        SELECT neighbor_id, cv[1:{_TRUNC_DIM}] AS ct FROM c
+    ),
+    trunc_rk AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qt, ct)
+                            / NULLIF(sqrt(list_dot_product(qt, qt))
+                                     * sqrt(list_dot_product(ct, ct)), 0)
+                            DESC, neighbor_id) AS rk
+        FROM tr JOIN tc ON query_id <> neighbor_id
+        WHERE list_dot_product(qt, ct)
+              / NULLIF(sqrt(list_dot_product(qt, qt))
+                       * sqrt(list_dot_product(ct, ct)), 0) IS NOT NULL
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / {_TRUNC_K}, 4)
+               AS recall
+    FROM (SELECT * FROM full_rk WHERE rk <= {_TRUNC_K}) f
+    LEFT JOIN (SELECT * FROM trunc_rk WHERE rk <= {_TRUNC_K}) t
+           ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+    """,
+    doc=f"Matryoshka-style truncation audit: for 20 query vectors, "
+    f"the exact cosine top-{_TRUNC_K} using only the FIRST "
+    f"{_TRUNC_DIM} of {_DIM} dimensions is scored against the "
+    f"full-dimension top-{_TRUNC_K}; recall@{_TRUNC_K} per query. "
+    "This is the measurement behind prefix-truncated embedding "
+    "serving (Kusupati et al. 2022, 'Matryoshka Representation "
+    "Learning'): if recall holds, the ANN index can run at a "
+    "quarter of the dimension and re-rank with full vectors — the "
+    "same cheap-assign / exact-refine split the IVF and PQ paths "
+    "use. Both rankings ride the canonical rank_topk tiebreak "
+    "(desc sim, asc id) and the r5 zero-norm NULL contract; the "
+    "truncated side EXCLUDES vectors whose 16-dim prefix is "
+    "zero-norm, exactly like the full scorer excludes zero "
+    "vectors. Plan: two broadcast-queries scans of the corpus + "
+    "one hash join on (query, neighbor) — no global window, "
+    "corpus never collected.",
+    tags=("similarity", "vectors"),
+)
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import as_double, cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    full = cosine_topk(emb, queries, k=_TRUNC_K)
+
+    sliced = emb.select(
+        "vec_id",
+        F.slice(as_double("embedding"), 1, _TRUNC_DIM).alias("embedding"),
+    )
+    q_sliced = sliced.filter(F.col("vec_id") < 20)
+    trunc = cosine_topk(sliced, q_sliced, k=_TRUNC_K)
+
+    hits = full.select("query_id", "neighbor_id").join(
+        trunc.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        full.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_full"))
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias(
+                "n_hit"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / _TRUNC_K,
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -39,6 +39,9 @@ _QUERY_MODULES = (
     "kittispark.queries.vectors_ext",
     "kittispark.queries.corpus_ext",
     "kittispark.queries.sampling_stats",
+    "kittispark.queries.graph",
+    "kittispark.queries.stats_ml",
+    "kittispark.queries.corpus_analytics",
     "kittispark.queries.kitti_files",
     "kittispark.queries.llm_pipeline",
     "kittispark.queries.corpus_lm",

@@ -38,13 +38,23 @@ from kittispark.session import get_spark
 from tests.oracle_harness import compare
 
 
-def sweep(sf_dirs: list[str], kitti_scale: bool = False) -> int:
+def sweep(
+    sf_dirs: list[str],
+    kitti_scale: bool = False,
+    only: set[str] | None = None,
+) -> int:
     spark = get_spark(app_name="oracle-sweep")
     specs = registry.all_specs()
+    if only:
+        missing = only - set(specs)
+        if missing:
+            raise SystemExit(f"--only names not registered: {sorted(missing)}")
     fails: list[tuple[str, str, str]] = []
     for sf in sf_dirs:
         for name, s in specs.items():
             if not s.oracle:
+                continue
+            if only and name not in only:
                 continue
             t0 = time.perf_counter()
             try:
@@ -168,12 +178,19 @@ if __name__ == "__main__":
         if a.startswith("--")
         and a not in known
         and not a.startswith("--fixture=")
+        and not a.startswith("--only=")
     ]
     if unknown:
         raise SystemExit(
             f"unknown flag(s) {unknown}; usage: oracle_sweep.py "
-            "[--kitti-scale] [--fixture KIND ...] [sf_dir ...]"
+            "[--kitti-scale] [--fixture KIND ...] "
+            "[--only=name1,name2] [sf_dir ...]"
         )
+    only: set[str] = set()
+    for a in args:
+        if a.startswith("--only="):
+            only |= {n for n in a.split("=", 1)[1].split(",") if n}
+    args = [a for a in args if not a.startswith("--only=")]
     ks = "--kitti-scale" in args
     fixtures = [
         a.split("=", 1)[1] for a in args if a.startswith("--fixture=")
@@ -199,4 +216,4 @@ if __name__ == "__main__":
     dirs += [materialize_fixture(k) for k in fixtures]
     if not dirs:
         dirs = ["/root/testdata/sf0.1"]
-    raise SystemExit(sweep(dirs, kitti_scale=ks))
+    raise SystemExit(sweep(dirs, kitti_scale=ks, only=only or None))

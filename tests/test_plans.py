@@ -669,3 +669,78 @@ def test_whitening_moments_broadcast_back(plans):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert shuffle_exchanges(plan) <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_no_cartesian(plans):
+    """Degree-oriented triangle counting: the wedge join has the src
+    equi-key and the closing join the (x, y) equi-key — no cartesian
+    anywhere; the only nested-loop joins are the two 1-row audit
+    crossJoins at the very top."""
+    plan = plans("triangle_count_parts")
+    assert "CartesianProduct" not in plan
+    assert (
+        len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
+        <= 2
+    ), plan
+
+
+def test_pareto_front_two_phase_local_then_global(plans):
+    """The skyline must run its first pruning pass partitioned by
+    spark_partition_id — the full orders table never enters an
+    unpartitioned window; only the local survivors do."""
+    plan = plans("pareto_front_orders")
+    assert "_pid" in plan, plan
+    # the raw scan feeds a _pid-partitioned window before any
+    # SinglePartition exchange appears
+    first_single = plan.find("SinglePartition")
+    first_pid_window = plan.find("_pid")
+    assert first_pid_window != -1
+    if first_single != -1:
+        assert first_pid_window < first_single, plan
+
+
+def test_ewma_windows_partitioned_by_user(plans):
+    """Recency ranking and the weighted agg key on user_id; no
+    single-partition exchange anywhere in the plan."""
+    plan = plans("ewma_user_value")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_interval_sweep_windows_partitioned_by_user(plans):
+    plan = plans("interval_sweep_coverage")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_table_profile_single_scan_via_expand(plans):
+    """The 6-column profile must cost ONE scan of orders (multi-
+    distinct goes through Expand), not one scan per column."""
+    plan = plans("table_profile_report")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
+    assert re.search(r"^\(\d+\) Expand", plan, re.MULTILINE), plan
+
+
+def test_collocation_positions_doc_partitioned(plans):
+    """Token positions come from a doc-partitioned row_number — no
+    corpus-global window, no single-partition exchange below the
+    final top-k sort."""
+    plan = plans("bigram_collocation_lift")
+    # TakeOrderedAndProject handles the final LIMIT 25; everything
+    # below must stay partitioned. The ONE allowed SinglePartition
+    # exchange is the 1-row corpus-token-count scalar aggregate that
+    # broadcasts N — a single row, not data.
+    assert re.search(r"^\(\d+\) TakeOrderedAndProject", plan, re.MULTILINE), plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_graph_label_propagation_fixed_dag_no_collect(plans):
+    """Two propagation rounds are a fixed DAG: join+agg per round,
+    no cartesian, no nested-loop joins."""
+    plan = plans("graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
