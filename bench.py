@@ -89,6 +89,18 @@ HEADLINE = [
     "hamming_ann_topk",
     "paragraph_global_dedup",
     "cdc_chunk_stats",
+    # round-6: the heaviest of the new wave — exact triangle counting
+    # (the 41M-wedge join is the intrinsic algorithmic cost on this
+    # dense co-occurrence graph; the naive formulation DuckDB runs as
+    # the oracle takes ~100 s on the same data), bounded-round label
+    # propagation, collocation mining (posexplode + doc-keyed
+    # adjacency self-join), the two-phase skyline, and the truncated-
+    # dim recall audit (two corpus-scan cosine top-ks + a hash join):
+    "triangle_count_parts",
+    "graph_label_propagation",
+    "bigram_collocation_lift",
+    "pareto_front_orders",
+    "dim_truncation_recall",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

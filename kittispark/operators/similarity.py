@@ -1021,3 +1021,94 @@ def ivf_append_index(
     )
     assigned = _assigned_corpus(batch, cents, vec_col, id_col)
     assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/corpus")
+
+
+def ivfadc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    train_iters: int = 1,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed IVFADC system (Jegou et al. 2011 §IV): IVF cell
+    pruning FIRST, then PQ asymmetric-distance scoring over only the
+    probed cells' codes — the layout+compression pair that serves
+    billion-vector corpora (prune to nprobe/C of the corpus, then
+    read m bytes per surviving vector).
+
+    Declarative end to end, assembled from the two adjudicated
+    halves: the lowest-id-seeded Lloyd training + squared-L2 Voronoi
+    assignment of ivf_topk_declarative, and the sampled codebooks +
+    integer-nano distance tables of pq_adc_topk. Every float folds
+    in dimension order and every cross-candidate sum rides int64
+    nanounits, so the full composition — training, assignment,
+    probing, encoding, table build, pruned scan, ranking — is
+    bit-reproducible by the SQL twin.
+
+    Scale shape: candidate generation is a cid equi-join (the
+    directory-pruned scan under a persisted ivf_write_index layout),
+    the distance table is Q*m*n_codes rows broadcast, and the
+    per-candidate sum is a partial/final agg on (query, vec) — no
+    stage touches the un-probed (C - nprobe)/C of the corpus."""
+    from pyspark.sql import Window as W
+
+    v = as_double(vec_col)
+    base = vectors.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    seed = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), v.alias("cv"))
+    )
+    cents, _ = _lloyd_rounds(base, seed, train_iters)
+    asg = _assign_min_d2(base, cents)  # vec_id -> cid
+
+    cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
+    codes = pq_encode(vectors, cb, vec_col, id_col, m)
+    codes_cid = codes.join(asg, "vec_id")
+
+    qbase = queries.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    wp = W.partitionBy("vec_id").orderBy("d2", "cid")
+    probed = (
+        qbase.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", _lloyd_d2().alias("d2"))
+        .select("vec_id", "cid", F.row_number().over(wp).alias("__pr"))
+        .filter(F.col("__pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+
+    qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
+    dtab = qsub.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "s",
+        "code",
+        F.round(fold_d2(F.col("sv"), F.col("cv")) * 1e9, 0)
+        .cast("long")
+        .alias("pd2n"),
+    )
+
+    # prune, then look up: codes of probed cells only, each candidate
+    # row resolved through the broadcast (query, s, code) table
+    cand = codes_cid.join(F.broadcast(probed), "cid")
+    scored = (
+        cand.join(
+            F.broadcast(dtab), ["query_id", "s", "code"]
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2n").alias("adc_nanos"))
+    )
+    wr = W.partitionBy("query_id").orderBy("adc_nanos", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_nanos",
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )

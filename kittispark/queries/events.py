@@ -1124,3 +1124,161 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("__tot"), 6
         ).alias("p_transition"),
     )
+
+
+# --------------------------------------------------------------------------
+# round 6: expanding distinct + tolerance-bounded nearest-event join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        FROM fd GROUP BY first_day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily_new
+    ORDER BY day
+    """,
+    doc="Expanding distinct-user count per day — the DAU-to-"
+    "cumulative-users curve. COUNT(DISTINCT) over an expanding "
+    "window is quadratic if done literally; the first-touch "
+    "reduction makes it linear: a user contributes to the "
+    "cumulative count exactly from their FIRST active day, so "
+    "min-day per user + daily new-user counts + one running sum "
+    "over the (tiny, one-row-per-day) daily series is the whole "
+    "query. The only unpartitioned window runs over days, not "
+    "events — bounded by the calendar, not the data. NULL "
+    "timestamps excluded by contract (no day to attribute).",
+    tags=("timeseries", "window", "aggregate"),
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    fd = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = fd.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+_NEAREST_TOL_S = 300
+
+
+@register(
+    "nearest_event_tolerance_join",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    ),
+    p AS (
+        SELECT event_id AS p_event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS p_ts_s
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    cand AS (
+        SELECT c.event_id, c.user_id, c.ts_s, p.p_event_id,
+               abs(p.p_ts_s - c.ts_s) AS adt,
+               p.p_ts_s - c.ts_s AS dt
+        FROM c JOIN p ON c.user_id = p.user_id
+        WHERE abs(p.p_ts_s - c.ts_s) <= {_NEAREST_TOL_S}
+    )
+    SELECT event_id, user_id, p_event_id, CAST(dt AS BIGINT) AS dt_s
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_id
+              ORDER BY adt, dt, p_event_id) AS rk
+          FROM cand)
+    WHERE rk = 1
+    ORDER BY event_id
+    """,
+    doc="Nearest-event join with a hard tolerance: each click is "
+    f"matched to the user's temporally closest purchase within "
+    f"±{_NEAREST_TOL_S}s (ties: prefer the earlier-signed delta, "
+    "then the lower event id). Unlike the as-of join (latest "
+    "at-or-before), this is the symmetric-nearest variant used for "
+    "sensor alignment and conversion attribution. The Spark side "
+    "is a BANDED BUCKET JOIN — both sides keyed by (user, "
+    f"floor(ts/{_NEAREST_TOL_S})), clicks replicated to the two "
+    "adjacent buckets so every within-tolerance pair co-locates in "
+    "exactly one probed bucket triplet — a bounded equi-join, "
+    "never the unbounded `|dt| <= tol` theta join that explodes "
+    "pairwise per user (same bucketing algebra as the MinHash band "
+    "join and the LSH tables). The oracle IS that theta join, so "
+    "agreement proves the replication covers exactly the "
+    "tolerance window. Unmatched clicks drop (inner semantics); "
+    "NULL timestamps excluded by contract.",
+    tags=("join", "timeseries", "asof"),
+)
+def nearest_event_tolerance_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("p_ts_s"),
+    )
+    tol = _NEAREST_TOL_S
+    # replicate each CLICK into its own bucket and both neighbors;
+    # purchases stay single-bucket, so each candidate pair meets in
+    # exactly one (user, bucket) cell
+    c_rep = clicks.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.explode(
+            F.array(
+                (F.floor(F.col("ts_s") / tol) - 1).cast("bigint"),
+                F.floor(F.col("ts_s") / tol).cast("bigint"),
+                (F.floor(F.col("ts_s") / tol) + 1).cast("bigint"),
+            )
+        ).alias("bkt"),
+    )
+    p_b = purchases.withColumn(
+        "bkt", F.floor(F.col("p_ts_s") / tol).cast("bigint")
+    )
+    cand = (
+        c_rep.join(p_b, ["user_id", "bkt"])
+        .where(F.abs(F.col("p_ts_s") - F.col("ts_s")) <= tol)
+        .select(
+            "event_id",
+            "user_id",
+            "p_event_id",
+            (F.col("p_ts_s") - F.col("ts_s")).alias("dt"),
+            F.abs(F.col("p_ts_s") - F.col("ts_s")).alias("adt"),
+        )
+    )
+    w = W.partitionBy("event_id").orderBy("adt", "dt", "p_event_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "p_event_id",
+            F.col("dt").cast("bigint").alias("dt_s"),
+        )
+        .orderBy("event_id")
+    )

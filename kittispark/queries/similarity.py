@@ -1014,3 +1014,132 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("append_matches_full"),
         )
     )
+
+
+_IVFADC_ORACLE = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seed AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+    SELECT e.vec_id, s.cid,
+           list_sum(list_transform(
+               generate_series(1, len(e.v)),
+               i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])
+           )) AS d2
+    FROM e, seed s
+),
+b1 AS (
+    SELECT vec_id, cid FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+cent1d AS (
+    SELECT b.cid, i.i AS dim, avg(e.v[i.i]) AS val
+    FROM b1 b JOIN e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) i
+    GROUP BY b.cid, i.i
+),
+cent1 AS (
+    SELECT cid, list(val ORDER BY dim) AS cv FROM cent1d GROUP BY cid
+),
+d2c AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(
+               generate_series(1, len(e.v)),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+           )) AS d2
+    FROM e, cent1 c
+),
+asg AS (
+    SELECT vec_id, cid FROM d2c
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+probe AS (
+    SELECT vec_id AS query_id, cid FROM d2c WHERE vec_id < 5
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= 2
+),
+sub AS (
+    SELECT vec_id, s,
+           list_slice(v, s * (len(v) // 4) + 1, (s + 1) * (len(v) // 4)) AS sv
+    FROM e, unnest(generate_series(0, 3)) AS u(s)
+),
+cb AS (
+    SELECT s, code, sv AS cv FROM (
+        SELECT s, sv, dense_rank() OVER (ORDER BY vec_id) - 1 AS code
+        FROM sub
+    ) WHERE code < 16
+),
+enc AS (
+    SELECT vec_id, s, code FROM (
+        SELECT sub.vec_id, sub.s, cb.code,
+               list_sum(list_transform(
+                   generate_series(1, len(sub.sv)),
+                   i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i])
+               )) AS d2
+        FROM sub JOIN cb USING (s)
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1
+),
+dtab AS (
+    SELECT q.vec_id AS query_id, q.s, cb.code,
+           CAST(round(list_sum(list_transform(
+               generate_series(1, len(q.sv)),
+               i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])
+           )) * 1e9) AS BIGINT) AS pd2n
+    FROM sub q JOIN cb USING (s)
+    WHERE q.vec_id < 5
+),
+scored AS (
+    SELECT p.query_id, enc.vec_id AS neighbor_id,
+           sum(d.pd2n) AS adc_nanos
+    FROM enc
+    JOIN asg a ON a.vec_id = enc.vec_id
+    JOIN probe p ON p.cid = a.cid
+    JOIN dtab d ON d.query_id = p.query_id
+              AND d.s = enc.s AND d.code = enc.code
+    WHERE enc.vec_id <> p.query_id
+    GROUP BY p.query_id, enc.vec_id
+)
+SELECT query_id, neighbor_id, CAST(adc_nanos AS BIGINT) AS adc_nanos,
+       CAST(rk AS INT) AS rk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_nanos, neighbor_id) AS rk
+    FROM scored
+)
+WHERE rk <= 5
+"""
+
+
+@register(
+    "ivfadc_topk",
+    oracle=_IVFADC_ORACLE,
+    doc="The composed IVFADC system (Jegou et al. 2011 §IV) — IVF "
+    "cell pruning FIRST, then PQ asymmetric-distance scoring over "
+    "only the probed cells' codes. This is the layout+compression "
+    "pair that serves billion-vector corpora: prune to nprobe/C of "
+    "the corpus via the Voronoi partition, then read m bytes per "
+    "surviving vector instead of 4*dim. Assembled from the two "
+    "already-adjudicated halves (ann_ivf_topk's declarative "
+    "lowest-id-seeded Lloyd + squared-L2 assignment; pq_adc_topk's "
+    "sampled codebooks + integer-nano broadcast distance tables), "
+    "so the ENTIRE composition — training, assignment, probing, "
+    "encoding, table build, pruned scan, ranking — is replayed "
+    "bit-for-bit by the SQL twin. Scale: candidates come from a "
+    "cid equi-join (the directory-pruned scan under the persisted "
+    "ivf_write_index layout); the un-probed (C - nprobe)/C of the "
+    "corpus is never touched by the scoring stage.",
+    tags=("similarity", "ann", "llm-pipeline"),
+)
+def ivfadc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import ivfadc_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfadc_topk(
+        emb, queries, k=5, n_centroids=8, train_iters=1, nprobe=2,
+        m=4, n_codes=16,
+    )

@@ -744,3 +744,24 @@ def test_graph_label_propagation_fixed_dag_no_collect(plans):
     plan = plans("graph_label_propagation")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfadc_prunes_then_looks_up(plans):
+    """IVFADC: candidate generation is a cid equi-join against the
+    probed cells, the distance table and probe set ride broadcasts,
+    and the only nested-loop join is the bounded queries x centroids
+    probe cross join."""
+    plan = plans("ivfadc_topk")
+    assert "CartesianProduct" not in plan
+    # exactly the four bounded k-row centroid cross joins (training
+    # assignment, final assignment, query probe — the _lloyd_rounds /
+    # ann_ivf_topk pattern) may be nested-loop; every data-sized join
+    # (codebook, codes, probe cells, distance table) must be a hash
+    # join on its equi-key
+    assert (
+        len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
+        <= 4
+    ), plan
+    assert (
+        len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 4
+    ), plan
