@@ -300,3 +300,119 @@ def bigram_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), "w1", "w2"
     ).limit(_COLL_TOP).select("w1", "w2", "cb", "lift")
+
+
+_KEY_MIN_A = 5
+_KEY_TOP = 25
+
+
+@register(
+    "term_keyness_chisq",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT source, t.term
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(
+                          {_FOLD_DUCK}, '[^a-z]+')) AS term) t
+        WHERE text IS NOT NULL AND t.term <> ''
+    ),
+    tc AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS a
+        FROM tokens GROUP BY 1, 2
+    ),
+    st AS (SELECT source, CAST(sum(a) AS BIGINT) AS s_tot FROM tc GROUP BY source),
+    tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t_tot FROM tc GROUP BY term),
+    n AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM tc),
+    cells AS (
+        SELECT tc.source, tc.term, tc.a,
+               tt.t_tot - tc.a            AS b,
+               st.s_tot - tc.a            AS c,
+               n.nn - tt.t_tot - st.s_tot + tc.a AS d,
+               n.nn AS nn
+        FROM tc JOIN st USING (source) JOIN tt USING (term) CROSS JOIN n
+        WHERE tc.a >= {_KEY_MIN_A}
+    )
+    SELECT source, term, a AS n_in_source,
+           round(CAST(CAST(nn AS HUGEINT)
+                      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                      AS DOUBLE)
+                 / (CAST(CAST(a + b AS HUGEINT) * (c + d) AS DOUBLE)
+                    * CAST(CAST(a + c AS HUGEINT) * (b + d) AS DOUBLE)),
+                 4) AS chi2
+    FROM cells
+    ORDER BY chi2 DESC, source, term
+    LIMIT {_KEY_TOP}
+    """,
+    doc="Distinctive-vocabulary mining (keyness): for every "
+    "(source, term) cell of the token contingency table, the "
+    "chi-square statistic of term-vs-source association — "
+    "N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — ranked to surface the "
+    f"top {_KEY_TOP} terms most characteristic of one source "
+    "(min in-source count "
+    f"{_KEY_MIN_A}; ties lexicographic). Chi-square keeps the "
+    "no-log discipline: all four margins are exact integers, the "
+    "statistic is one rational whose numerator rides "
+    "DECIMAL(38,0)/HUGEINT (N*(ad-bc)^2 reaches ~1e26 at sf0.1 — "
+    "int64 would overflow silently in a lesser engine and throw "
+    "under ANSI here), and one double division lands on both "
+    "engines identically. This is the corpus-curation 'what makes "
+    "this source different' screen (template detection, source "
+    "fingerprinting). Plan: tokenize once, (source,term) hash agg, "
+    "margins via two small reaggregations joined back on their "
+    "keys, N broadcast as a 1-row aggregate.",
+    tags=("text", "corpus", "stats"),
+)
+def term_keyness_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tokens = docs.select(
+        "source",
+        F.explode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tc = tokens.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    st = tc.groupBy("source").agg(F.sum("a").cast("bigint").alias("s_tot"))
+    tt = tc.groupBy("term").agg(F.sum("a").cast("bigint").alias("t_tot"))
+    n = tc.agg(F.sum("a").cast("bigint").alias("nn"))
+    dec = "decimal(38,0)"
+    cells = (
+        tc.join(F.broadcast(st), "source")
+        .join(tt, "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("a") >= _KEY_MIN_A)
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("t_tot") - F.col("a")).alias("b"),
+            (F.col("s_tot") - F.col("a")).alias("c"),
+            (F.col("nn") - F.col("t_tot") - F.col("s_tot") + F.col("a"))
+            .alias("d"),
+            "nn",
+        )
+    )
+    adbc = (
+        F.col("a").cast(dec) * F.col("d").cast(dec)
+        - F.col("b").cast(dec) * F.col("c").cast(dec)
+    )
+    chi2 = F.round(
+        (F.col("nn").cast(dec) * adbc * adbc).cast("double")
+        / (
+            ((F.col("a") + F.col("b")).cast(dec)
+             * (F.col("c") + F.col("d")).cast(dec)).cast("double")
+            * ((F.col("a") + F.col("c")).cast(dec)
+               * (F.col("b") + F.col("d")).cast(dec)).cast("double")
+        ),
+        4,
+    )
+    return (
+        cells.select(
+            "source",
+            "term",
+            F.col("a").alias("n_in_source"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "source", "term")
+        .limit(_KEY_TOP)
+    )

@@ -1282,3 +1282,71 @@ def nearest_event_tolerance_join(
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "time_to_convert_profile",
+    oracle="""
+    WITH fc AS (
+        SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS c_ts
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id,
+               min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS p_ts
+        FROM events e JOIN fc ON fc.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+          AND CAST(floor(epoch(e.ts)) AS BIGINT) >= fc.c_ts
+        GROUP BY e.user_id
+    ),
+    lag AS (
+        SELECT fp.user_id, fp.p_ts - fc.c_ts AS lag_s
+        FROM fp JOIN fc USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+           round(quantile_cont(lag_s, 0.25), 2) AS p25_lag_s,
+           round(quantile_cont(lag_s, 0.50), 2) AS p50_lag_s,
+           round(quantile_cont(lag_s, 0.75), 2) AS p75_lag_s,
+           CAST(max(lag_s) AS BIGINT) AS max_lag_s
+    FROM lag
+    """,
+    doc="Conversion-latency profile: per user, the lag from FIRST "
+    "click to the first purchase at-or-after it; quartiles, min, "
+    "max, and the converted-user count in one audit row. The "
+    "standard growth-analytics latency curve, computed as two "
+    "keyed min-aggregations (first click; first qualifying "
+    "purchase, the at-or-after filter applied IN the join so a "
+    "purchase before any click never counts) and exact "
+    "interpolating quantiles over integer epoch seconds — the "
+    ".25/.75 interpolation lands on exact quarter-grid doubles, "
+    "identical across engines. NULL timestamps excluded by "
+    "contract. Both shuffles key on user_id.",
+    tags=("timeseries", "aggregate"),
+)
+def time_to_convert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("c_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("p_ts")
+    )
+    fp = (
+        p.join(fc, "user_id")
+        .where(F.col("p_ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_ts"), F.first("c_ts").alias("c_ts"))
+    )
+    lag = fp.select((F.col("p_ts") - F.col("c_ts")).alias("lag_s"))
+    return lag.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("lag_s").cast("bigint").alias("min_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.25)"), 2).alias("p25_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.50)"), 2).alias("p50_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.75)"), 2).alias("p75_lag_s"),
+        F.max("lag_s").cast("bigint").alias("max_lag_s"),
+    )

@@ -151,19 +151,23 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_nodes
     FROM tri
     """,
-    doc="Exact triangle count via degree orientation: each "
-    "undirected edge is directed from its lower-(deg, id) endpoint "
-    "to the higher one, wedges are enumerated between each source's "
-    "out-neighbors (ordered pairs only), and a wedge closes iff the "
-    "oriented edge between its two endpoints exists. Orientation "
-    "bounds every vertex's out-degree by O(sqrt(edges)) regardless "
-    "of raw-degree skew — the property that makes the wedge join "
-    "survive power-law graphs at 100 TB, where enumerating wedges "
-    "from a raw hub vertex would be quadratic in its degree. The "
-    "oracle counts the SAME triangles with the naive u<v<w "
+    doc="Exact triangle count via degree orientation + adjacency "
+    "intersection: each undirected edge is directed from its "
+    "lower-(deg, id) endpoint to the higher one; every triangle "
+    "then has exactly one 'base' oriented edge (u, v) whose third "
+    "vertex w satisfies u->w AND v->w, so the count is "
+    "sum(|N+(u) ∩ N+(v)|) over oriented edges. Orientation bounds "
+    "every out-neighbor list by O(sqrt(edges)) regardless of "
+    "raw-degree skew, so the per-vertex adjacency ARRAY is small "
+    "and bounded even on power-law graphs at 100 TB — and the "
+    "whole-stage-codegen array_intersect over two such arrays "
+    "replaces materializing the wedge set as rows (41M wedge rows "
+    "at sf0.1; the array form cut the measured Spark time ~2x). "
+    "The oracle counts the SAME triangles with the naive u<v<w "
     "triple-join — an independent formulation, so agreement checks "
-    "the orientation logic itself. Emits (triangles, edges, nodes) "
-    "as one audit row; all-integer, engine-exact.",
+    "both the orientation logic and the intersection identity. "
+    "Emits (triangles, edges, nodes) as one audit row; "
+    "all-integer, engine-exact.",
     tags=("graph", "join"),
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,33 +195,27 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = with_deg.select(
         F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(src_is_u, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
     ).localCheckpoint(eager=True)
 
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    # wedges (s; x, y) with x before y in (deg, id) order — each
-    # unordered out-neighbor pair exactly once
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            (F.col("o1.ddeg") < F.col("o2.ddeg"))
-            | (
-                (F.col("o1.ddeg") == F.col("o2.ddeg"))
-                & (F.col("o1.dst") < F.col("o2.dst"))
-            )
-        ),
-    ).select(
-        F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y")
+    # per-vertex out-neighbor arrays (bounded O(sqrt(m)) by the
+    # orientation), then one codegen array_intersect per edge — the
+    # wedge set is never materialized as rows
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    # close: the x -> y oriented edge (orientation follows the same
-    # (deg, id) order, so a closing edge is always oriented x -> y)
-    closing = oriented.select(
-        F.col("src").alias("x"), F.col("dst").alias("y")
-    )
-    tri = wedges.join(closing, ["x", "y"]).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    a_u = adj.select(F.col("src").alias("__x"), F.col("nbrs").alias("nu"))
+    a_v = adj.select(F.col("src").alias("__y"), F.col("nbrs").alias("nv"))
+    # inner joins are exact here: an edge whose src or dst has no
+    # out-neighbors contributes |∅ ∩ ·| = 0 either way
+    tri = (
+        oriented.join(a_u, oriented.src == a_u.__x)
+        .join(a_v, oriented.dst == a_v.__y)
+        .select(F.size(F.array_intersect("nu", "nv")).alias("__c"))
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
 
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))

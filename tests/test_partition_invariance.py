@@ -41,6 +41,19 @@ INVARIANCE_SET = [
     "minhash_lsh_candidates",
     "hll_sketch_rollup",
     "weighted_reservoir_sample",
+    # round-6 float-emitting / ranked / iterative additions
+    "ols_price_vs_quantity",
+    "welch_ttest_value",
+    "mad_outlier_profile",
+    "ewma_user_value",
+    "triangle_count_parts",
+    "graph_label_propagation",
+    "bigram_collocation_lift",
+    "term_keyness_chisq",
+    "pareto_front_orders",
+    "dim_truncation_recall",
+    "ivfadc_topk",
+    "time_to_convert_profile",
 ]
 
 
