@@ -681,6 +681,44 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def skyline_2d(df: DataFrame, max_col: str, min_col: str) -> DataFrame:
+    """Two-phase 2-D skyline over integer columns: rows maximizing
+    ``max_col`` and minimizing ``min_col`` under strict Pareto
+    dominance (duplicated points all survive). Phase 1 prunes each
+    hash partition with two windows (RANGE-frame prefix-min of
+    min_col over strictly-greater max_col; min within the exact
+    max_col tie group); phase 2 reruns the same logic over the tiny
+    union of local survivors — correct because skyline is
+    distributive. Property-tested against brute-force dominance on
+    random point sets (tests/test_graph_property.py)."""
+
+    def _pass(d: DataFrame, *part_cols: str) -> DataFrame:
+        w_strict = (
+            W.partitionBy(*part_cols)
+            .orderBy(F.col(max_col).desc())
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        w_tie = W.partitionBy(*[*part_cols, max_col])
+        m_strict = F.min(min_col).over(w_strict)
+        m_tie = F.min(min_col).over(w_tie)
+        return (
+            d.withColumn("_ms", m_strict)
+            .withColumn("_mt", m_tie)
+            .where(
+                (F.col("_ms").isNull() | (F.col("_ms") > F.col(min_col)))
+                & (F.col("_mt") == F.col(min_col))
+            )
+            .drop("_ms", "_mt")
+        )
+
+    local = _pass(
+        df.withColumn("_pid", F.spark_partition_id()), "_pid"
+    ).drop("_pid")
+    return _pass(local)
+
+
+
+
 @register(
     "pareto_front_orders",
     oracle="""
@@ -752,28 +790,7 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("order_day"),
     )
-
-    def _skyline(df: DataFrame, *part_cols: str) -> DataFrame:
-        w_strict = (
-            W.partitionBy(*part_cols)
-            .orderBy(F.col("price_cents").desc())
-            .rangeBetween(W.unboundedPreceding, -1)
-        )
-        tie_cols = [*part_cols, "price_cents"]
-        w_tie = W.partitionBy(*tie_cols)
-        m_strict = F.min("order_day").over(w_strict)
-        m_tie = F.min("order_day").over(w_tie)
-        return df.withColumn("_ms", m_strict).withColumn(
-            "_mt", m_tie
-        ).where(
-            (F.col("_ms").isNull() | (F.col("_ms") > F.col("order_day")))
-            & (F.col("_mt") == F.col("order_day"))
-        ).drop("_ms", "_mt")
-
-    local = _skyline(
-        o.withColumn("_pid", F.spark_partition_id()), "_pid"
-    ).drop("_pid")
-    front = _skyline(local)
+    front = skyline_2d(o, "price_cents", "order_day")
     return front.orderBy(
         F.col("price_cents").desc(), "order_day", "o_orderkey"
     ).select("o_orderkey", "price_cents", "order_day")

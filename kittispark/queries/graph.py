@@ -98,6 +98,94 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected edge list (columns
+    ``u`` < ``v``, deduplicated): degree-orient every edge, build the
+    bounded out-neighbor array per vertex, and sum
+    |N+(u) ∩ N+(v)| over oriented edges (each triangle has exactly
+    one base edge under an acyclic orientation). Property-tested
+    against brute-force enumeration on random graphs
+    (tests/test_graph_property.py)."""
+    deg = _degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    # orient: src -> dst along increasing (deg, id)
+    src_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented feeds three consumers (adjacency build + both probe
+    # sides) — materialize it, or the deg joins replay 3x
+    oriented = with_deg.select(
+        F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=True)
+
+    # per-vertex out-neighbor arrays (bounded O(sqrt(m)) by the
+    # orientation), then one codegen array_intersect per edge — the
+    # wedge set is never materialized as rows
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    a_u = adj.select(F.col("src").alias("__x"), F.col("nbrs").alias("nu"))
+    a_v = adj.select(F.col("src").alias("__y"), F.col("nbrs").alias("nv"))
+    # inner joins are exact here: an edge whose src or dst has no
+    # out-neighbors contributes |∅ ∩ ·| = 0 either way
+    return (
+        oriented.join(a_u, oriented.src == a_u.__x)
+        .join(a_v, oriented.dst == a_v.__y)
+        .select(F.size(F.array_intersect("nu", "nv")).alias("__c"))
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """``rounds`` synchronous min-label propagation steps over an
+    undirected edge list (columns ``u``, ``v``); returns (node, lbl).
+    Labels start as node ids; each round every node takes the min of
+    its own and its neighbors' labels. Property-tested against a
+    brute Python model on random graphs
+    (tests/test_graph_property.py)."""
+    # sym is consumed once per round plus the label init — materialize
+    # it so the edge build runs once, not rounds+1 times
+    sym = (
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(
+            edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("x").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("y"), F.col("lbl").alias("ylbl")
+                ),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ylbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nb, labels.node == nb.x, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return labels
+
+
+
 @register(
     "graph_degree_histogram",
     oracle=f"""
@@ -171,52 +259,16 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join"),
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The edge list feeds FIVE consumers (degrees, both orientation
-    # sides, the closing-edge probe, the audit counts): materialize it
-    # once (localCheckpoint — same lineage-truncation idiom as the
-    # BPE learner / PageRank rounds) instead of replaying the
-    # distinct + per-order self-join + weight agg per consumer. At
-    # cluster scale this is "persist the frontier" — the standard
-    # multi-pass graph-analytics move.
+    # The edge list feeds several consumers (degrees, orientation,
+    # the audit counts): materialize it once (localCheckpoint — same
+    # lineage-truncation idiom as the BPE learner / PageRank rounds)
+    # instead of replaying the distinct + per-order self-join +
+    # weight agg per consumer. At cluster scale this is "persist the
+    # frontier" — the standard multi-pass graph-analytics move.
     edges = (
         _edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=True)
     )
-    deg = _degrees(edges)
-
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    with_deg = edges.join(du, "u").join(dv, "v")
-    # orient: src -> dst along increasing (deg, id)
-    src_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # oriented feeds three consumers (two wedge sides + the closing
-    # probe) — materialize it too, or the deg joins replay 3x
-    oriented = with_deg.select(
-        F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
-
-    # per-vertex out-neighbor arrays (bounded O(sqrt(m)) by the
-    # orientation), then one codegen array_intersect per edge — the
-    # wedge set is never materialized as rows
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
-    a_u = adj.select(F.col("src").alias("__x"), F.col("nbrs").alias("nu"))
-    a_v = adj.select(F.col("src").alias("__y"), F.col("nbrs").alias("nv"))
-    # inner joins are exact here: an edge whose src or dst has no
-    # out-neighbors contributes |∅ ∩ ·| = 0 either way
-    tri = (
-        oriented.join(a_u, oriented.src == a_u.__x)
-        .join(a_v, oriented.dst == a_v.__y)
-        .select(F.size(F.array_intersect("nu", "nv")).alias("__c"))
-        .agg(
-            F.coalesce(F.sum("__c"), F.lit(0))
-            .cast("bigint")
-            .alias("n_triangles")
-        )
-    )
+    tri = triangle_count(edges)
 
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     n_nodes = _degrees(edges).agg(
@@ -274,39 +326,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir).select("u", "v")
-    # sym is consumed once per round plus the label init — materialize
-    # it so the edge build runs once, not 3x
-    sym = (
-        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        .unionAll(
-            edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    labels = sym.select(F.col("x").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    for _ in range(2):
-        nb = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("y"), F.col("lbl").alias("ylbl")
-                ),
-                "y",
-            )
-            .groupBy("x")
-            .agg(F.min("ylbl").alias("nlbl"))
-        )
-        labels = (
-            labels.join(nb, labels.node == nb.x, "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
+    labels = label_propagation(edges, rounds=2)
     return (
         labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
