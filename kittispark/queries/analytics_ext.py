@@ -151,25 +151,42 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    # Self-dots are per-ROW quantities: fold them once before the pair
+    # join (the cosine_topk idiom) instead of re-folding |q|^2 and
+    # |c|^2 inside every pair — interpreted HOF folds are the cost
+    # center here, and this plus sharing ONE <q,c> fold across both
+    # scores cuts the per-pair fold count 4x. Values are bit-identical
+    # to the per-pair form (same fold on the same array), so the
+    # oracle — which still writes the textbook per-pair expressions —
+    # is unchanged.
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
-    )
+    ).withColumn("q2", dot(F.col("qv"), F.col("qv")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
-    )
+    ).withColumn("c2", dot(F.col("cv"), F.col("cv")))
     qv, cv = F.col("qv"), F.col("cv")
-    scored = (
+    paired = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(qv, cv)
-                / F.nullif(F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)), F.lit(0.0))
-            ).alias("cos_raw"),
-            ((dot(qv, qv) + dot(cv, cv)) - 2 * dot(qv, cv)).alias("l2_raw"),
+            "q2",
+            "c2",
+            dot(qv, cv).alias("d"),
         )
+    )
+    scored = paired.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.col("d")
+            / F.nullif(
+                F.sqrt(F.col("q2")) * F.sqrt(F.col("c2")), F.lit(0.0)
+            )
+        ).alias("cos_raw"),
+        ((F.col("q2") + F.col("c2")) - 2 * F.col("d")).alias("l2_raw"),
     )
     # zero-norm neighbors have undefined cosine -> excluded from BOTH
     # rankings (a pair must hold both ranks for the fusion sum)

@@ -616,8 +616,16 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dot on unit vectors is bit-symmetric: same products, same
     # element-index fold order).
     blocks = 4
-    sided = asg.join(base, "vec_id").withColumn(
-        "blk", F.pmod(F.col("vec_id"), F.lit(blocks))
+    # the assigned+normalized side feeds BOTH halves of the pair
+    # join: materialize it once (localCheckpoint, the shared-frontier
+    # idiom) — re-deriving it per side replays the parquet read, the
+    # interpreted unit-normalize transform, the 8-centroid argmin,
+    # and the assignment join, measured at ~1.6 s per replay of the
+    # ~3.4 s sf0.1 total
+    sided = (
+        asg.join(base, "vec_id")
+        .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(blocks)))
+        .localCheckpoint(eager=True)
     )
     a = sided.select(
         "cid",
@@ -804,7 +812,9 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_adc_topk(emb, queries, k=5, m=4, n_codes=16)
+    # 64-dim embeddings, m=4 -> 16-wide slices: statically-known, so
+    # the codegen-expanded d2 replaces the interpreted HOF fold
+    return pq_adc_topk(emb, queries, k=5, m=4, n_codes=16, sub_dim=16)
 
 
 _PQ_RERANK_ORACLE = """
@@ -896,7 +906,11 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_rerank_topk(emb, queries, k=5, shortlist=100, m=16, n_codes=64)
+    # 64-dim, m=16 -> 4-wide slices: codegen-expanded d2 (sub_dim)
+    # replaces 5.1M interpreted HOF folds in the encode stage
+    return pq_rerank_topk(
+        emb, queries, k=5, shortlist=100, m=16, n_codes=64, sub_dim=4
+    )
 
 
 _IVF_APPEND_ROOT: dict[str, str] = {}
@@ -1141,5 +1155,5 @@ def ivfadc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     return ivfadc_topk(
         emb, queries, k=5, n_centroids=8, train_iters=1, nprobe=2,
-        m=4, n_codes=16,
+        m=4, n_codes=16, sub_dim=16,
     )

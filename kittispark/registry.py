@@ -141,6 +141,18 @@ _REVERIFY: frozenset[str] = frozenset(
         # scale-revealed at adversarial-sf0.1 (hot-key 1e5-row frame
         # ulp fork): rewritten to exact-cents window average
         "moving_avg_time_range",
+        # r5 post-close-out triangle-block pair-enumeration rewrite
+        # (commit cafbb69) never joined this set — its banked verdict
+        # predates that rewrite; r6 additionally materializes the
+        # shared assignment subtree. Caught and queued at r6.
+        "semantic_dedup_clustered",
+        # r6 PQ hot-path change: the interpreted HOF d2 fold replaced
+        # by the codegen-expanded static-width form (d2_static —
+        # provably the same left-to-right association, 6-dataset
+        # re-certified bit-identical), queued on principle: the
+        # banked verdicts predate the compute-path change.
+        "pq_adc_topk",
+        "pq_rerank_topk",
         # empty-input sweep fixes (grand-total alignment, guarded
         # rates, schema-explicit index reads):
         "group_rollup",
