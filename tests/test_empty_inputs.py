@@ -45,6 +45,32 @@ EMPTY_PINNED = [
     "ann_ivf_indexed_match",
 ]
 
+# Round-6 additions: none of these needed an empty-input fix (they
+# were born under the per-addition fixture sweep), but pin them so a
+# refactor can't regress the zero-row path between sweeps.
+R6_EMPTY_GREEN = [
+    "graph_degree_histogram",
+    "triangle_count_parts",
+    "graph_label_propagation",
+    "ols_price_vs_quantity",
+    "welch_ttest_value",
+    "mad_outlier_profile",
+    "ewma_user_value",
+    "interval_sweep_coverage",
+    "dim_truncation_recall",
+    "pareto_front_orders",
+    "table_profile_report",
+    "sentence_split_profile",
+    "token_diversity_index",
+    "bigram_collocation_lift",
+    "term_keyness_chisq",
+    "ivfadc_topk",
+    "cumulative_distinct_users",
+    "nearest_event_tolerance_join",
+    "time_to_convert_profile",
+]
+EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

@@ -250,3 +250,38 @@ def test_duplicated_spans_match_bruteforce_model(spark, texts):
         before, after, _ = cleaned[doc_id]
         assert before == len(text.split(" "))
         assert before - after == model.get(doc_id, (0, 0))[1]
+
+
+def test_d2_static_bit_equals_hof_fold(spark):
+    """d2_static's codegen expansion must be BIT-identical to the
+    interpreted fold_d2 on the same arrays — the claim that let the
+    PQ hot paths switch compute form without re-deriving any oracle.
+    Random doubles incl. negatives/zeros/denormal-ish magnitudes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kittispark.operators.similarity import d2_static, fold_d2
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(64):
+        n = rng.choice([4, 16])
+        a = [rng.uniform(-2, 2) * (10 ** rng.randint(-8, 2)) for _ in range(n)]
+        b = [rng.uniform(-2, 2) * (10 ** rng.randint(-8, 2)) for _ in range(n)]
+        rows.append((i, n, a, b))
+    df = spark.createDataFrame(
+        rows, "rid int, n int, a array<double>, b array<double>"
+    )
+    for n in (4, 16):
+        sub = df.where(F.col("n") == n)
+        out = sub.select(
+            fold_d2(F.col("a"), F.col("b")).alias("hof"),
+            d2_static(F.col("a"), F.col("b"), n).alias("cg"),
+        ).collect()
+        assert out, "fixture must cover both widths"
+        for r in out:
+            # bitwise identity, not approximate equality
+            import struct
+
+            assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["cg"])
