@@ -101,6 +101,9 @@ HEADLINE = [
     "bigram_collocation_lift",
     "pareto_front_orders",
     "dim_truncation_recall",
+    # the composed IVFADC system — cell-pruned ADC, the flagship ANN
+    # serving shape; belongs under the clock next to its PQ halves:
+    "ivfadc_topk",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

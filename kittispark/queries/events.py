@@ -1339,7 +1339,9 @@ def time_to_convert_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.join(fc, "user_id")
         .where(F.col("p_ts") >= F.col("c_ts"))
         .groupBy("user_id")
-        .agg(F.min("p_ts").alias("p_ts"), F.first("c_ts").alias("c_ts"))
+        # c_ts is constant per user (one fc row per user); min() makes
+        # the determinism explicit rather than relying on first()
+        .agg(F.min("p_ts").alias("p_ts"), F.min("c_ts").alias("c_ts"))
     )
     lag = fp.select((F.col("p_ts") - F.col("c_ts")).alias("lag_s"))
     return lag.agg(

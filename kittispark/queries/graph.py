@@ -14,14 +14,14 @@ Three operators, each a standard large-graph primitive:
   thing anyone profiles on a 100 TB graph);
 - ``triangle_count_parts`` — exact triangle counting with DEGREE
   ORIENTATION (each undirected edge directed from its lower-(deg,id)
-  endpoint to its higher one; wedges are enumerated only from each
-  vertex's higher-ordered out-neighbors). This is the standard
-  distributed algorithm (Cohen's MapReduce triangle counting /
-  Schank-Wagner): out-degree after orientation is O(sqrt(m)), so the
-  wedge join's fan-out is bounded even when raw degrees are
-  power-law skewed. The ORACLE deliberately uses the naive
-  u<v<w triple-join formulation — an independent derivation the
-  oriented plan must agree with.
+  endpoint to its higher one) and per-vertex out-neighbor ARRAYS:
+  the count is sum(|N+(u) ∩ N+(v)|) over oriented edges, one
+  whole-stage-codegen array_intersect per edge instead of a
+  materialized wedge join. Orientation bounds every adjacency list
+  by O(sqrt(m)) even when raw degrees are power-law skewed (the
+  Schank-Wagner / MapReduce-triangles property). The ORACLE
+  deliberately uses the naive u<v<w triple-join formulation — an
+  independent derivation the oriented plan must agree with.
 - ``graph_label_propagation`` — two synchronous rounds of min-label
   propagation (the bounded-round core of connected components /
   community detection; each round is one shuffle on the node key,

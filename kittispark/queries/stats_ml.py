@@ -305,8 +305,11 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = x.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("vi") - F.col("m"))
     )
+    # m is constant within each event_type group (it came from the
+    # broadcast-back join); min() states that invariance explicitly
+    # where first() would merely rely on it
     mad = dev.groupBy("event_type").agg(
-        F.first("m").alias("m"), F.expr("percentile(d, 0.5)").alias("mad")
+        F.min("m").alias("m"), F.expr("percentile(d, 0.5)").alias("mad")
     )
     return (
         dev.drop("m")
