@@ -416,3 +416,102 @@ def term_keyness_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "source", "term")
         .limit(_KEY_TOP)
     )
+
+
+@register(
+    "readability_profile",
+    oracle=f"""
+    WITH words AS (
+        SELECT source, t.term,
+               greatest(1, len(regexp_extract_all(t.term, '[aeiouy]+')))
+                   AS syl
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(
+                          {_FOLD_DUCK}, '[^a-z]+')) AS term) t
+        WHERE text IS NOT NULL AND t.term <> ''
+    ),
+    wstats AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(syl) AS BIGINT) AS n_syllables
+        FROM words GROUP BY source
+    ),
+    segs AS (
+        SELECT source, s.seg
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(text, '[.!?]+'))
+                      AS seg) s
+        WHERE text IS NOT NULL
+    ),
+    sstats AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_sentences
+        FROM segs WHERE regexp_matches(seg, '[a-zA-Z0-9]')
+        GROUP BY source
+    )
+    SELECT w.source, n_words, n_sentences, n_syllables,
+           round(CAST(n_words AS DOUBLE) / n_sentences, 4)
+               AS words_per_sentence,
+           round(CAST(n_syllables AS DOUBLE) / n_words, 4)
+               AS syllables_per_word,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 4) AS fk_grade
+    FROM wstats w JOIN sstats s ON s.source = w.source
+    ORDER BY w.source
+    """,
+    doc="Readability profile per source: words, sentences, "
+    "vowel-group syllables, and the Flesch-Kincaid grade "
+    "0.39*(W/S) + 11.8*(Syl/W) - 15.59 — a standard quality-"
+    "screening feature for training corpora (too-low or too-high "
+    "grades flag boilerplate and garbled text respectively). The "
+    "syllable counter is the deterministic [aeiouy]+ group "
+    "heuristic (min 1 per word), identical regex both engines; "
+    "words use the shared ASCII-fold tokenizer and sentences the "
+    "shared [.!?]+ alnum-segment convention, so all three counts "
+    "are exact integers and the grade is one identical double "
+    "expression per engine. Plan: two map-side explodes, two "
+    "source-keyed hash aggs, one tiny join.",
+    tags=("text", "corpus"),
+)
+def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    words = words.select(
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(F.col("term"), F.lit("[aeiouy]+"), 0)
+            ),
+        ).alias("syl"),
+    )
+    wstats = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("syl").cast("bigint").alias("n_syllables"),
+    )
+    segs = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"[.!?]+")).alias("seg")
+    )
+    sstats = (
+        segs.where(F.col("seg").rlike("[a-zA-Z0-9]"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sentences"))
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return (
+        wstats.join(sstats, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(wps, 4).alias("words_per_sentence"),
+            F.round(spw, 4).alias("syllables_per_word"),
+            F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+        )
+        .orderBy("source")
+    )

@@ -325,3 +325,122 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rk"),
     )
+
+
+_NEYMAN_N = 1000
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS nh,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS HUGEINT) AS s,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS HUGEINT) AS ss
+        FROM lineitem
+        GROUP BY l_returnflag
+    ),
+    sd AS (
+        SELECT l_returnflag, nh,
+               sqrt((CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nh)
+                    / (nh - 1)) AS sh
+        FROM m
+    ),
+    w AS (
+        SELECT l_returnflag, nh, sh,
+               nh * sh / sum(nh * sh) OVER () AS wh
+        FROM sd
+    ),
+    base AS (
+        SELECT l_returnflag, nh, sh, wh,
+               CAST(floor({_NEYMAN_N} * wh) AS BIGINT) AS n_floor,
+               {_NEYMAN_N} * wh - floor({_NEYMAN_N} * wh) AS frac
+        FROM w
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (ORDER BY frac DESC, l_returnflag)
+                   AS rk,
+               {_NEYMAN_N} - sum(n_floor) OVER () AS leftover
+        FROM base
+    )
+    SELECT l_returnflag, nh AS n_stratum,
+           round(sh, 4) AS stddev_cents,
+           round(wh, 6) AS neyman_weight,
+           CAST(n_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM ranked
+    ORDER BY l_returnflag
+    """,
+    doc="Neyman-optimal stratified sample allocation: each stratum "
+    f"(returnflag) gets its share of an n={_NEYMAN_N} sample "
+    "proportional to N_h * S_h (size x within-stratum stddev) — "
+    "the variance-minimizing allocation of survey sampling, and "
+    "the right way to draw an eval slice from a skewed corpus. "
+    "Stddevs come from exact HUGEINT/DECIMAL moments; weights and "
+    "floor shares are identical double expressions; the leftover "
+    "after flooring is distributed by LARGEST REMAINDER with a "
+    "deterministic lexicographic tiebreak, so the integer "
+    "allocations sum to exactly n on both engines. The strata "
+    "table is tiny (one row per stratum) — the unpartitioned "
+    "windows run over 3 rows, never data.",
+    tags=("sampling", "stats"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dec = "decimal(38,0)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum(y.cast(dec)).alias("s"),
+        F.sum((y * y).cast(dec)).alias("ss"),
+    )
+    sh = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("nh")
+        )
+        / (F.col("nh") - 1)
+    )
+    sd = m.select("l_returnflag", "nh", sh.alias("sh"))
+    wall = W.partitionBy()
+    w = sd.withColumn(
+        "wh",
+        F.col("nh") * F.col("sh") / F.sum(F.col("nh") * F.col("sh")).over(wall),
+    )
+    base = w.select(
+        "l_returnflag",
+        "nh",
+        "sh",
+        "wh",
+        F.floor(_NEYMAN_N * F.col("wh")).cast("bigint").alias("n_floor"),
+        (_NEYMAN_N * F.col("wh") - F.floor(_NEYMAN_N * F.col("wh"))).alias(
+            "frac"
+        ),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.col("frac").desc(), "l_returnflag"))
+        .alias("rk"),
+        (F.lit(_NEYMAN_N) - F.sum("n_floor").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "l_returnflag",
+        F.col("nh").alias("n_stratum"),
+        F.round("sh", 4).alias("stddev_cents"),
+        F.round("wh", 6).alias("neyman_weight"),
+        (
+            F.col("n_floor")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    ).orderBy("l_returnflag")

@@ -68,6 +68,9 @@ R6_EMPTY_GREEN = [
     "cumulative_distinct_users",
     "nearest_event_tolerance_join",
     "time_to_convert_profile",
+    "daily_drift_report",
+    "readability_profile",
+    "neyman_allocation",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN
 

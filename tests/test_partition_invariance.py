@@ -54,6 +54,9 @@ INVARIANCE_SET = [
     "dim_truncation_recall",
     "ivfadc_topk",
     "time_to_convert_profile",
+    "daily_drift_report",
+    "readability_profile",
+    "neyman_allocation",
 ]
 
 
