@@ -515,3 +515,211 @@ def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HEAPS_BUCKET = 1024
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(
+                          {_FOLD_DUCK}, '[^a-z]+')) AS term) t
+        WHERE text IS NOT NULL AND t.term <> ''
+    ),
+    pd AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tokens GROUP BY doc_id
+    ),
+    ft AS (
+        SELECT term, min(doc_id) AS fdoc FROM tokens GROUP BY term
+    ),
+    nv AS (
+        SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT) AS n_new_terms
+        FROM ft GROUP BY fdoc
+    )
+    SELECT p.doc_id, p.n_tokens,
+           CAST(COALESCE(v.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+           CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+           CAST(sum(COALESCE(v.n_new_terms, 0)) OVER (ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM pd p LEFT JOIN nv v ON v.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Heaps-law vocabulary-growth curve: per document (in doc_id "
+    "order) the token count, the number of never-seen-before terms "
+    "(first occurrence attributed to min doc_id — deterministic "
+    "regardless of scan order), and the running totals cum_tokens / "
+    "cum_vocab. The curve is how corpus engineers decide when "
+    "additional data stops buying vocabulary (V ~ k*N^beta "
+    "flattening) and calibrate tokenizer vocab sizes. All counts "
+    "are exact integers through the shared ASCII-fold tokenizer. "
+    "Plan: the running sums are TWO-LEVEL — an intra-bucket window "
+    f"partitioned by doc_id div {_HEAPS_BUCKET} (parallel) plus a "
+    "broadcast running-offset join over the tiny bucket-partial "
+    "table (the global_rank prefix-sum shape) — no single-partition "
+    "window ever sees per-doc rows; only bucket partials "
+    f"(corpus/{_HEAPS_BUCKET} rows) pass through the one global "
+    "window. Docs with zero tokens (NULL/empty/punctuation-only "
+    "text) are not curve points by contract.",
+    tags=("text", "corpus", "window"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    pd_ = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    first = tokens.groupBy("term").agg(F.min("doc_id").alias("fdoc"))
+    nv = first.groupBy(F.col("fdoc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_terms")
+    )
+    base = (
+        pd_.join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new_terms", F.lit(0)).cast("bigint").alias(
+                "n_new_terms"
+            ),
+        )
+        .withColumn(
+            "_b", (F.col("doc_id") - F.col("doc_id") % _HEAPS_BUCKET)
+        )
+    )
+    w_loc = (
+        W.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_new_terms",
+        "_b",
+        F.sum("n_tokens").over(w_loc).alias("_ct_loc"),
+        F.sum("n_new_terms").over(w_loc).alias("_cv_loc"),
+    )
+    partials = base.groupBy("_b").agg(
+        F.sum("n_tokens").alias("_pt"), F.sum("n_new_terms").alias("_pv")
+    )
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offs = partials.select(
+        F.col("_b").alias("_ob"),
+        (F.sum("_pt").over(w_off) - F.col("_pt")).alias("_ot"),
+        (F.sum("_pv").over(w_off) - F.col("_pv")).alias("_ov"),
+    )
+    return (
+        local.join(F.broadcast(offs), F.col("_b") == F.col("_ob"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_new_terms",
+            (F.col("_ot") + F.col("_ct_loc")).cast("bigint").alias(
+                "cum_tokens"
+            ),
+            (F.col("_ov") + F.col("_cv_loc")).cast("bigint").alias(
+                "cum_vocab"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT source, t.term
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(
+                          {_FOLD_DUCK}, '[^a-z]+')) AS term) t
+        WHERE text IS NOT NULL AND source IS NOT NULL AND t.term <> ''
+    ),
+    sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           sa.n AS vocab_a, sb.n AS vocab_b, i.n_common,
+           round(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY i.source_a, i.source_b
+    """,
+    doc="Pairwise vocabulary overlap between sources: Jaccard "
+    "|Va int Vb| / |Va u Vb| over the DISTINCT term sets of each "
+    "source pair — the corpus-mixing diagnostic (near-identical "
+    "vocabularies flag mirrored/scraped-twice sources; disjoint "
+    "ones flag domain gaps a mixture must cover). One exact "
+    "rational per pair, rounded at emission. Plan: vocabulary is "
+    "collapsed to DISTINCT (source, term) FIRST, so the pair join "
+    "is term-keyed over vocabulary rows, never corpus rows, and a "
+    "term shared by all S sources yields at most S*(S-1)/2 pairs — "
+    "bounded by the (small) source dimension squared, not the "
+    "corpus; sizes join is a broadcast of |S| rows. Pairs with "
+    "zero common terms are absent by inner-join semantics (their "
+    "Jaccard is 0); NULL source excluded by contract.",
+    tags=("text", "corpus", "dedup"),
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = vocab.select(F.col("source").alias("source_a"), "term")
+    b = vocab.select(F.col("source").alias("source_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

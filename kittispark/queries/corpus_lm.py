@@ -512,3 +512,218 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy segmentation (Wu et al. 2016 / BERT tokenizer):
+# longest-match-first against a corpus-derived subword vocabulary.
+# Complements the BPE family: BPE segments by replaying merge ORDER;
+# WordPiece segments by greedy longest PREFIX match at serve time.
+_WP_V = 48  # multi-char subword vocab slots (plus all single chars)
+_WP_MAX_WLEN = 16  # BERT's max_input_chars_per_word analogue
+_WP_FOLD = (
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+    "'abcdefghijklmnopqrstuvwxyz')"
+)
+
+
+def _wp_step_sql(maxp: int) -> str:
+    """The greedy step length at (w, pos): longest of 4/3/2 whose
+    form-qualified substring is in vocab, else the single char
+    (always in vocab by construction)."""
+    def exists(n: int) -> str:
+        return (
+            f"length(substring(w, pos, {n})) = {n} AND EXISTS ("
+            f"SELECT 1 FROM vocab v WHERE v.is_cont = (pos > 1) "
+            f"AND v.sub = substring(w, pos, {n}))"
+        )
+
+    return (
+        f"CASE WHEN {exists(4)} THEN 4 "
+        f"WHEN {exists(3)} THEN 3 "
+        f"WHEN {exists(2)} THEN 2 ELSE 1 END"
+    )
+
+
+def _wp_oracle() -> str:
+    rounds = []
+    for r in range(1, _WP_MAX_WLEN + 1):
+        rounds.append(f""",
+    seg{r} AS (
+        SELECT w, freq,
+               CASE WHEN active THEN pos + step ELSE pos END AS pos,
+               CASE WHEN active THEN
+                   (CASE WHEN toks = '' THEN '' ELSE toks || ' ' END)
+                   || (CASE WHEN pos > 1 THEN '##' ELSE '' END)
+                   || substring(w, pos, step)
+               ELSE toks END AS toks
+        FROM (SELECT w, freq, pos, toks, pos <= length(w) AS active,
+                     {_wp_step_sql(r)} AS step
+              FROM seg{r - 1})
+    )""")
+    return f"""
+    WITH tok AS (
+        SELECT t.term AS w
+        FROM documents,
+             LATERAL (SELECT unnest(string_split_regex(
+                          {_WP_FOLD}, '[^a-z]+')) AS term) t
+        WHERE text IS NOT NULL AND t.term <> ''
+    ),
+    wf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w
+    ),
+    pos AS (
+        SELECT w, freq, u.p
+        FROM wf, unnest(generate_series(1, length(w))) AS u(p)
+    ),
+    subs AS (
+        SELECT (p > 1) AS is_cont, substring(w, p, s.s) AS sub, freq
+        FROM pos, (SELECT unnest([2, 3, 4]) AS s) s
+        WHERE p + s.s - 1 <= length(w)
+    ),
+    vick AS (
+        SELECT is_cont, sub, sum(freq) AS w8 FROM subs GROUP BY 1, 2
+    ),
+    vocab AS (
+        SELECT is_cont, sub FROM vick
+        ORDER BY w8 DESC, is_cont, sub LIMIT {_WP_V}
+    ),
+    seg0 AS (
+        SELECT w, freq, 1 AS pos, CAST('' AS VARCHAR) AS toks
+        FROM wf WHERE length(w) <= {_WP_MAX_WLEN}
+    ){''.join(rounds)}
+    SELECT w, freq,
+           CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_tokens,
+           toks AS wp_tokens
+    FROM seg{_WP_MAX_WLEN}
+    UNION ALL
+    SELECT w, freq, CAST(1 AS BIGINT), '[UNK]'
+    FROM wf WHERE length(w) > {_WP_MAX_WLEN}
+    ORDER BY freq DESC, w
+    """
+
+
+@register(
+    "wordpiece_segment_vocab",
+    oracle=_wp_oracle(),
+    doc="WordPiece tokenization (Wu et al. 2016; the BERT serving "
+    "tokenizer): greedy longest-match-first segmentation of every "
+    "distinct corpus word against a corpus-derived subword "
+    "vocabulary — the top-"
+    f"{_WP_V} length-2..4 substrings by occurrence-weighted "
+    "frequency (initial vs '##'-continuation forms counted "
+    "separately, ties by form then string) plus every single "
+    "character (so segmentation never dead-ends). Words longer "
+    f"than {_WP_MAX_WLEN} chars emit [UNK], BERT's "
+    "max_input_chars_per_word contract, which also statically "
+    f"bounds the match loop at {_WP_MAX_WLEN} rounds — each round "
+    "one whole-stage-codegen SELECT over the DISTINCT-word table "
+    "(the BPE family's vocab-collapsed discipline: the corpus is "
+    "never re-segmented row by row; doc-level rollups join by "
+    "word). The subword vocabulary is a bounded driver collect "
+    f"(≤ {_WP_V} + 2*26 entries — the broadcast-centroids "
+    "pattern) embedded as literal IN-lists; the oracle re-derives "
+    "the SAME vocab in SQL and replays all "
+    f"{_WP_MAX_WLEN} greedy rounds, so vocab selection, tie "
+    "order, step lengths, and every emitted piece are value-"
+    "adjudicated end to end.",
+    tags=("text", "llm-pipeline", "iterative"),
+)
+def wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(
+            F.split(
+                F.expr(
+                    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                    "'abcdefghijklmnopqrstuvwxyz')"
+                ),
+                "[^a-z]+",
+            )
+        ).alias("w")
+    ).where(F.col("w") != "")
+    wf = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+
+    # subword-candidate weights over DISTINCT words x positions
+    pos = wf.select(
+        "w", "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p"),
+    )
+    subs = None
+    for s in (2, 3, 4):
+        part = pos.where(
+            F.col("p") + (s - 1) <= F.length("w")
+        ).select(
+            (F.col("p") > 1).alias("is_cont"),
+            F.col("w").substr(F.col("p"), F.lit(s)).alias("sub"),
+            "freq",
+        )
+        subs = part if subs is None else subs.unionByName(part)
+    top = (
+        subs.groupBy("is_cont", "sub")
+        .agg(F.sum("freq").alias("w8"))
+        .orderBy(F.col("w8").desc(), "is_cont", "sub")
+        .limit(_WP_V)
+        .select("is_cont", "sub")
+        .collect()  # bounded: <= _WP_V rows (broadcast-centroids pattern)
+    )
+    init = {2: [], 3: [], 4: []}
+    cont = {2: [], 3: [], 4: []}
+    for r in top:
+        (cont if r.is_cont else init)[len(r.sub)].append(r.sub)
+
+    def _member(c, vals):
+        return c.isin(vals) if vals else F.lit(False)
+
+    seg = wf.where(F.length("w") <= _WP_MAX_WLEN).select(
+        "w", "freq", F.lit(1).alias("pos"), F.lit("").alias("toks")
+    )
+    for _ in range(_WP_MAX_WLEN):
+        active = F.col("pos") <= F.length("w")
+        is_cont = F.col("pos") > 1
+        # ascending wrap order makes the n=4 WHEN outermost, so the
+        # evaluated chain tries the LONGEST subword first
+        step = F.lit(1)
+        for n in (2, 3, 4):
+            cand = F.col("w").substr(F.col("pos"), F.lit(n))
+            hit = (F.length(cand) == n) & F.when(
+                is_cont, _member(cand, cont[n])
+            ).otherwise(_member(cand, init[n]))
+            step = F.when(hit, n).otherwise(step)
+        tok = F.concat(
+            F.when(is_cont, F.lit("##")).otherwise(F.lit("")),
+            F.col("w").substr(F.col("pos"), step),
+        )
+        seg = seg.select(
+            "w",
+            "freq",
+            F.when(active, F.col("pos") + step)
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            F.when(
+                active,
+                F.concat(
+                    F.when(F.col("toks") == "", F.lit("")).otherwise(
+                        F.concat(F.col("toks"), F.lit(" "))
+                    ),
+                    tok,
+                ),
+            )
+            .otherwise(F.col("toks"))
+            .alias("toks"),
+        )
+    done = seg.select(
+        "w",
+        "freq",
+        F.size(F.split("toks", " ")).cast("bigint").alias("n_tokens"),
+        F.col("toks").alias("wp_tokens"),
+    )
+    unk = wf.where(F.length("w") > _WP_MAX_WLEN).select(
+        "w",
+        "freq",
+        F.lit(1).cast("bigint").alias("n_tokens"),
+        F.lit("[UNK]").alias("wp_tokens"),
+    )
+    return done.unionByName(unk).orderBy(F.col("freq").desc(), "w")

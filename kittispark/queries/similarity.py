@@ -1157,3 +1157,121 @@ def ivfadc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_centroids=8, train_iters=1, nprobe=2,
         m=4, n_codes=16, sub_dim=16,
     )
+
+
+_OUTLIER_TOP = 5
+
+_CENTROID_OUTLIER_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+m AS (
+    SELECT vec_id, label, u.i AS d,
+           CAST(round(v[u.i] * 1e6) AS BIGINT) AS xm
+    FROM e, unnest(generate_series(1, len(v))) AS u(i)
+),
+s AS (
+    SELECT label, d, sum(xm) AS sm, CAST(count(*) AS BIGINT) AS nd
+    FROM m GROUP BY label, d
+),
+dev AS (
+    SELECT m.vec_id, m.label,
+           CAST(m.xm * s.nd - s.sm AS HUGEINT) AS dv
+    FROM m JOIN s ON s.label = m.label AND s.d = m.d
+),
+d2 AS (
+    SELECT vec_id, label, sum(dv * dv) AS d2n2
+    FROM dev GROUP BY vec_id, label
+),
+nl AS (
+    SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM e GROUP BY label
+)
+SELECT label, vec_id, n_label,
+       round(CAST(d2n2 AS DOUBLE)
+             / (CAST(n_label AS DOUBLE) * n_label * 1e12), 6) AS d2,
+       CAST(rk AS INT) AS rk
+FROM (
+    SELECT d2.*, nl.n_label,
+           row_number() OVER (PARTITION BY d2.label
+                              ORDER BY d2.d2n2 DESC, d2.vec_id) AS rk
+    FROM d2 JOIN nl ON nl.label = d2.label
+)
+WHERE rk <= 5
+ORDER BY label, rk
+"""
+
+
+@register(
+    "embedding_centroid_outliers",
+    oracle=_CENTROID_OUTLIER_ORACLE,
+    doc="Embedding-space outlier detection per label: the top-5 "
+    "vectors farthest (squared L2) from their label centroid — the "
+    "mislabeled/garbage-embedding screen run before clustering or "
+    "dedup trusts the labels. Exactness: coordinates are scaled to "
+    "integer MICROunits, and the distance to the mean is ranked as "
+    "sum_d (n*x_d - S_d)^2 — the centroid never materializes as an "
+    "inexact division; every compared quantity is an exact integer "
+    "(decimal(38,0) on Spark, HUGEINT in DuckDB), so the outlier "
+    "ranking is bit-deterministic and ties (exact-duplicate "
+    "vectors) break on vec_id. The float d2 = d2n2/(n^2 * 1e12) "
+    "appears once, at emission, rounded. Plan: per-dim explode is "
+    "map-side (64x rows, combined by partial aggs); the per-"
+    "(label,dim) moment table is tiny (labels x dims) and "
+    "broadcast back; the only data-sized shuffles are the two "
+    "hash aggs on (label,d) and vec_id; top-k runs per label "
+    "(bounded k output). NULL label/embedding excluded by "
+    "contract (no stratum / no point).",
+    tags=("similarity", "quality", "llm-pipeline"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    m = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x").cast("double") * 1e6).cast("long").alias("xm"),
+    )
+    s = m.groupBy("label", "d").agg(
+        F.sum("xm").alias("sm"), F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    dev = m.join(F.broadcast(s), ["label", "d"]).select(
+        "vec_id",
+        "label",
+        (F.col("xm") * F.col("nd") - F.col("sm"))
+        .cast("decimal(38,0)")
+        .alias("dv"),
+    )
+    d2 = dev.groupBy("vec_id", "label").agg(
+        F.sum(F.col("dv") * F.col("dv")).alias("d2n2")
+    )
+    nl = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label")
+    )
+    w = W.partitionBy("label").orderBy(F.col("d2n2").desc(), "vec_id")
+    return (
+        d2.join(F.broadcast(nl), "label")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _OUTLIER_TOP)
+        .select(
+            "label",
+            "vec_id",
+            "n_label",
+            F.round(
+                F.col("d2n2").cast("double")
+                / (F.col("n_label").cast("double") * F.col("n_label") * 1e12),
+                6,
+            ).alias("d2"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("label", "rk")
+    )

@@ -172,7 +172,20 @@ _REVERIFY: frozenset[str] = frozenset(
 # ROUND START (update_green_bank.py --check warns while it is
 # non-empty): once the round's verdicts land, these are ordinary
 # never-green queries and belong at the head of the fresh tier.
-_DEFER_FRESH: frozenset[str] = frozenset()
+_DEFER_FRESH: frozenset[str] = frozenset(
+    {
+        # r6 continuation wave, registered AFTER the r6 window was
+        # exactly full (22 fresh + 28 _REVERIFY = 50): locally
+        # 6-dataset-certified (sf0.1, sf1synth, adversarial/empty/
+        # dup/neg — SCALING.md "Round-6 continuation"), they must
+        # not evict a judge-demanded re-adjudication; they head the
+        # r7 fresh tier once the r6 verdicts land.
+        "heaps_vocab_growth",
+        "source_overlap_jaccard",
+        "embedding_centroid_outliers",
+        "wordpiece_segment_vocab",
+    }
+)
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the
 # fresh tier (none has a driver verdict, so they auto-sort into the
 # r5 window per VERDICT r4 #1). Re-populate only if a round's window

@@ -71,6 +71,10 @@ R6_EMPTY_GREEN = [
     "daily_drift_report",
     "readability_profile",
     "neyman_allocation",
+    "heaps_vocab_growth",
+    "source_overlap_jaccard",
+    "embedding_centroid_outliers",
+    "wordpiece_segment_vocab",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN
 

@@ -57,6 +57,12 @@ INVARIANCE_SET = [
     "daily_drift_report",
     "readability_profile",
     "neyman_allocation",
+    # round-6 continuation wave (two-level cumsum; ranked decimal
+    # distances; collected-vocab greedy segmentation; pair Jaccard)
+    "heaps_vocab_growth",
+    "embedding_centroid_outliers",
+    "wordpiece_segment_vocab",
+    "source_overlap_jaccard",
 ]
 
 
