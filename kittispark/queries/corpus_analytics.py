@@ -576,6 +576,15 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias("term"),
     ).where(F.col("term") != "")
+    return vocab_growth_curve(tokens)
+
+
+def vocab_growth_curve(tokens: DataFrame) -> DataFrame:
+    """Heaps-law curve over a (doc_id, term) occurrence table: per
+    doc_id (ascending) the token count, never-seen-before term count
+    (first occurrence = min doc_id), and the two running totals via
+    the two-level bucket prefix-sum (no single-partition window over
+    per-doc rows)."""
     pd_ = tokens.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens")
     )
@@ -693,6 +702,13 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term") != "")
         .distinct()
     )
+    return vocab_jaccard_pairs(vocab)
+
+
+def vocab_jaccard_pairs(vocab: DataFrame) -> DataFrame:
+    """Pairwise Jaccard over a DISTINCT (source, term) vocabulary
+    table: term-keyed pair join + broadcast size joins; pairs with
+    empty intersection are absent (their Jaccard is 0)."""
     sizes = vocab.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -646,7 +646,21 @@ def wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("freq")
     )
 
-    # subword-candidate weights over DISTINCT words x positions
+    init, cont = wordpiece_vocab_top(wf)
+    return wordpiece_segment(wf, init, cont).orderBy(
+        F.col("freq").desc(), "w"
+    )
+
+
+def wordpiece_vocab_top(
+    wf: DataFrame, n_slots: int = _WP_V
+) -> tuple[dict[int, list[str]], dict[int, list[str]]]:
+    """Corpus-derived subword vocab: the top ``n_slots`` length-2..4
+    substrings of the distinct-word table by occurrence-weighted
+    frequency, split into initial vs '##'-continuation forms.
+    Returns ({len: [subs]}, {len: [subs]}) for (initial, cont) from
+    a bounded <= n_slots-row driver collect (the broadcast-centroids
+    pattern). ``wf`` must have columns (w, freq)."""
     pos = wf.select(
         "w", "freq",
         F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p"),
@@ -665,22 +679,36 @@ def wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         subs.groupBy("is_cont", "sub")
         .agg(F.sum("freq").alias("w8"))
         .orderBy(F.col("w8").desc(), "is_cont", "sub")
-        .limit(_WP_V)
+        .limit(n_slots)
         .select("is_cont", "sub")
-        .collect()  # bounded: <= _WP_V rows (broadcast-centroids pattern)
+        .collect()
     )
-    init = {2: [], 3: [], 4: []}
-    cont = {2: [], 3: [], 4: []}
+    init: dict[int, list[str]] = {2: [], 3: [], 4: []}
+    cont: dict[int, list[str]] = {2: [], 3: [], 4: []}
     for r in top:
         (cont if r.is_cont else init)[len(r.sub)].append(r.sub)
+    return init, cont
+
+
+def wordpiece_segment(
+    wf: DataFrame,
+    init: dict[int, list[str]],
+    cont: dict[int, list[str]],
+    max_wlen: int = _WP_MAX_WLEN,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation of the
+    distinct-word table against literal vocab sets (single chars
+    always match implicitly, so segmentation never dead-ends).
+    ``max_wlen`` statically bounds the match loop; longer words emit
+    one [UNK]. Returns (w, freq, n_tokens, wp_tokens)."""
 
     def _member(c, vals):
         return c.isin(vals) if vals else F.lit(False)
 
-    seg = wf.where(F.length("w") <= _WP_MAX_WLEN).select(
+    seg = wf.where(F.length("w") <= max_wlen).select(
         "w", "freq", F.lit(1).alias("pos"), F.lit("").alias("toks")
     )
-    for _ in range(_WP_MAX_WLEN):
+    for _ in range(max_wlen):
         active = F.col("pos") <= F.length("w")
         is_cont = F.col("pos") > 1
         # ascending wrap order makes the n=4 WHEN outermost, so the
@@ -720,10 +748,10 @@ def wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("toks", " ")).cast("bigint").alias("n_tokens"),
         F.col("toks").alias("wp_tokens"),
     )
-    unk = wf.where(F.length("w") > _WP_MAX_WLEN).select(
+    unk = wf.where(F.length("w") > max_wlen).select(
         "w",
         "freq",
         F.lit(1).cast("bigint").alias("n_tokens"),
         F.lit("[UNK]").alias("wp_tokens"),
     )
-    return done.unionByName(unk).orderBy(F.col("freq").desc(), "w")
+    return done.unionByName(unk)

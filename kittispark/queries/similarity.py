@@ -1226,11 +1226,20 @@ ORDER BY label, rk
     tags=("similarity", "quality", "llm-pipeline"),
 )
 def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = t(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
+    return centroid_outlier_topk(emb, k=_OUTLIER_TOP)
+
+
+def centroid_outlier_topk(emb: DataFrame, k: int) -> DataFrame:
+    """Top-k farthest-from-label-centroid vectors per label over a
+    (vec_id, label, embedding) table, ranked by the exact integer
+    sum_d (n*x_d - S_d)^2 in micro-scaled coordinates — the centroid
+    never materializes as an inexact division. Ties break on vec_id;
+    the float d2 appears once, at emission."""
+    from pyspark.sql import Window as W
+
     m = emb.select(
         "vec_id",
         "label",
@@ -1261,7 +1270,7 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d2.join(F.broadcast(nl), "label")
         .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _OUTLIER_TOP)
+        .where(F.col("rk") <= k)
         .select(
             "label",
             "vec_id",
