@@ -104,6 +104,13 @@ HEADLINE = [
     # the composed IVFADC system — cell-pruned ADC, the flagship ANN
     # serving shape; belongs under the clock next to its PQ halves:
     "ivfadc_topk",
+    # round-6 continuation: the heaviest of the wave — WordPiece
+    # greedy segmentation (vocab derivation + 16 generated-SQL match
+    # rounds; the third tokenizer family under the clock next to
+    # BPE) and the Heaps-law growth curve (two-level prefix sums
+    # over per-doc token/new-term counts):
+    "wordpiece_segment_vocab",
+    "heaps_vocab_growth",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

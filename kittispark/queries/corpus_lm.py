@@ -642,8 +642,14 @@ def wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w")
     ).where(F.col("w") != "")
-    wf = words.groupBy("w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq")
+    # The distinct-word table feeds the vocab derivation, both
+    # segmentation branches, and the UNK branch — materialize it
+    # ONCE (vocab-sized; the semantic_dedup shared-frontier
+    # pattern) instead of re-tokenizing the corpus per consumer.
+    wf = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=True)
     )
 
     init, cont = wordpiece_vocab_top(wf)
@@ -700,58 +706,62 @@ def wordpiece_segment(
     distinct-word table against literal vocab sets (single chars
     always match implicitly, so segmentation never dead-ends).
     ``max_wlen`` statically bounds the match loop; longer words emit
-    one [UNK]. Returns (w, freq, n_tokens, wp_tokens)."""
+    one [UNK]. Returns (w, freq, n_tokens, wp_tokens).
 
-    def _member(c, vals):
-        return c.isin(vals) if vals else F.lit(False)
+    The rounds are emitted as ONE generated SQL statement (the same
+    CTE chain the oracle runs, vocab as literal IN-lists): chaining
+    16 DataFrame.select calls re-analyzes the growing plan per round
+    (quadratic driver cost, ~1.9 s per call at any data size); the
+    single spark.sql goes through analysis once. Semantics are
+    identical — the flat CASE tries the longest subword first, like
+    the ascending-wrap WHEN chain it replaces."""
 
-    seg = wf.where(F.length("w") <= max_wlen).select(
-        "w", "freq", F.lit(1).alias("pos"), F.lit("").alias("toks")
-    )
-    for _ in range(max_wlen):
-        active = F.col("pos") <= F.length("w")
-        is_cont = F.col("pos") > 1
-        # ascending wrap order makes the n=4 WHEN outermost, so the
-        # evaluated chain tries the LONGEST subword first
-        step = F.lit(1)
-        for n in (2, 3, 4):
-            cand = F.col("w").substr(F.col("pos"), F.lit(n))
-            hit = (F.length(cand) == n) & F.when(
-                is_cont, _member(cand, cont[n])
-            ).otherwise(_member(cand, init[n]))
-            step = F.when(hit, n).otherwise(step)
-        tok = F.concat(
-            F.when(is_cont, F.lit("##")).otherwise(F.lit("")),
-            F.col("w").substr(F.col("pos"), step),
+    def _inlist(cand: str, vals: list[str]) -> str:
+        if not vals:
+            return "FALSE"
+        lits = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+        return f"{cand} IN ({lits})"
+
+    def _hit(n: int) -> str:
+        cand = f"substring(w, pos, {n})"
+        return (
+            f"length({cand}) = {n} AND (CASE WHEN pos > 1 "
+            f"THEN {_inlist(cand, cont[n])} "
+            f"ELSE {_inlist(cand, init[n])} END)"
         )
-        seg = seg.select(
-            "w",
-            "freq",
-            F.when(active, F.col("pos") + step)
-            .otherwise(F.col("pos"))
-            .alias("pos"),
-            F.when(
-                active,
-                F.concat(
-                    F.when(F.col("toks") == "", F.lit("")).otherwise(
-                        F.concat(F.col("toks"), F.lit(" "))
-                    ),
-                    tok,
-                ),
-            )
-            .otherwise(F.col("toks"))
-            .alias("toks"),
-        )
-    done = seg.select(
-        "w",
-        "freq",
-        F.size(F.split("toks", " ")).cast("bigint").alias("n_tokens"),
-        F.col("toks").alias("wp_tokens"),
+
+    step = (
+        f"CASE WHEN {_hit(4)} THEN 4 "
+        f"WHEN {_hit(3)} THEN 3 "
+        f"WHEN {_hit(2)} THEN 2 ELSE 1 END"
     )
-    unk = wf.where(F.length("w") > max_wlen).select(
-        "w",
-        "freq",
-        F.lit(1).cast("bigint").alias("n_tokens"),
-        F.lit("[UNK]").alias("wp_tokens"),
-    )
-    return done.unionByName(unk)
+    rounds = []
+    for r in range(1, max_wlen + 1):
+        rounds.append(f""",
+    seg{r} AS (
+        SELECT w, freq,
+               CASE WHEN active THEN pos + step ELSE pos END AS pos,
+               CASE WHEN active THEN
+                   (CASE WHEN toks = '' THEN '' ELSE toks || ' ' END)
+                   || (CASE WHEN pos > 1 THEN '##' ELSE '' END)
+                   || substring(w, pos, step)
+               ELSE toks END AS toks
+        FROM (SELECT w, freq, pos, toks, pos <= length(w) AS active,
+                     {step} AS step
+              FROM seg{r - 1})
+    )""")
+    sql = f"""
+    WITH seg0 AS (
+        SELECT w, freq, 1 AS pos, '' AS toks
+        FROM {{wf}} WHERE length(w) <= {max_wlen}
+    ){''.join(rounds)}
+    SELECT w, freq,
+           CAST(size(split(toks, ' ')) AS BIGINT) AS n_tokens,
+           toks AS wp_tokens
+    FROM seg{max_wlen}
+    UNION ALL
+    SELECT w, freq, CAST(1 AS BIGINT) AS n_tokens,
+           '[UNK]' AS wp_tokens
+    FROM {{wf}} WHERE length(w) > {max_wlen}
+    """
+    return wf.sparkSession.sql(sql, wf=wf)

@@ -768,3 +768,59 @@ def test_ivfadc_prunes_then_looks_up(plans):
     assert (
         len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 4
     ), plan
+
+
+def test_heaps_growth_two_level_cumsum(plans):
+    """The Heaps-curve running sums must be two-level: per-doc rows
+    go through a _b-partitioned window; the ONE SinglePartition
+    exchange carries only the bucket-partial table (corpus/1024
+    rows), and the offset join rides a broadcast — never a
+    sort-merge shuffle of per-doc rows."""
+    plan = plans("heaps_vocab_growth")
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "_b" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_jaccard_vocab_collapsed_no_global_exchange(plans):
+    """Pair intersection joins run over DISTINCT vocabulary rows
+    with equi-keys only (no cartesian), sizes ride broadcasts, and
+    nothing funnels through a single partition."""
+    plan = plans("source_overlap_jaccard")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_outliers_broadcast_moments_ranked_limit(plans):
+    """The per-(label,dim) moment table joins back via broadcast
+    (it is labels x dims rows, never data-sized), the top-k rank is
+    pushed down as WindowGroupLimit, and no single-partition
+    exchange appears."""
+    plan = plans("embedding_centroid_outliers")
+    assert "SinglePartition" not in plan, plan
+    import re as _re
+
+    assert _re.search(
+        r"^\(\d+\) BroadcastExchange", plan, _re.MULTILINE
+    ), plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wordpiece_rounds_are_pure_projection(plans):
+    """All 16 greedy-match rounds compile to whole-stage-codegen
+    projections over the distinct-word table: the collected literal
+    vocab means NO join of any kind anywhere in the plan, and no
+    single-partition exchange."""
+    plan = plans("wordpiece_segment_vocab")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+    ):
+        assert node not in plan, (node, plan)
+    assert "SinglePartition" not in plan, plan
