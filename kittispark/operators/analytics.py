@@ -425,3 +425,60 @@ def global_cumsum(
         .withColumn(out_col, F.col("__off") + F.col("__lc"))
         .drop("__pid", "__lc", "__opid", "__off")
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    *order_cols: Column,
+    out_col: str = "rank",
+    total_col: str = "n_group",
+) -> DataFrame:
+    """Exact PER-GROUP row_number over a total order WITHOUT a
+    per-group single-partition window: the group-key generalization
+    of global_rank. repartitionByRange on (group, order) places each
+    group's keys in contiguous order across partitions; the local
+    window partitions by (partition, group) and runs in parallel
+    regardless of how large any one group is; the offset/total
+    table is (partitions x groups) rows — its window is over
+    partition ids, never data. Order must be total within a group
+    (include a unique tiebreak) for determinism. Attaches the group
+    total in ``total_col`` for free."""
+    parts = df.repartitionByRange(*group_cols, *order_cols)
+    w_local = W.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lr", F.row_number().over(w_local)
+    )
+    sizes = local.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*group_cols).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = sizes.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{g}") for g in group_cols],
+        (F.sum("__n").over(w_off) - F.col("__n")).alias("__off"),
+        F.sum("__n").over(w_all).alias("__tot"),
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{g}"))
+    return (
+        local.join(F.broadcast(offs), cond)
+        .withColumn(out_col, F.col("__off") + F.col("__lr"))
+        .withColumn(total_col, F.col("__tot"))
+        .drop(
+            "__pid",
+            "__lr",
+            "__opid",
+            "__off",
+            "__tot",
+            *[f"__og_{g}" for g in group_cols],
+        )
+    )

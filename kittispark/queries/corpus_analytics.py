@@ -739,3 +739,86 @@ def vocab_jaccard_pairs(vocab: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    sr AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS r,
+               count(*) OVER (PARTITION BY source) AS m
+        FROM b
+    ),
+    gr AS (
+        SELECT n_chars AS norm_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS g
+        FROM b
+    ),
+    n AS (SELECT count(*) AS nn FROM b)
+    SELECT sr.doc_id, sr.source, sr.n_chars,
+           CAST(gr.norm_chars AS BIGINT) AS norm_chars
+    FROM sr CROSS JOIN n
+    JOIN gr ON gr.g = (sr.r * n.nn - 1) // sr.m + 1
+    ORDER BY sr.doc_id
+    """,
+    doc="Quantile normalization of per-source document-length "
+    "distributions onto the GLOBAL distribution — the calibration "
+    "step that makes heterogeneous per-source scores comparable "
+    "before one corpus-wide threshold is applied (here with "
+    "n_chars as the score column; any score plugs into the same "
+    "shape). Each doc at within-source rank r of m maps to the "
+    "global order statistic at rank ceil(r*N/m) — pure integer "
+    "arithmetic ((r*N - 1) DIV m + 1; exact while N*m < 2^63, the "
+    "documented bound — past it, swap the exact global rank for "
+    "bucketed quantiles). BOTH rank sides are two-level prefix-sum "
+    "ranks (grouped_rank / global_rank), so no data-sized single-"
+    "partition window exists; the final lookup is a rank-keyed "
+    "equi-join. Ties break on doc_id; NULL n_chars/source excluded "
+    "by contract.",
+    tags=("stats", "corpus", "window"),
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import (
+        _exact_div,
+        global_rank,
+        grouped_rank,
+    )
+
+    b = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & F.col("source").isNotNull())
+        .select("doc_id", "source", "n_chars")
+    )
+    sr = grouped_rank(
+        b, ["source"], F.col("n_chars"), F.col("doc_id"), out_col="r",
+        total_col="m",
+    )
+    gr = global_rank(
+        b.select(F.col("n_chars").alias("norm_chars"), "doc_id"),
+        F.col("norm_chars"),
+        F.col("doc_id"),
+        out_col="g",
+        total_col="nn",
+    ).select("norm_chars", "g", "nn")
+    tgt = sr.join(
+        F.broadcast(gr.agg(F.max("nn").alias("nn"))), how="cross"
+    ).withColumn(
+        "g_tgt",
+        _exact_div(F.col("r") * F.col("nn") - 1, F.col("m")) + 1,
+    )
+    return (
+        tgt.join(gr.drop("nn"), F.col("g") == F.col("g_tgt"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("norm_chars").cast("bigint").alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -523,3 +523,112 @@ def interval_sweep_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "trimmed_winsorized_value",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, vm,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY vm, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ),
+    g AS (
+        SELECT event_type, vm, rk, n, n // 10 AS kt FROM r
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(kt) AS BIGINT) AS k_trim,
+               CAST(sum(vm) AS HUGEINT) AS s_all,
+               CAST(sum(CASE WHEN rk > kt AND rk <= n - kt
+                        THEN vm END) AS HUGEINT) AS s_mid,
+               max(CASE WHEN rk = kt + 1 THEN vm END) AS lo_cap,
+               max(CASE WHEN rk = n - kt THEN vm END) AS hi_cap
+        FROM g GROUP BY event_type
+    )
+    SELECT event_type, n, k_trim,
+           round(CAST(s_all AS DOUBLE) / n / 1e6, 6) AS mean,
+           round(CAST(s_mid AS DOUBLE) / (n - 2 * k_trim) / 1e6, 6)
+               AS trimmed_mean,
+           round((CAST(s_mid AS DOUBLE)
+                  + CAST(k_trim AS DOUBLE) * lo_cap
+                  + CAST(k_trim AS DOUBLE) * hi_cap) / n / 1e6, 6)
+               AS winsor_mean
+    FROM agg
+    ORDER BY event_type
+    """,
+    doc="10% trimmed and winsorized means of event value per event "
+    "type — the robust location estimates that survive the heavy "
+    "tails z-scores choke on (trimming drops the k = n DIV 10 "
+    "lowest and highest; winsorizing clamps them to the surviving "
+    "boundary values). Exactness: values ride integer micro-units; "
+    "per-group order statistics come from grouped_rank — the "
+    "two-level (partition x group) prefix-sum rank, so NO "
+    "data-sized single-partition window exists even when one group "
+    "holds the whole table; ranks, k, and every cross-row sum are "
+    "exact integers (DECIMAL(38,0) / HUGEINT); ties break on "
+    "event_id; the three means are identical single double "
+    "expressions per engine, rounded at emission. NULL values "
+    "excluded by contract; NULL event_type is its own group "
+    "(null-safe rank join).",
+    tags=("stats", "aggregate", "window"),
+)
+def trimmed_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.analytics import _exact_div, grouped_rank
+
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1e6, 0).cast("bigint").alias("vm"),
+    )
+    r = grouped_rank(
+        e, ["event_type"], F.col("vm"), F.col("event_id"), out_col="rk"
+    )
+    g = r.withColumn("kt", _exact_div(F.col("n_group"), F.lit(10)))
+    mid = F.col("rk").between(F.col("kt") + 1, F.col("n_group") - F.col("kt"))
+    dec = "decimal(38,0)"
+    agg = g.groupBy("event_type").agg(
+        F.max("n_group").cast("bigint").alias("n"),
+        F.max("kt").cast("bigint").alias("k_trim"),
+        F.sum(F.col("vm").cast(dec)).alias("s_all"),
+        F.sum(F.when(mid, F.col("vm")).cast(dec)).alias("s_mid"),
+        F.max(F.when(F.col("rk") == F.col("kt") + 1, F.col("vm"))).alias(
+            "lo_cap"
+        ),
+        F.max(
+            F.when(F.col("rk") == F.col("n_group") - F.col("kt"), F.col("vm"))
+        ).alias("hi_cap"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "k_trim",
+        F.round(F.col("s_all").cast("double") / F.col("n") / 1e6, 6).alias(
+            "mean"
+        ),
+        F.round(
+            F.col("s_mid").cast("double")
+            / (F.col("n") - 2 * F.col("k_trim"))
+            / 1e6,
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("s_mid").cast("double")
+                + F.col("k_trim").cast("double") * F.col("lo_cap")
+                + F.col("k_trim").cast("double") * F.col("hi_cap")
+            )
+            / F.col("n")
+            / 1e6,
+            6,
+        ).alias("winsor_mean"),
+    ).orderBy("event_type")

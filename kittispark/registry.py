@@ -184,6 +184,8 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "source_overlap_jaccard",
         "embedding_centroid_outliers",
         "wordpiece_segment_vocab",
+        "trimmed_winsorized_value",
+        "quantile_normalize_doclen",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

@@ -212,3 +212,110 @@ def test_centroid_outlier_rank_matches_bruteforce(spark, vecs):
         for rk, (_, vid) in enumerate(scored[:3], start=1):
             want.append((lab, vid, rk))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),  # group (NULL is a group)
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_grouped_rank_matches_sorted_model(spark, rows):
+    from pyspark.sql import functions as F
+
+    from kittispark.operators.analytics import grouped_rank
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)],
+        "g string, v long, id long",
+    )
+    got = {
+        (r.g, r.id): (r["rank"], r.n_group)
+        for r in grouped_rank(
+            df, ["g"], F.col("v"), F.col("id")
+        ).collect()
+    }
+    by_g: dict[object, list[tuple[int, int]]] = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, items in by_g.items():
+        for rk, (_, i) in enumerate(sorted(items), start=1):
+            want[(g, i)] = (rk, len(items))
+    assert got == want
+
+
+def _r6(x: float) -> float:
+    """HALF_UP round to 6 places on the shortest decimal repr — the
+    Spark/DuckDB convention (Python's built-in round is half-even
+    and forks on exact .5 grid midpoints like 5e-07)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _trim_model(vals: list[int]):
+    n = len(vals)
+    k = n // 10
+    s = sorted(vals)
+    mid = s[k : n - k]
+    lo, hi = s[k], s[n - k - 1]
+    return (
+        n,
+        k,
+        _r6(sum(s) / n / 1e6),
+        _r6(sum(mid) / (n - 2 * k) / 1e6),
+        _r6((sum(mid) + k * lo + k * hi) / n / 1e6),
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_trimmed_winsorized_matches_sorted_model(spark, vals, tmp_path_factory):
+    """Drive the registered query through a synthetic events table:
+    one event_type, values chosen as exact micro-multiples so the
+    float->micro scaling is unambiguous."""
+    import duckdb
+
+    from kittispark import registry
+
+    d = tmp_path_factory.mktemp("trimfix")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT "
+        "CAST(i AS BIGINT) AS event_id, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND AS ts, "
+        "CAST(1 AS BIGINT) AS user_id, "
+        "'click' AS event_type, "
+        "CAST(v AS DOUBLE) / 1e6 AS value, "
+        "'{}' AS props "
+        "FROM (SELECT unnest(range(len($vals))) AS i, "
+        "unnest($vals) AS v)",
+        {"vals": [float(v) for v in vals]},
+    )
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    spec = registry.all_specs()["trimmed_winsorized_value"]
+    row = spec.fn(spark, str(d)).collect()
+    assert len(row) == 1
+    r = row[0]
+    n, k, mean, tmean, wmean = _trim_model(vals)
+    assert (r.n, r.k_trim) == (n, k)
+    assert r.mean == mean
+    assert r.trimmed_mean == tmean
+    assert r.winsor_mean == wmean

@@ -75,6 +75,8 @@ R6_EMPTY_GREEN = [
     "source_overlap_jaccard",
     "embedding_centroid_outliers",
     "wordpiece_segment_vocab",
+    "trimmed_winsorized_value",
+    "quantile_normalize_doclen",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN
 

@@ -63,6 +63,10 @@ INVARIANCE_SET = [
     "embedding_centroid_outliers",
     "wordpiece_segment_vocab",
     "source_overlap_jaccard",
+    # grouped_rank / global_rank consumers: per-group order
+    # statistics must not depend on partition count
+    "trimmed_winsorized_value",
+    "quantile_normalize_doclen",
 ]
 
 

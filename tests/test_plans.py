@@ -824,3 +824,30 @@ def test_wordpiece_rounds_are_pure_projection(plans):
     ):
         assert node not in plan, (node, plan)
     assert "SinglePartition" not in plan, plan
+
+
+def test_trimmed_winsorized_no_single_partition(plans):
+    """grouped_rank keeps per-group order statistics two-level: the
+    offset windows partition by (group), the local windows by
+    (partition, group) — NO single-partition exchange anywhere, even
+    though one event_type could hold the whole table."""
+    plan = plans("trimmed_winsorized_value")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_singleparts_are_partials_only(plans):
+    """The only SinglePartition exchanges are the global_rank
+    offset/total windows over the (partitions x 1) partial table and
+    the 1-row corpus-count scalar — bounded bookkeeping, never
+    per-doc rows; the one nested-loop join is that 1-row N
+    broadcast. The rank lookup itself is an equi-join."""
+    plan = plans("quantile_normalize_doclen")
+    assert plan.count("SinglePartition") <= 3, plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    assert (
+        len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, _re.MULTILINE))
+        <= 1
+    ), plan
