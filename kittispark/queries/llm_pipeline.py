@@ -646,3 +646,68 @@ def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "waste_frac"
         ),
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH b AS (
+        SELECT md5(text) AS digest, doc_id,
+               CASE WHEN instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                    THEN 1 ELSE 0 END AS tr
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT digest,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tr) AS BIGINT) AS n_train,
+               CAST(count(*) - sum(tr) AS BIGINT) AS n_holdout,
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        FROM b GROUP BY digest
+    )
+    SELECT digest, n_docs, n_train, n_holdout, doc_ids
+    FROM g WHERE n_train > 0 AND n_holdout > 0
+    ORDER BY digest
+    """,
+    doc="Split-leakage audit: exact-duplicate clusters (md5 text "
+    "digest) that span BOTH sides of the deterministic hash split "
+    "(train = first md5 nibble of doc_id < 13, the hash_split_sample "
+    "convention) — each emitted row is a verbatim eval-set "
+    "contamination: the same text trains AND evaluates. This is the "
+    "integrity gate run after split assignment and before training; "
+    "it composes the dedup digest convention with the split "
+    "convention so the two certified pieces audit each other. "
+    "Member ids are emitted as a sorted comma-joined string "
+    "(engine-portable serialization, the quality_filter reasons "
+    "pattern). Plan: one map-side digest+split projection, one "
+    "digest-keyed hash agg, a post-agg group filter — leakage "
+    "detection costs one shuffle at any corpus size. NULL text "
+    "excluded by contract (no digest).",
+    tags=("dedup", "llm-pipeline", "quality"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import md5_nibble
+
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    b = docs.select(
+        F.md5("text").alias("digest"),
+        "doc_id",
+        F.when(md5_nibble(F.col("doc_id"), 1) < 13, 1)
+        .otherwise(0)
+        .alias("tr"),
+    )
+    g = b.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tr").cast("bigint").alias("n_train"),
+        (F.count(F.lit(1)) - F.sum("tr")).cast("bigint").alias("n_holdout"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(doc_id)), "
+            "x -> cast(x as string)), ',')"
+        ).alias("doc_ids"),
+    )
+    return (
+        g.where((F.col("n_train") > 0) & (F.col("n_holdout") > 0))
+        .select("digest", "n_docs", "n_train", "n_holdout", "doc_ids")
+        .orderBy("digest")
+    )

@@ -186,6 +186,7 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "wordpiece_segment_vocab",
         "trimmed_winsorized_value",
         "quantile_normalize_doclen",
+        "split_leakage_audit",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

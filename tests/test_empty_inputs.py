@@ -77,6 +77,7 @@ R6_EMPTY_GREEN = [
     "wordpiece_segment_vocab",
     "trimmed_winsorized_value",
     "quantile_normalize_doclen",
+    "split_leakage_audit",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN
 
