@@ -27,47 +27,99 @@ from kittispark.queries._util import t
 @register(
     "q1_pricing_summary",
     oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity, 0) AS BIGINT)            AS ql,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100, 0) AS BIGINT)      AS dh,
+               CAST(round(l_tax * 100, 0) AS BIGINT)           AS th
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)                                       AS avg_qty,
-           round(avg(l_extendedprice), 2)                                  AS avg_price,
-           round(avg(l_discount), 4)                                       AS avg_disc,
-           count(*)                                                        AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           round(CAST(CAST(sum(ql) AS HUGEINT) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(CAST(sum(pc) AS HUGEINT) AS DOUBLE) / 100, 2)
+               AS sum_base_price,
+           round(CAST(sum(CAST(pc * (100 - dh) AS HUGEINT)) AS DOUBLE)
+                 / 10000, 2) AS sum_disc_price,
+           round(CAST(sum(CAST(pc * (100 - dh) * (100 + th) AS HUGEINT))
+                      AS DOUBLE) / 1000000, 2) AS sum_charge,
+           round(CAST(CAST(sum(ql) AS HUGEINT) AS DOUBLE) / count(*), 2)
+               AS avg_qty,
+           round(CAST(CAST(sum(pc) AS HUGEINT) AS DOUBLE) / count(*) / 100,
+                 2) AS avg_price,
+           round(CAST(CAST(sum(dh) AS HUGEINT) AS DOUBLE) / count(*) / 100,
+                 4) AS avg_disc,
+           count(*) AS count_order
+    FROM b
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape: filtered scan -> 2-key hash agg with 8 aggregates "
     "in one pass (reference analog: A1-A4 multi-aggregate fold, "
-    "data_pipeline.py:31-43).",
+    "data_pipeline.py:31-43). EXACT-CENTS discipline (the q6/q14 "
+    "convention): quantity/price/discount/tax ride their native "
+    "integer grids (units / cents / hundredths), disc_price and "
+    "charge are the exact integer products pc*(100-dh)[*(100+th)] "
+    "summed in DECIMAL(38,0)/HUGEINT, and every emitted float is "
+    "one identical double expression per engine, rounded once — "
+    "the raw-double formulation forked by one ulp in the 2nd "
+    "decimal at the 30M-row (50x) sweep scale because the two "
+    "engines sum multi-million-row groups in different orders.",
     tags=("agg", "flagship"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("ql"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("pc"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("dh"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("th"),
+    )
+    n = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        b.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("ql").cast(dec)).cast("double"), 2).alias(
+                "sum_qty"
+            ),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("pc").cast(dec)).cast("double") / 100, 2
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum((F.col("pc") * (100 - F.col("dh"))).cast(dec)).cast(
+                    "double"
+                )
+                / 10000,
+                2,
             ).alias("sum_disc_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+                    (
+                        F.col("pc")
+                        * (100 - F.col("dh"))
+                        * (100 + F.col("th"))
+                    ).cast(dec)
+                ).cast("double")
+                / 1000000,
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum(F.col("ql").cast(dec)).cast("double") / n, 2
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("pc").cast(dec)).cast("double") / n / 100, 2
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("dh").cast(dec)).cast("double") / n / 100, 4
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 

@@ -159,6 +159,18 @@ _REVERIFY: frozenset[str] = frozenset(
         "group_cube",
         "grouping_sets_explicit",
         "approx_count_distinct",
+        # r6-continuation 50x-sweep fix: the raw-double disc_price/
+        # charge sums forked by one ulp in the 2nd decimal at 30M
+        # rows; rewritten to the exact-cents integer products
+        # (q6/q14 convention). Gate-scale (sf0.01) values are
+        # bit-identical to the banked form, but sf0.1 shifts one
+        # cent — output changed, verdict voided. Queuing this makes
+        # the reverify tier 29 for a 50-slot window already holding
+        # 22 fresh: rank_fusion_rrf (last by registration order; its
+        # r6 rewrite is A/B-proven bit-identical) waits one round —
+        # the flagship's value change outranks a provably-identical
+        # compute-path change.
+        "q1_pricing_summary",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
