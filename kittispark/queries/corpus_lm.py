@@ -765,3 +765,165 @@ def wordpiece_segment(
     FROM {{wf}} WHERE length(w) > {max_wlen}
     """
     return wf.sparkSession.sql(sql, wf=wf)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer evaluation + SentencePiece seed vocabulary — the two
+# steps that bracket subword training in a real pipeline: candidate
+# generation BEFORE (unigram seed vocab, Kudo 2018 §3.2's "frequent
+# substrings" initialization) and fertility measurement AFTER
+# (tokens/word per corpus slice — the standard multilingual
+# tokenizer-equity metric).
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    oracle="WITH " + _bpe_round_ctes(3) + """,
+    wn AS (
+        SELECT w,
+               CAST(length(w) AS BIGINT) AS n_chars_w,
+               CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tok
+        FROM s3
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wn.n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(wn.n_chars_w) AS BIGINT) AS n_chars,
+           round(CAST(sum(wn.n_tok) AS DOUBLE) / count(*), 6)
+               AS fertility,
+           round(CAST(sum(wn.n_chars_w) AS DOUBLE) / sum(wn.n_tok), 6)
+               AS chars_per_token
+    FROM wd JOIN wn USING (w)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    doc="Tokenizer FERTILITY profile per corpus source: after "
+    "segmenting with the 3 learned BPE merges (the shared, cached "
+    "_bpe_learn loop — same merge table as bpe_learn_merges / "
+    "bpe_segment_corpus, so the three queries can never fork), "
+    "report tokens-per-word and chars-per-token per source — the "
+    "standard tokenizer-equity metric (a source whose fertility is "
+    "2x the corpus mean pays 2x the sequence length for the same "
+    "text; this table is what drives vocab rebalancing decisions). "
+    "Segmentation stays vocab-collapsed (distinct words only) and "
+    "the corpus joins back by word equi-key; the per-source fold is "
+    "integer sums with two final rounded divisions. The oracle "
+    "replays learning AND application from the same CTE generator.",
+    tags=("text", "llm-pipeline", "aggregate"),
+)
+def tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, segmented = _bpe_learn(spark, sf_dir, rounds=3)
+    wn = segmented.select(
+        "w",
+        F.length("w").cast("long").alias("n_chars_w"),
+        F.size(F.split("sym", " ")).cast("long").alias("n_tok"),
+    )
+    docs = t(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        doc_words.join(wn, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars_w").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+_SEED_MIN_LEN, _SEED_MAX_LEN, _SEED_TOP = 2, 5, 30
+
+
+@register(
+    "unigram_seed_vocab",
+    oracle=f"""
+    WITH wf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY w
+    ),
+    pieces AS (
+        SELECT substring(w, p, L) AS piece, freq
+        FROM wf,
+             LATERAL (SELECT unnest(generate_series(
+                 {_SEED_MIN_LEN}, {_SEED_MAX_LEN})) AS L) gl,
+             LATERAL (SELECT unnest(generate_series(
+                 1, length(w) - L + 1)) AS p) gp
+        WHERE length(w) >= L
+    )
+    SELECT piece,
+           CAST(sum(freq) AS BIGINT) AS occurrences,
+           CAST(length(piece) * sum(freq) AS BIGINT) AS score
+    FROM pieces
+    GROUP BY piece
+    ORDER BY score DESC, piece
+    LIMIT {_SEED_TOP}
+    """,
+    doc="SentencePiece-style SEED VOCABULARY for unigram-LM "
+    "training (Kudo 2018 §3.2: initialize with the most frequent "
+    "substrings, scored by frequency x length): every substring of "
+    "length 2..5 of every DISTINCT word is counted with the word's "
+    "corpus frequency, and the top 30 by score (freq-weighted "
+    "coverage in characters) are emitted. The substring explosion "
+    "runs over the vocab-collapsed word table — corpus occurrences "
+    "arrive as integer weights, so the explosion is vocab-sized, "
+    "not corpus-sized (the same collapse that makes the BPE learner "
+    "feasible at 100 TB). One shuffle on the piece key; top-k is a "
+    "partial+final TakeOrdered, never a global sort of all pieces. "
+    "All-integer, deterministic tiebreak (score desc, piece asc).",
+    tags=("text", "llm-pipeline", "aggregate"),
+)
+def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pieces = wf.select(
+        F.explode(
+            F.expr(
+                # NB: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+                # not empty — words shorter than L must hit the CASE
+                # arm, or they'd emit spurious truncated pieces.
+                f"flatten(transform(sequence({_SEED_MIN_LEN}, {_SEED_MAX_LEN}),"
+                " L -> case when length(w) >= L then transform("
+                "   sequence(1, length(w) - L + 1),"
+                "   p -> substring(w, p, L)) else array() end))"
+            )
+        ).alias("piece"),
+        "freq",
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("occurrences"))
+        .select(
+            "piece",
+            "occurrences",
+            (F.length("piece") * F.col("occurrences"))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "piece")
+        .limit(_SEED_TOP)
+    )

@@ -557,3 +557,171 @@ def media_avi_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, _AVI_INDEX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: the multimodal x dedup composition —
+# decode real image bytes, compute a blockwise average-hash, and
+# cluster by hash. Payload planes are keyed by doc_id % 37 so exact
+# duplicate images genuinely exist in the corpus.
+
+_PHASH_MOD = 37
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("did", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _synth_ppm_dup_payloads(docs: DataFrame) -> DataFrame:
+    """PPM payloads whose plane is keyed by did = doc_id % 37 (same
+    closed form as _synth_ppm_payloads, on did): docs sharing a did
+    carry byte-identical images — the duplicate population the
+    perceptual clusters must find."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d) % _PHASH_MOD
+                w, h = 4 + did % 5, 3 + did % 4
+                j = np.arange(w * h * 3, dtype="int64")
+                rgb = ((did * 13 + j * 11) % 256).astype("uint8").tobytes()
+                payloads.append(encode_ppm(w, h, rgb))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInPandas(
+        kernel, _PAYLOAD_SCHEMA
+    )
+
+
+def ahash_12bit(pixels: np.ndarray) -> int:
+    """Blockwise average-hash over a fixed 4x3 luminance grid, ALL
+    INTEGER: pixel luminance = r+g+b; grid cell (gx, gy) =
+    (x*4//w, y*3//h); bit(cell) = 1 iff the cell's mean luminance
+    strictly exceeds the image mean, decided exactly as
+    s_cell * n_total > s_total * n_cell (no float division anywhere,
+    so the hash can never fork on rounding). Returns the 12-bit hash
+    with bit index gy*4+gx."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    lum = pixels.astype("int64").sum(axis=2)  # (h, w)
+    gx = (np.arange(w, dtype="int64") * 4) // w
+    gy = (np.arange(h, dtype="int64") * 3) // h
+    cell = gy[:, None] * 4 + gx[None, :]  # (h, w) in 0..11
+    s = np.zeros(12, dtype="int64")
+    n = np.zeros(12, dtype="int64")
+    np.add.at(s, cell.ravel(), lum.ravel())
+    np.add.at(n, cell.ravel(), 1)
+    ts, tn = int(s.sum()), int(n.sum())
+    bits = (s * tn) > (ts * n)
+    return int((bits.astype("int64") << np.arange(12, dtype="int64")).sum())
+
+
+@register(
+    "media_phash_clusters",
+    oracle=f"""
+    WITH dd AS (
+        SELECT DISTINCT doc_id % {_PHASH_MOD} AS did
+        FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+        SELECT did, 4 + did % 5 AS w, 3 + did % 4 AS h FROM dd
+    ),
+    px AS (
+        SELECT did, w, h, j // 3 AS p,
+               CAST((did * 13 + j * 11) % 256 AS BIGINT) AS v
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1))
+                      AS j) g
+    ),
+    lum AS (
+        SELECT did, w, h, p, sum(v) AS lv
+        FROM px GROUP BY did, w, h, p
+    ),
+    cells AS (
+        SELECT did,
+               (((p // w) * 3) // h) * 4 + ((p % w) * 4) // w AS cell,
+               lv
+        FROM lum
+    ),
+    csum AS (
+        SELECT did, cell, sum(lv) AS s, count(*) AS n
+        FROM cells GROUP BY did, cell
+    ),
+    tot AS (
+        SELECT did, sum(s) AS ts, sum(n) AS tn FROM csum GROUP BY did
+    ),
+    hashes AS (
+        SELECT c.did,
+               CAST(sum(CASE WHEN c.s * t.tn > t.ts * c.n
+                             THEN 1 << c.cell ELSE 0 END) AS BIGINT)
+                   AS phash
+        FROM csum c JOIN tot t USING (did)
+        GROUP BY c.did
+    )
+    SELECT h.phash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.doc_id % {_PHASH_MOD}) AS BIGINT)
+               AS n_planes,
+           CAST(min(d.doc_id) AS BIGINT) AS min_doc
+    FROM documents d
+    JOIN hashes h ON d.doc_id % {_PHASH_MOD} = h.did
+    WHERE d.doc_id < 200
+    GROUP BY h.phash
+    ORDER BY h.phash
+    """,
+    doc="Perceptual-hash image dedup — the multimodal x dedup "
+    "composition: REAL PPM bytes (planes keyed by doc_id % 37, so "
+    "byte-identical duplicates exist) are decoded by the stdlib P6 "
+    "parser and reduced to a 12-bit blockwise average-hash "
+    "(ahash_12bit: 4x3 luminance grid, bit = cell mean > image "
+    "mean decided EXACTLY as s_cell*n_tot > s_tot*n_cell — integer "
+    "cross-multiplication, no float thresholds), then clustered by "
+    "hash: docs per cluster, distinct pixel planes per cluster "
+    "(collisions of DIFFERENT planes are the perceptual part), and "
+    "the representative min doc_id. At 100 TB this is the standard "
+    "image-dedup shape: one decode+hash map pass (Arrow-batched, "
+    "per-image work is O(pixels)), one shuffle on the 12-bit hash "
+    "key — candidate groups only, never pairwise pixel comparison. "
+    "The oracle recomputes decode AND hash in closed form from "
+    "doc_id, so a hash-match adjudicates the binary parse, the "
+    "grid geometry, and the threshold rule end to end.",
+    tags=("multimodal", "dedup", "udf"),
+)
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.multimodal import decode_ppm
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_ppm_dup_payloads(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_ppm(payload)
+                rows.append(
+                    (
+                        int(d),
+                        int(d) % _PHASH_MOD,
+                        ahash_12bit(out["pixels"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PHASH_SCHEMA.fields]
+            )
+
+    hashed = media.mapInPandas(kernel, _PHASH_SCHEMA)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("did").cast("bigint").alias("n_planes"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("phash")
+    )

@@ -34,6 +34,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # the driver's correctness gate adjudicates the first 50 registered
 # queries, so the families without a prior driver verdict come first.
 _QUERY_MODULES = (
+    "kittispark.queries.governance",
     "kittispark.queries.curation",
     "kittispark.queries.storage_ops",
     "kittispark.queries.vectors_ext",
@@ -199,6 +200,14 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "trimmed_winsorized_value",
         "quantile_normalize_doclen",
         "split_leakage_audit",
+        # r6 second-continuation wave (same rationale: the r6 window
+        # is exactly full; these head the r7 fresh tier):
+        "kanonymity_audit",
+        "record_linkage_blocked_pairs",
+        "curriculum_phase_mix",
+        "tokenizer_fertility_by_source",
+        "unigram_seed_vocab",
+        "media_phash_clusters",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

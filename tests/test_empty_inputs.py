@@ -79,7 +79,21 @@ R6_EMPTY_GREEN = [
     "quantile_normalize_doclen",
     "split_leakage_audit",
 ]
-EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN
+
+# Round-6 second-continuation wave: kanonymity_audit needed one
+# empty-input fix at landing (Spark sum(when) is NULL over zero rows
+# where DuckDB count FILTER is 0 — coalesced), curriculum_phase_mix
+# needed the explicit NULLS FIRST ordering contract; the rest were
+# born green. Pinned like the rest so refactors can't regress.
+R6C_EMPTY_GREEN = [
+    "kanonymity_audit",
+    "record_linkage_blocked_pairs",
+    "curriculum_phase_mix",
+    "tokenizer_fertility_by_source",
+    "unigram_seed_vocab",
+    "media_phash_clusters",
+]
+EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

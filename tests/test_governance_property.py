@@ -1,0 +1,92 @@
+"""Property tests for the governance/tokenizer wave against
+brute-force Python models: the 12-bit blockwise average-hash (every
+legal image geometry, adversarial flat/striped planes) and the NTILE
+closed form used by curriculum_phase_mix (every (N, k=4) shape,
+including N < k, N % 4 != 0, and the single-row corpus).
+
+The DuckDB oracles already adjudicate both on the fixture tables;
+these cover input shapes the fixtures can't reach, with an
+independent model — the brute-vs-composed pattern of
+test_graph_property."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from kittispark.queries.multimodal import ahash_12bit
+
+
+def _brute_ahash(pixels: np.ndarray) -> int:
+    """Independent model: per-cell membership by explicit loops,
+    threshold via exact Fraction comparison of means."""
+    from fractions import Fraction
+
+    h, w, _ = pixels.shape
+    cells: dict[int, list[int]] = {i: [] for i in range(12)}
+    for y in range(h):
+        for x in range(w):
+            lum = int(pixels[y, x, 0]) + int(pixels[y, x, 1]) + int(
+                pixels[y, x, 2]
+            )
+            cell = (y * 3 // h) * 4 + (x * 4 // w)
+            cells[cell].append(lum)
+    allv = [v for vs in cells.values() for v in vs]
+    mean_all = Fraction(sum(allv), len(allv))
+    out = 0
+    for c, vs in cells.items():
+        if vs and Fraction(sum(vs), len(vs)) > mean_all:
+            out |= 1 << c
+    return out
+
+
+@given(
+    w=st.integers(min_value=4, max_value=8),
+    h=st.integers(min_value=3, max_value=6),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_ahash_matches_brute_model(w, h, data):
+    n = w * h * 3
+    flat = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255), min_size=n, max_size=n
+        )
+    )
+    pixels = np.array(flat, dtype="uint8").reshape(h, w, 3)
+    assert ahash_12bit(pixels) == _brute_ahash(pixels)
+
+
+def test_ahash_flat_plane_has_no_bits():
+    """A constant image: no cell mean strictly exceeds the global
+    mean, so the hash is exactly 0 (the strict > contract)."""
+    for v in (0, 128, 255):
+        pixels = np.full((4, 5, 3), v, dtype="uint8")
+        assert ahash_12bit(pixels) == 0
+
+
+def _ntile_model(n: int, k: int = 4) -> list[int]:
+    """SQL-standard NTILE: the first n % k buckets take
+    ceil(n / k) rows, the rest floor(n / k) — larger buckets first."""
+    q, rem = divmod(n, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (q + 1 if b <= rem else q))
+    return out
+
+
+def _closed_form(r: int, n: int) -> int:
+    """The expression curriculum_phase_mix evaluates per row."""
+    q, rem = divmod(n, 4)
+    cutoff = rem * (q + 1)
+    if r <= cutoff:
+        return (r - 1) // (q + 1) + 1
+    return rem + (r - cutoff - 1) // max(q, 1) + 1
+
+
+@given(n=st.integers(min_value=1, max_value=200))
+@settings(max_examples=60, deadline=None)
+def test_ntile_closed_form_matches_model(n):
+    model = _ntile_model(n)
+    got = [_closed_form(r, n) for r in range(1, n + 1)]
+    assert got == model

@@ -851,3 +851,53 @@ def test_quantile_normalize_singleparts_are_partials_only(plans):
         len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, _re.MULTILINE))
         <= 1
     ), plan
+
+
+def test_record_linkage_is_blocked_equi_join(plans):
+    """Blocked record linkage must plan as an EQUI-join on the
+    blocking key (nation, digit prefix) — never a cartesian or
+    nested-loop pair enumeration; the Levenshtein comparator runs
+    on candidates only, after the join."""
+    plan = plans("record_linkage_blocked_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_curriculum_phase_no_per_row_single_partition(plans):
+    """The NTILE closed form rides global_rank: the only
+    SinglePartition exchanges are over the (partitions x 1) offset
+    table — bounded bookkeeping — never the per-document rows (a
+    native ntile() window would be one global sort on one
+    partition)."""
+    plan = plans("curriculum_phase_mix")
+    # global_rank's offset/total windows over the tiny size table
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "ntile" not in plan.lower(), plan
+
+
+def test_unigram_seed_vocab_takeordered_not_global_sort(plans):
+    """Top-30 seed pieces must plan as TakeOrderedAndProject
+    (partial per-partition top-k + final merge), never a global
+    Sort of the full piece table; the substring explosion runs over
+    the vocab-collapsed word table (one shuffle to build word
+    frequencies, one for the piece aggregation)."""
+    plan = plans("unigram_seed_vocab")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_clusters_single_hash_shuffle(plans):
+    """Perceptual-hash dedup is one decode+hash MAP pass (Arrow
+    mapInPandas) followed by one shuffle on the hash key — no join,
+    no pairwise comparison anywhere in the plan."""
+    plan = plans("media_phash_clusters")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert "MapInPandas" in plan
