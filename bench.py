@@ -111,6 +111,16 @@ HEADLINE = [
     # over per-doc token/new-term counts):
     "wordpiece_segment_vocab",
     "heaps_vocab_growth",
+    # round-6 second continuation: the heaviest of the governance /
+    # tokenizer-eval / image-dedup wave — perceptual-hash image
+    # dedup (200 real PPM decodes + integer aHash per iteration,
+    # the densest mapInPandas in the registry), the SentencePiece
+    # seed-vocab substring explosion (~14 pieces per distinct word),
+    # and blocked record linkage (nation+prefix equi-join +
+    # Levenshtein comparator):
+    "media_phash_clusters",
+    "unigram_seed_vocab",
+    "record_linkage_blocked_pairs",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

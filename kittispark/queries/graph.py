@@ -182,6 +182,13 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
                 ).alias("lbl"),
             )
         )
+        # NOTE: each round consumes the previous labels twice (the
+        # neighbor join and the keep-own left join), but an
+        # inter-round localCheckpoint measured FLAT at sf0.1 —
+        # Catalyst's ReuseExchange already deduplicates the repeated
+        # subtree, so the double consumption costs one shuffle read,
+        # not a recompute. Keep the plan fully declarative; revisit
+        # only if rounds grows beyond the low single digits.
     return labels
 
 
