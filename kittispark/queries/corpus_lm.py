@@ -927,3 +927,108 @@ def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "piece")
         .limit(_SEED_TOP)
     )
+
+
+@register(
+    "kneser_ney_bigram",
+    oracle="""
+    WITH wd AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               string_split(text, ' ')[pos] AS w
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+                 1, len(string_split(text, ' ')))) AS pos) g
+        WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM wd a JOIN wd b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE length(a.w) > 0 AND length(b.w) > 0
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM pairs GROUP BY w1, w2
+    ),
+    lft AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS nf
+        FROM c12 GROUP BY w1
+    ),
+    rgt AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM c12 GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c12)
+    SELECT w1, w2, c AS pair_count,
+           round(CAST(greatest(4 * c - 3, 0) * b + 3 * nf * nb AS DOUBLE)
+                 / (4 * c1 * b), 6) AS p_kn
+    FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2), tot
+    ORDER BY pair_count DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Interpolated Kneser-Ney bigram probabilities (Kneser & Ney "
+    "1995; Chen & Goodman 1999 eq. 4.25) with discount d = 3/4: "
+    "P(w2|w1) = max(c12 - d, 0)/c1 + (d*N1+(w1.)/c1) * "
+    "(N1+(.w2)/B). With d on the quarter grid every term is exact "
+    "integer arithmetic over a single common denominator 4*c1*B — "
+    "numerator max(4*c12-3,0)*B + 3*N1+(w1.)*N1+(.w2) — so both "
+    "engines perform ONE identical float division per row "
+    "(int64-exact while 4*c1*B < 2^63; beyond that the same "
+    "expression rides DECIMAL(38), documented not needed below "
+    "~1e17 token-type product). c1 is the bigram-context count "
+    "(sum of c12 over w2), the convention under which interpolated "
+    "KN sums to exactly 1 per context — property-tested with "
+    "Fractions (tests/test_governance_property.py). Plan: one "
+    "doc-partitioned lead window for pair extraction, three "
+    "vocab-sized hash aggs, a 1-row broadcast for B; the oracle "
+    "derives pairs with an independent positional SELF-JOIN, so "
+    "agreement also checks the window against the join. Top-20 by "
+    "frequency, deterministic tiebreak.",
+    tags=("text", "llm-pipeline", "aggregate"),
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wd = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    pairs = (
+        wd.select(F.col("w").alias("w1"), nxt.alias("w2"))
+        .filter(
+            (F.length("w1") > 0)
+            & F.col("w2").isNotNull()
+            & (F.length("w2") > 0)
+        )
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lft = c12.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    rgt = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    num = (
+        F.greatest(4 * F.col("c") - 3, F.lit(0)) * F.col("b")
+        + 3 * F.col("nf") * F.col("nb")
+    )
+    return (
+        c12.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            F.round(
+                num.cast("double") / (4 * F.col("c1") * F.col("b")), 6
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(20)
+    )

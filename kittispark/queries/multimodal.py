@@ -725,3 +725,136 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phash")
     )
+
+
+@register(
+    "phash_hamming_near_dup",
+    oracle=f"""
+    WITH dd AS (
+        SELECT DISTINCT doc_id % {_PHASH_MOD} AS did
+        FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+        SELECT did, 4 + did % 5 AS w, 3 + did % 4 AS h FROM dd
+    ),
+    px AS (
+        SELECT did, w, h, j // 3 AS p,
+               CAST((did * 13 + j * 11) % 256 AS BIGINT) AS v
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1))
+                      AS j) g
+    ),
+    lum AS (
+        SELECT did, w, h, p, sum(v) AS lv
+        FROM px GROUP BY did, w, h, p
+    ),
+    cells AS (
+        SELECT did,
+               (((p // w) * 3) // h) * 4 + ((p % w) * 4) // w AS cell,
+               lv
+        FROM lum
+    ),
+    csum AS (
+        SELECT did, cell, sum(lv) AS s, count(*) AS n
+        FROM cells GROUP BY did, cell
+    ),
+    tot AS (
+        SELECT did, sum(s) AS ts, sum(n) AS tn FROM csum GROUP BY did
+    ),
+    hashes AS (
+        SELECT c.did,
+               CAST(sum(CASE WHEN c.s * t.tn > t.ts * c.n
+                             THEN 1 << c.cell ELSE 0 END) AS BIGINT)
+                   AS phash
+        FROM csum c JOIN tot t USING (did)
+        GROUP BY c.did
+    )
+    SELECT CAST(a.did AS BIGINT) AS did1,
+           CAST(b.did AS BIGINT) AS did2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.did < b.did
+    WHERE bit_count(xor(a.phash, b.phash)) <= 2
+    ORDER BY did1, did2
+    """,
+    doc="Near-duplicate IMAGE pairs at Hamming distance <= 2 over "
+    "the 12-bit perceptual hash, found with LSH-style BANDING: the "
+    "hash splits into 3 bands of 4 bits, candidates share at least "
+    "one full band, and candidates are verified with exact "
+    "bit_count(xor). The banding is EXACT here by pigeonhole — 2 "
+    "bit errors can corrupt at most 2 of 3 bands, so every "
+    "distance-<=2 pair shares a clean band (recall 1.0 by "
+    "construction, not probabilistically) — and the ORACLE computes "
+    "the unbanded all-pairs comparison, so agreement adjudicates "
+    "the pigeonhole argument itself. The pair join runs on the "
+    "DISTINCT (plane, hash) table — corpus duplicates collapse "
+    "before any pairing, and at 100 TB the banded equi-join "
+    "replaces the quadratic cross product exactly as in MinHash "
+    "LSH (same shape, binary metric). Hashes come off the REAL "
+    "decode path (mapInPandas PPM parse + integer aHash).",
+    tags=("multimodal", "dedup", "similarity", "udf"),
+)
+def phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.multimodal import decode_ppm
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_ppm_dup_payloads(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_ppm(payload)
+                rows.append(
+                    (
+                        int(d),
+                        int(d) % _PHASH_MOD,
+                        ahash_12bit(out["pixels"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PHASH_SCHEMA.fields]
+            )
+
+    hashes = (
+        media.mapInPandas(kernel, _PHASH_SCHEMA)
+        .select("did", "phash")
+        .distinct()
+    )
+    bands = hashes.select(
+        "did",
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 2), i -> "
+                "struct(i AS band, shiftright(phash, i * 4) % 16 AS val))"
+            )
+        ).alias("bv"),
+    ).select("did", "phash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("did").alias("did1"),
+        F.col("phash").alias("h1"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("did").alias("did2"),
+        F.col("phash").alias("h2"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("did1") < F.col("did2"))
+        .select("did1", "did2", "h1", "h2")
+        .distinct()
+    )
+    ham = F.expr("bit_count(h1 ^ h2)")
+    return (
+        cand.select(
+            F.col("did1").cast("bigint").alias("did1"),
+            F.col("did2").cast("bigint").alias("did2"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .orderBy("did1", "did2")
+    )

@@ -35,6 +35,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # queries, so the families without a prior driver verdict come first.
 _QUERY_MODULES = (
     "kittispark.queries.governance",
+    "kittispark.queries.training_prep",
     "kittispark.queries.curation",
     "kittispark.queries.storage_ops",
     "kittispark.queries.vectors_ext",
@@ -208,6 +209,10 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "tokenizer_fertility_by_source",
         "unigram_seed_vocab",
         "media_phash_clusters",
+        "mlm_masking_plan",
+        "stratified_kfold_assign",
+        "kneser_ney_bigram",
+        "phash_hamming_near_dup",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

@@ -92,6 +92,13 @@ R6C_EMPTY_GREEN = [
     "tokenizer_fertility_by_source",
     "unigram_seed_vocab",
     "media_phash_clusters",
+    # training-prep / LM / image-pairs wave: born green on the empty
+    # fixture (coalesced zero-row sums and NULL-text guards written
+    # at authoring time).
+    "mlm_masking_plan",
+    "stratified_kfold_assign",
+    "kneser_ney_bigram",
+    "phash_hamming_near_dup",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 

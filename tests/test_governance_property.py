@@ -90,3 +90,58 @@ def test_ntile_closed_form_matches_model(n):
     model = _ntile_model(n)
     got = [_closed_form(r, n) for r in range(1, n + 1)]
     assert got == model
+
+
+def _kn_brute(pairs: list[tuple[str, str]]):
+    """Textbook interpolated Kneser-Ney (d = 3/4) with exact
+    Fractions — independent of the integer-lattice form the query
+    evaluates."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    c12 = Counter(pairs)
+    c1 = defaultdict(int)
+    nf = defaultdict(int)
+    nb = defaultdict(int)
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        nf[w1] += 1
+        nb[w2] += 1
+    B = len(c12)
+    d = Fraction(3, 4)
+
+    def p(w1, w2):
+        disc = max(Fraction(c12[(w1, w2)]) - d, Fraction(0)) / c1[w1]
+        lam = d * nf[w1] / c1[w1]
+        pcont = Fraction(nb[w2], B)
+        return disc + lam * pcont
+
+    return c12, c1, nf, nb, B, p
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("abcde"), st.sampled_from("abcde")
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_kneser_ney_integer_lattice_matches_textbook_and_sums_to_one(pairs):
+    from fractions import Fraction
+
+    c12, c1, nf, nb, B, p = _kn_brute(pairs)
+    # 1) the query's single-denominator integer form equals the
+    #    textbook Fraction form exactly, for every observed bigram
+    for (w1, w2), c in c12.items():
+        num = max(4 * c - 3, 0) * B + 3 * nf[w1] * nb[w2]
+        den = 4 * c1[w1] * B
+        assert Fraction(num, den) == p(w1, w2), (w1, w2)
+    # 2) interpolated KN is a proper distribution: for every context,
+    #    summing over the WHOLE continuation vocab gives exactly 1
+    vocab = set(nb)
+    for w1 in c1:
+        total = sum(p(w1, w2) for w2 in vocab)
+        assert total == 1, (w1, total)

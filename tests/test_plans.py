@@ -901,3 +901,51 @@ def test_phash_clusters_single_hash_shuffle(plans):
     ):
         assert node not in plan, node
     assert "MapInPandas" in plan
+
+
+def test_mlm_plan_is_map_side_plus_one_agg(plans):
+    """The MLM corruption plan is a hash projection over the token
+    stream + ONE doc-key aggregation: no join anywhere, and the only
+    exchange is the final groupBy(doc_id) (plus its sort for the
+    ordered output)."""
+    plan = plans("mlm_masking_plan")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert "SinglePartition" not in plan, plan
+
+
+def test_kfold_window_partitioned_by_stratum(plans):
+    """The dealing window partitions by the language stratum — never
+    a single-partition global window."""
+    plan = plans("stratified_kfold_assign")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_one_row_broadcast_only(plans):
+    """The only nested-loop join is the 1-row bigram-type-count
+    broadcast (B); pair extraction and the three count tables join
+    by token equi-keys."""
+    plan = plans("kneser_ney_bigram")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    assert (
+        len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, _re.MULTILINE))
+        <= 1
+    ), plan
+
+
+def test_phash_hamming_banded_equi_join(plans):
+    """Near-dup image pairs come from the banded EQUI-join on
+    (band, value) — the MinHash-LSH shape — never a cartesian pair
+    enumeration."""
+    plan = plans("phash_hamming_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
