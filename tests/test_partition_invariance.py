@@ -67,6 +67,16 @@ INVARIANCE_SET = [
     # statistics must not depend on partition count
     "trimmed_winsorized_value",
     "quantile_normalize_doclen",
+    # r6 second continuation: rank/ntile-derived plans (global_rank
+    # NTILE closed form; per-stratum hash-order dealing), the
+    # float-emitting tokenizer/LM ratios, and the hash-keyed
+    # perceptual clusters
+    "curriculum_phase_mix",
+    "stratified_kfold_assign",
+    "tokenizer_fertility_by_source",
+    "kneser_ney_bigram",
+    "media_phash_clusters",
+    "mlm_masking_plan",
 ]
 
 
