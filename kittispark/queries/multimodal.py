@@ -858,3 +858,293 @@ def phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .orderBy("did1", "did2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio + video dedup — completing the multimodal x dedup family:
+# every modality (text: dedup_exact/minhash; image: media_phash_*)
+# now has a content-derived fingerprint clustering path off its REAL
+# decode.
+
+_AFP_MOD = 29  # audio stream key: doc_id % 29 -> duplicates exist
+_AFP_BITS = 32  # delta-sign bits (min synth length 50 > 33 samples)
+
+_AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("aid", T.LongType(), False),
+        T.StructField("afp", T.LongType(), False),
+    ]
+)
+
+
+def _synth_wav_dup_payloads(docs: DataFrame) -> DataFrame:
+    """WAV payloads whose PCM stream is keyed by aid = doc_id % 29
+    (same closed form as _synth_wav_payloads, on aid), so
+    byte-identical duplicate recordings exist."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                aid = int(d) % _AFP_MOD
+                i = np.arange(50 + aid % 13, dtype="int64")
+                s = (((aid * 31 + i * 7) % 201) - 100) * 50
+                payloads.append(encode_wav_pcm16(s, sample_rate=16_000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInPandas(
+        kernel, _PAYLOAD_SCHEMA
+    )
+
+
+def delta_sign_fingerprint(samples: np.ndarray, bits: int = _AFP_BITS) -> int:
+    """Shazam-style delta-sign acoustic fingerprint, ALL INTEGER:
+    bit k = 1 iff sample[k+1] > sample[k] (strict), over the first
+    ``bits`` deltas. Sign-of-derivative is the standard
+    amplitude-invariant audio hash primitive; strict > keeps the
+    decision integer-exact."""
+    s = samples.astype("int64")[: bits + 1]
+    rises = (s[1:] > s[:-1]).astype("int64")
+    return int((rises << np.arange(len(rises), dtype="int64")).sum())
+
+
+@register(
+    "audio_fingerprint_clusters",
+    oracle=f"""
+    WITH aa AS (
+        SELECT DISTINCT doc_id % {_AFP_MOD} AS aid
+        FROM documents WHERE doc_id < 200
+    ),
+    bits AS (
+        SELECT aid, k,
+               CASE WHEN (aid * 31 + (k + 1) * 7) % 201
+                         > (aid * 31 + k * 7) % 201
+                    THEN 1 << k ELSE 0 END AS b
+        FROM aa,
+             LATERAL (SELECT unnest(generate_series(
+                 0, {_AFP_BITS} - 1)) AS k) g
+    ),
+    fps AS (
+        SELECT aid, CAST(sum(b) AS BIGINT) AS afp
+        FROM bits GROUP BY aid
+    )
+    SELECT f.afp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.doc_id % {_AFP_MOD}) AS BIGINT)
+               AS n_streams,
+           CAST(min(d.doc_id) AS BIGINT) AS min_doc
+    FROM documents d
+    JOIN fps f ON d.doc_id % {_AFP_MOD} = f.aid
+    WHERE d.doc_id < 200
+    GROUP BY f.afp
+    ORDER BY f.afp
+    """,
+    doc="Acoustic-fingerprint dedup — the audio leg of the "
+    "multimodal dedup family: REAL RIFF/WAVE bytes (PCM streams "
+    "keyed doc_id % 29, so byte-identical duplicate recordings "
+    "exist) are parsed by the chunk-walking stdlib decoder and "
+    "reduced to a 32-bit delta-sign fingerprint (bit k = "
+    "sample[k+1] > sample[k] — the amplitude-invariant "
+    "sign-of-derivative primitive under Shazam-style hashes; "
+    "strict integer comparison, no float thresholds), then "
+    "clustered by fingerprint. Same scale shape as image pHash: "
+    "one decode+hash map pass, one shuffle on the fingerprint key. "
+    "The oracle recomputes the PCM closed form AND the delta "
+    "comparisons from doc_id — hash-match adjudicates the RIFF "
+    "chunk walk, the int16 decode, and every sign decision. The "
+    "amplitude factor (x50) cancels in the comparisons exactly as "
+    "amplitude-invariance promises: the oracle compares the "
+    "UNSCALED lattice.",
+    tags=("multimodal", "dedup", "udf"),
+)
+def audio_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.multimodal import decode_wav
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_wav_dup_payloads(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_wav(payload)
+                rows.append(
+                    (
+                        int(d),
+                        int(d) % _AFP_MOD,
+                        delta_sign_fingerprint(out["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AFP_SCHEMA.fields]
+            )
+
+    fps = media.mapInPandas(kernel, _AFP_SCHEMA)
+    return (
+        fps.groupBy(F.col("afp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("aid").cast("bigint").alias("n_streams"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("afp")
+    )
+
+
+_VSIG_MOD = 23  # video key: doc_id % 23 -> duplicate videos exist
+
+_VSIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("vid", T.LongType(), False),
+        T.StructField("vsig", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+    ]
+)
+
+
+def _synth_mppm_dup_payloads(docs: DataFrame) -> DataFrame:
+    """MPPM video payloads keyed by vid = doc_id % 23 (same closed
+    form as _synth_mppm_payloads, on vid): duplicate videos exist."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                vid = int(d) % _VSIG_MOD
+                w, h = 3 + vid % 4, 2 + vid % 3
+                j = np.arange(w * h * 3, dtype="int64")
+                frames = [
+                    (
+                        w,
+                        h,
+                        ((vid * 7 + t * 31 + j * 5) % 256)
+                        .astype("uint8")
+                        .tobytes(),
+                    )
+                    for t in range(1 + vid % 3)
+                ]
+                payloads.append(encode_mppm(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select(F.col("doc_id").cast("long")).mapInPandas(
+        kernel, _PAYLOAD_SCHEMA
+    )
+
+
+@register(
+    "video_phash_signature",
+    oracle=f"""
+    WITH vv AS (
+        SELECT DISTINCT doc_id % {_VSIG_MOD} AS vid
+        FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+        SELECT vid, 3 + vid % 4 AS w, 2 + vid % 3 AS h,
+               1 + vid % 3 AS nf
+        FROM vv
+    ),
+    px AS (
+        SELECT vid, w, h, t, j // 3 AS p,
+               CAST((vid * 7 + t * 31 + j * 5) % 256 AS BIGINT) AS v
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS t) g1,
+             LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1))
+                      AS j) g2
+    ),
+    lum AS (
+        SELECT vid, w, h, t, p, sum(v) AS lv
+        FROM px GROUP BY vid, w, h, t, p
+    ),
+    cells AS (
+        SELECT vid, t,
+               (((p // w) * 3) // h) * 4 + ((p % w) * 4) // w AS cell,
+               lv
+        FROM lum
+    ),
+    csum AS (
+        SELECT vid, t, cell, sum(lv) AS s, count(*) AS n
+        FROM cells GROUP BY vid, t, cell
+    ),
+    tot AS (
+        SELECT vid, t, sum(s) AS ts, sum(n) AS tn
+        FROM csum GROUP BY vid, t
+    ),
+    fhash AS (
+        SELECT c.vid, c.t,
+               CAST(sum(CASE WHEN c.s * x.tn > x.ts * c.n
+                             THEN 1 << c.cell ELSE 0 END) AS BIGINT)
+                   AS ph
+        FROM csum c JOIN tot x USING (vid, t)
+        GROUP BY c.vid, c.t
+    ),
+    sigs AS (
+        SELECT vid, CAST(sum(ph << (12 * t)) AS BIGINT) AS vsig,
+               CAST(count(*) AS INT) AS n_frames
+        FROM fhash GROUP BY vid
+    )
+    SELECT s.vsig,
+           s.n_frames,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.doc_id % {_VSIG_MOD}) AS BIGINT)
+               AS n_videos,
+           CAST(min(d.doc_id) AS BIGINT) AS min_doc
+    FROM documents d
+    JOIN sigs s ON d.doc_id % {_VSIG_MOD} = s.vid
+    WHERE d.doc_id < 200
+    GROUP BY s.vsig, s.n_frames
+    ORDER BY s.vsig
+    """,
+    doc="Video-signature dedup — the video leg of the multimodal "
+    "dedup family: REAL MPPM containers (frame sets keyed "
+    "doc_id % 23, so duplicate videos exist) are decoded frame by "
+    "frame by the stdlib parser, each frame reduced to the same "
+    "all-integer 12-bit blockwise average-hash the image path uses "
+    "(ahash_12bit), and the per-frame hashes packed into one "
+    "integer signature (hash_t << 12t — videos here are <= 3 "
+    "frames, so the signature fits in 36 bits; longer videos would "
+    "carry an array signature with identical semantics). Clustering "
+    "by signature finds videos whose every frame is perceptually "
+    "identical — the frame-wise composition of image pHash, which "
+    "is how production video dedup bootstraps (frame fingerprints "
+    "-> sequence signature). One decode map pass, one signature-key "
+    "shuffle. The oracle replays the container layout, every "
+    "frame's grid hash, and the bit packing in closed form.",
+    tags=("multimodal", "dedup", "udf"),
+)
+def video_phash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.multimodal import decode_mppm
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_mppm_dup_payloads(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_mppm(payload)
+                sig = 0
+                for tdx, fr in enumerate(frames):
+                    sig |= ahash_12bit(fr["pixels"]) << (12 * tdx)
+                rows.append(
+                    (int(d), int(d) % _VSIG_MOD, sig, len(frames))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VSIG_SCHEMA.fields]
+            )
+
+    sigs = media.mapInPandas(kernel, _VSIG_SCHEMA)
+    return (
+        sigs.groupBy("vsig", "n_frames")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("vid").cast("bigint").alias("n_videos"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("vsig")
+    )

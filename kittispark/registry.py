@@ -213,6 +213,8 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "stratified_kfold_assign",
         "kneser_ney_bigram",
         "phash_hamming_near_dup",
+        "audio_fingerprint_clusters",
+        "video_phash_signature",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

@@ -99,6 +99,8 @@ R6C_EMPTY_GREEN = [
     "stratified_kfold_assign",
     "kneser_ney_bigram",
     "phash_hamming_near_dup",
+    "audio_fingerprint_clusters",
+    "video_phash_signature",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 

@@ -145,3 +145,34 @@ def test_kneser_ney_integer_lattice_matches_textbook_and_sums_to_one(pairs):
     for w1 in c1:
         total = sum(p(w1, w2) for w2 in vocab)
         assert total == 1, (w1, total)
+
+
+def test_delta_sign_fingerprint_matches_brute():
+    """Exhaustive over the synth lattice (all 29 streams) plus random
+    int16 streams: bit k must equal the strict comparison
+    s[k+1] > s[k], and amplitude scaling must not change the hash
+    (the invariance the operator claims)."""
+    import numpy as np
+
+    from kittispark.queries.multimodal import (
+        _AFP_BITS,
+        delta_sign_fingerprint,
+    )
+
+    def brute(s):
+        out = 0
+        for k in range(_AFP_BITS):
+            if int(s[k + 1]) > int(s[k]):
+                out |= 1 << k
+        return out
+
+    for aid in range(29):
+        i = np.arange(50 + aid % 13, dtype="int64")
+        s = (((aid * 31 + i * 7) % 201) - 100) * 50
+        assert delta_sign_fingerprint(s) == brute(s)
+        # amplitude invariance: positive scaling preserves every bit
+        assert delta_sign_fingerprint(s * 3) == delta_sign_fingerprint(s)
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        s = rng.integers(-32768, 32767, size=64, dtype="int64")
+        assert delta_sign_fingerprint(s) == brute(s)

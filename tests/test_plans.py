@@ -949,3 +949,34 @@ def test_phash_hamming_banded_equi_join(plans):
     plan = plans("phash_hamming_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprint_single_hash_shuffle(plans):
+    """Audio fingerprint dedup mirrors the image pHash shape: one
+    decode+fingerprint map pass, one shuffle on the fingerprint key,
+    no joins."""
+    plan = plans("audio_fingerprint_clusters")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert "MapInPandas" in plan
+
+
+def test_video_signature_single_key_shuffle(plans):
+    """Video signature dedup: one decode map pass over the MPPM
+    containers, one shuffle on the packed signature key, no joins."""
+    plan = plans("video_phash_signature")
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert node not in plan, node
+    assert "MapInPandas" in plan
