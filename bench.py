@@ -121,6 +121,12 @@ HEADLINE = [
     "media_phash_clusters",
     "unigram_seed_vocab",
     "record_linkage_blocked_pairs",
+    # the heaviest of the training-prep / LM wave: the MLM plan
+    # hashes every token position (the densest md5 projection in
+    # the registry next to cdc_chunk_stats), and Kneser-Ney runs
+    # the full bigram count lattice:
+    "mlm_masking_plan",
+    "kneser_ney_bigram",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

@@ -280,8 +280,21 @@ def global_rank(
         *( [partitions] if partitions else [] ), *order_cols
     )
     w_local = W.partitionBy("__pid").orderBy(*order_cols)
-    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__lr", F.row_number().over(w_local)
+    # MATERIALIZE the pid-stamped table: `local` feeds BOTH the
+    # size/offset table and the rank join, and without a checkpoint
+    # the two consumers can materialize the range exchange under
+    # DIFFERENT AQE partition coalescings (the exchange has no
+    # user-fixed partition count, so AQE may merge post-shuffle
+    # partitions differently per stage instance) — then __pid in
+    # `offs` no longer describes __pid in the join side: the inner
+    # join silently DROPS rows whose pid vanished and mis-offsets
+    # the rest. Invisible at gate scale (one coalesced partition);
+    # at 250k rows x 8 cores it fired on 3 of 5 runs. The
+    # checkpoint freezes one partitioning that both consumers read.
+    local = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -411,8 +424,13 @@ def global_cumsum(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__lc", F.coalesce(F.sum(val).over(w_local), F.lit(0))
+    # same double-consumption hazard as global_rank (see the
+    # checkpoint comment there): freeze ONE pid assignment for both
+    # the partial-sum table and the join side.
+    local = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lc", F.coalesce(F.sum(val).over(w_local), F.lit(0)))
+        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid").agg(F.sum(val).alias("__s"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
@@ -446,8 +464,13 @@ def grouped_rank(
     total in ``total_col`` for free."""
     parts = df.repartitionByRange(*group_cols, *order_cols)
     w_local = W.partitionBy("__pid", *group_cols).orderBy(*order_cols)
-    local = parts.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__lr", F.row_number().over(w_local)
+    # same double-consumption hazard as global_rank (see the
+    # checkpoint comment there): freeze ONE pid assignment for both
+    # the offset table and the join side.
+    local = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid", *group_cols).agg(
         F.count(F.lit(1)).alias("__n")

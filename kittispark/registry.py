@@ -173,6 +173,30 @@ _REVERIFY: frozenset[str] = frozenset(
         # the flagship's value change outranks a provably-identical
         # compute-path change.
         "q1_pricing_summary",
+        # r6-second-continuation 50x-sweep find: global_rank /
+        # grouped_rank / global_cumsum consumed their pid-stamped
+        # subtree twice, and AQE could coalesce the two stage
+        # instances differently -> dropped rows / inflated ranks
+        # (fired on 3 of 5 runs at 250k rows x 8 cores; invisible at
+        # the sf0.01 gate). Fixed by localCheckpoint-freezing the
+        # pid assignment (operators/analytics.py). These five held
+        # banked verdicts adjudicated on the flaky path — queued on
+        # the compute-path-change principle AND because the old path
+        # was latently wrong at scale. With reverify now 34 for a
+        # 50-slot window holding 22 fresh, the last six by
+        # registration order wait one round: grouping_sets_explicit,
+        # running_sum, lag_delta, first_last_value,
+        # moving_avg_time_range (r5 NULL-ordering rewrites, each
+        # 6-regime-certified locally in its current form) and
+        # rank_fusion_rrf (bit-identical rewrite). Acceptable: every
+        # waiter's current form holds full local certification, and
+        # the five new entries carry a KNOWN-flaky-adjudication
+        # taint the waiters don't.
+        "lm_score_deciles",
+        "decile_spend_profile",
+        "corpus_shard_manifest",
+        "length_grouped_batches",
+        "compaction_bin_plan",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
