@@ -77,6 +77,12 @@ INVARIANCE_SET = [
     "kneser_ney_bigram",
     "media_phash_clusters",
     "mlm_masking_plan",
+    "kanonymity_audit",
+    "record_linkage_blocked_pairs",
+    "unigram_seed_vocab",
+    "phash_hamming_near_dup",
+    "audio_fingerprint_clusters",
+    "video_phash_signature",
 ]
 
 
