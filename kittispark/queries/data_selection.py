@@ -1,0 +1,319 @@
+"""Data-selection operators: the curation steps that pick WHICH
+examples a training run sees.
+
+- ``contrastive_margin_mining`` — hard-negative mining for
+  contrastive training: per query vector, the most-similar SAME-label
+  vector (the positive) and the most-similar DIFFERENT-label vector
+  (the hard negative), with the margin between them. Rows with tiny
+  or negative margins are exactly the pairs a contrastive run needs
+  (and the labeling errors a curation pass reviews). Broadcast
+  queries x corpus scan — the cosine_topk shape with a label-aware
+  double ranking.
+- ``farthest_point_coreset`` — k-center greedy coreset selection
+  (Gonzalez 1985; the geometric "pick diverse examples" primitive
+  behind coreset data pruning): seed with the lowest id, then k-1
+  rounds of "take the point farthest from the selected set". Each
+  round is one broadcast join + min-aggregate + 1-row argmax collect
+  (the bounded-driver-state pattern of the BPE learner / connected
+  components); distances ride the exact integer-micro lattice so
+  both engines agree bit-for-bit.
+- ``dataset_card_report`` — the one-row dataset-card summary
+  (docs, languages, sources, chars, exact-duplicate rate, median
+  length) that accompanies a corpus release.
+
+Reference parity: none — SURVEY.md §6 LLM-pipeline breadth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kittispark.operators.similarity import as_double, dot, norm
+from kittispark.queries._util import t
+from kittispark.registry import register
+
+_DIM = 64
+_N_QUERIES = 30
+_CORESET_K = 6
+
+# cosine sim, DuckDB side (NULL on zero norms — excluded by both sides)
+_SIM_DUCK = (
+    "list_dot_product(qv, cv) / NULLIF(sqrt(list_dot_product(qv, qv))"
+    " * sqrt(list_dot_product(cv, cv)), 0)"
+)
+
+
+@register(
+    "contrastive_margin_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS qlabel, v AS qv
+        FROM e WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, qlabel, neighbor_id, clabel,
+               {_SIM_DUCK.format()} AS sim
+        FROM (
+            SELECT q.query_id, q.qlabel, q.qv,
+                   c.vec_id AS neighbor_id, c.label AS clabel, c.v AS cv
+            FROM e c CROSS JOIN q
+            WHERE q.query_id <> c.vec_id
+        )
+    ),
+    pos AS (
+        SELECT query_id, qlabel, neighbor_id AS pos_id, sim AS pos_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored WHERE clabel = qlabel AND sim IS NOT NULL
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id AS neg_id, sim AS neg_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored WHERE clabel <> qlabel AND sim IS NOT NULL
+    )
+    SELECT p.query_id, p.qlabel AS label,
+           p.pos_id, round(p.pos_raw, 4) AS pos_sim,
+           n.neg_id, round(n.neg_raw, 4) AS neg_sim,
+           round(p.pos_raw - n.neg_raw, 4) AS margin
+    FROM pos p JOIN neg n USING (query_id)
+    WHERE p.rk = 1 AND n.rk = 1
+    ORDER BY query_id
+    """,
+    doc="Hard-negative mining for contrastive training: for each of "
+    "30 query vectors, the most-similar SAME-label neighbor (the "
+    "positive) and the most-similar DIFFERENT-label neighbor (the "
+    "hard negative), with margin = pos_sim - neg_sim. Small or "
+    "negative margins are the informative training pairs — and the "
+    "label-error review queue. One broadcast of the query set into "
+    "a single corpus scan (the cosine_topk shape), then two "
+    "label-partitioned rankings; at 100 TB the corpus side stays a "
+    "scan, never a pairwise join. Zero-norm vectors excluded via "
+    "the NULLIF contract on both engines; margin rounded once at "
+    "emission from the raw doubles.",
+    tags=("similarity", "llm-pipeline"),
+)
+def contrastive_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double("embedding").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        as_double("embedding").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        "neighbor_id",
+        "clabel",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+        ).alias("sim"),
+    ).filter(F.col("sim").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    pos = (
+        scored.filter(F.col("clabel") == F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("sim").alias("pos_raw"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("qlabel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("sim").alias("neg_raw"),
+        )
+    )
+    return (
+        pos.join(neg, "query_id")
+        .select(
+            "query_id",
+            "label",
+            "pos_id",
+            F.round("pos_raw", 4).alias("pos_sim"),
+            "neg_id",
+            F.round("neg_raw", 4).alias("neg_sim"),
+            F.round(F.col("pos_raw") - F.col("neg_raw"), 4).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# integer-micro squared L2, Spark side: DECIMAL-free — diffs are
+# <= ~2e6 per dim, squares <= 4e12, 64-dim sums <= 2.6e14, and even
+# k rounds of mins stay far inside int64.
+def _micro(col):
+    return F.expr(
+        f"transform({col}, x -> CAST(round(x * 1000000, 0) AS BIGINT))"
+    )
+
+
+_D2_SPARK = (
+    "aggregate(sequence(0, {n}), cast(0 as bigint), (acc, i) -> "
+    "acc + (element_at({a}, i + 1) - element_at({b}, i + 1))"
+    " * (element_at({a}, i + 1) - element_at({b}, i + 1)))"
+)
+_D2_DUCK = (
+    "list_sum(list_transform(range({n1}), i -> "
+    "({a}[CAST(i + 1 AS INT)] - {b}[CAST(i + 1 AS INT)])"
+    " * ({a}[CAST(i + 1 AS INT)] - {b}[CAST(i + 1 AS INT)])))"
+)
+
+
+def _coreset_oracle(k: int = _CORESET_K) -> str:
+    d2 = _D2_DUCK.format(n1=_DIM, a="v.vn", b="sv.vn")
+    parts = [f"""
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS vn
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sel1 AS (
+        SELECT 1 AS r, min(vec_id) AS vec_id, CAST(NULL AS BIGINT) AS d2_micro
+        FROM v
+        HAVING count(*) > 0
+    )"""]
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM sel{i}" for i in range(1, r))
+        parts.append(f""",
+    dm{r} AS (
+        SELECT v.vec_id, min({d2}) AS dm
+        FROM v JOIN v sv ON sv.vec_id IN ({prev})
+        WHERE v.vec_id NOT IN ({prev})
+        GROUP BY v.vec_id
+    ),
+    sel{r} AS (
+        SELECT {r} AS r, vec_id, CAST(dm AS BIGINT) AS d2_micro
+        FROM dm{r} ORDER BY dm DESC, vec_id LIMIT 1
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, k + 1))
+    return (
+        "WITH " + "".join(parts)
+        + f" SELECT CAST(r AS INT) AS selection_round, vec_id, d2_micro"
+        f" FROM ({union}) ORDER BY selection_round"
+    )
+
+
+@register(
+    "farthest_point_coreset",
+    oracle=_coreset_oracle(),
+    doc="k-center greedy coreset selection (Gonzalez 1985) — the "
+    "farthest-point-sampling primitive behind diversity-driven "
+    "training-data pruning: seed with the lowest vec_id, then 5 "
+    "rounds of 'take the point whose distance to the nearest "
+    "already-selected point is largest' (ties to the lower id). "
+    "Each round is a broadcast join of the <=k selected vectors "
+    "into one corpus scan, a per-candidate min, and a 1-row argmax "
+    "collect — bounded driver state (k ids), the BPE-learner / "
+    "connected-components pattern, never data on the driver. "
+    "Distances are exact squared L2 on the integer-micro lattice "
+    "(max 64 * (2e6)^2 = 2.6e14, deep inside int64), so argmax ties "
+    "can never fork between engines. The oracle replays all k "
+    "rounds with chained CTEs from a generator, the same "
+    "learn-replay discipline as BPE.",
+    tags=("similarity", "llm-pipeline", "iterative"),
+)
+def farthest_point_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    v = emb.select("vec_id", _micro("embedding").alias("vn"))
+    seed = v.agg(F.min("vec_id").alias("vec_id")).collect()[0][0]
+    rows = [(1, seed, None)]
+    if seed is None:  # empty corpus: no seed, empty result
+        return spark.createDataFrame(
+            [], "selection_round int, vec_id long, d2_micro long"
+        )
+    selected = [seed]
+    d2 = F.expr(
+        _D2_SPARK.format(n=_DIM - 1, a="vn", b="svn")
+    )
+    for r in range(2, _CORESET_K + 1):
+        sel_df = F.broadcast(
+            v.filter(F.col("vec_id").isin(selected)).select(
+                F.col("vn").alias("svn")
+            )
+        )
+        cand = (
+            v.filter(~F.col("vec_id").isin(selected))
+            .crossJoin(sel_df)
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dm"))
+            .orderBy(F.col("dm").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        rows.append((r, cand[0].vec_id, int(cand[0].dm)))
+        selected.append(cand[0].vec_id)
+    return spark.createDataFrame(
+        rows, "selection_round int, vec_id long, d2_micro long"
+    ).orderBy("selection_round")
+
+
+@register(
+    "dataset_card_report",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                 / NULLIF(count(text), 0), 6) AS exact_dup_rate,
+           round(median(n_chars), 2) AS median_chars
+    FROM documents
+    """,
+    doc="The one-row dataset card that accompanies a corpus release: "
+    "document / language / source counts, total characters, the "
+    "exact-duplicate rate (1 - distinct md5 texts / non-null "
+    "texts, NULLIF-guarded for the empty corpus), and the median "
+    "document length (interpolated median, the median_mode_agg "
+    "convention). One aggregation pass; the distinct counts are "
+    "the only shuffles. The numbers a release reviewer checks "
+    "against SCALING.md's dedup and mixture tables before shipping.",
+    tags=("governance", "aggregate", "llm-pipeline"),
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.coalesce(F.sum("n_chars"), F.lit(0))
+        .cast("bigint")
+        .alias("total_chars"),
+        F.round(
+            1.0
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.nullif(F.count("text"), F.lit(0)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(F.median("n_chars"), 2).alias("median_chars"),
+    )

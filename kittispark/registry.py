@@ -36,6 +36,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _QUERY_MODULES = (
     "kittispark.queries.governance",
     "kittispark.queries.training_prep",
+    "kittispark.queries.data_selection",
     "kittispark.queries.curation",
     "kittispark.queries.storage_ops",
     "kittispark.queries.vectors_ext",
@@ -239,6 +240,9 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "phash_hamming_near_dup",
         "audio_fingerprint_clusters",
         "video_phash_signature",
+        "contrastive_margin_mining",
+        "farthest_point_coreset",
+        "dataset_card_report",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

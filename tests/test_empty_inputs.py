@@ -101,6 +101,13 @@ R6C_EMPTY_GREEN = [
     "phash_hamming_near_dup",
     "audio_fingerprint_clusters",
     "video_phash_signature",
+    # data-selection wave: farthest_point_coreset needed one
+    # empty-input fix at landing (the oracle's seed aggregate emits
+    # a NULL row over an empty corpus where the operator returns
+    # nothing — HAVING-guarded); the other two were born green.
+    "contrastive_margin_mining",
+    "farthest_point_coreset",
+    "dataset_card_report",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 

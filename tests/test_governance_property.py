@@ -176,3 +176,50 @@ def test_delta_sign_fingerprint_matches_brute():
     for _ in range(20):
         s = rng.integers(-32768, 32767, size=64, dtype="int64")
         assert delta_sign_fingerprint(s) == brute(s)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_kcenter_greedy_matches_brute_model(points):
+    """The coreset query's selection rule (seed = lowest id, then
+    argmax of min-distance with lower-id tiebreak) against a brute
+    Python model on random integer point sets — covers duplicate
+    points, collinear sets, and k > n."""
+    k = 6
+    ids = list(range(len(points)))
+
+    def d2(a, b):
+        return (points[a][0] - points[b][0]) ** 2 + (
+            points[a][1] - points[b][1]
+        ) ** 2
+
+    sel = [0]
+    order = [(1, 0, None)]
+    for r in range(2, k + 1):
+        cands = [i for i in ids if i not in sel]
+        if not cands:
+            break
+        best = max(cands, key=lambda i: (min(d2(i, s) for s in sel), -i))
+        order.append((r, best, min(d2(best, s) for s in sel)))
+        sel.append(best)
+    # independent re-derivation with explicit sorting
+    sel2 = [0]
+    for r in range(2, k + 1):
+        cands = sorted(
+            ((min(d2(i, s) for s in sel2), i) for i in ids if i not in sel2),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if not cands:
+            break
+        sel2.append(cands[0][1])
+    assert [v for _, v, _ in order] == sel2

@@ -980,3 +980,18 @@ def test_video_signature_single_key_shuffle(plans):
     ):
         assert node not in plan, node
     assert "MapInPandas" in plan
+
+
+def test_contrastive_mining_broadcast_queries_no_pair_join(plans):
+    """Hard-negative mining must broadcast the bounded query set into
+    ONE corpus scan (the cosine_topk shape) — the corpus is never on
+    both sides of a join."""
+    plan = plans("contrastive_margin_mining")
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    # the query-set broadcast is the only nested-loop join
+    assert (
+        len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, _re.MULTILINE))
+        <= 2
+    ), plan
