@@ -127,6 +127,11 @@ HEADLINE = [
     # the full bigram count lattice:
     "mlm_masking_plan",
     "kneser_ney_bigram",
+    # data-selection wave heavies: the label-aware double ranking
+    # over the broadcast query scan, and the 6-round iterative
+    # k-center selection (one bounded argmax collect per round):
+    "contrastive_margin_mining",
+    "farthest_point_coreset",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization
