@@ -245,5 +245,11 @@ def test_decile_plan_has_no_global_data_window(spark):
     with contextlib.redirect_stdout(buf):
         qs["decile_spend_profile"](spark, SF_SMOKE).explain("formatted")
     plan = buf.getvalue()
-    assert "rangepartitioning" in plan.lower()
-    assert "ntile" not in plan.lower()
+    # global_rank now localCheckpoints its pid-stamped table (the AQE
+    # pid-remap fix), so the visible plan TRUNCATES at the checkpoint:
+    # the rangepartitioning exchange ran before the materialization
+    # and shows as a Scan ExistingRDD. Accept either form; the real
+    # invariant stays: no global ntile window over per-user rows.
+    low = plan.lower()
+    assert "rangepartitioning" in low or "existingrdd" in low, plan
+    assert "ntile" not in low
