@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "kittispark.queries.governance",
     "kittispark.queries.training_prep",
     "kittispark.queries.data_selection",
+    "kittispark.queries.eval_prep",
     "kittispark.queries.curation",
     "kittispark.queries.storage_ops",
     "kittispark.queries.vectors_ext",
@@ -243,6 +244,9 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "contrastive_margin_mining",
         "farthest_point_coreset",
         "dataset_card_report",
+        "rouge1_eval_overlap",
+        "vocab_coverage_curve",
+        "span_corruption_plan",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

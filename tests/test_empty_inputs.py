@@ -108,6 +108,10 @@ R6C_EMPTY_GREEN = [
     "contrastive_margin_mining",
     "farthest_point_coreset",
     "dataset_card_report",
+    # eval-prep wave: born green on every regime including empty.
+    "rouge1_eval_overlap",
+    "vocab_coverage_curve",
+    "span_corruption_plan",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 

@@ -83,6 +83,12 @@ INVARIANCE_SET = [
     "phash_hamming_near_dup",
     "audio_fingerprint_clusters",
     "video_phash_signature",
+    "contrastive_margin_mining",
+    "farthest_point_coreset",
+    "dataset_card_report",
+    "rouge1_eval_overlap",
+    "vocab_coverage_curve",
+    "span_corruption_plan",
 ]
 
 

@@ -995,3 +995,29 @@ def test_contrastive_mining_broadcast_queries_no_pair_join(plans):
         len(_re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, _re.MULTILINE))
         <= 2
     ), plan
+
+
+def test_rouge_joins_on_word_keys_not_doc_pairs(plans):
+    """ROUGE overlap must join the two count tables on
+    (adjacent-id, word) equi-keys — never enumerate document pairs
+    with a non-equi or nested-loop join."""
+    plan = plans("rouge1_eval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_coverage_curve_no_per_row_single_partition(plans):
+    """The coverage ranking rides global_rank: bounded-bookkeeping
+    SinglePartition exchanges only (offset table + the 1-row total),
+    never the vocab rows."""
+    plan = plans("vocab_coverage_curve")
+    assert plan.count("SinglePartition") <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_plan_block_equi_join_only(plans):
+    """The span plan joins tokens to their block's span decision on
+    (doc_id, blk) equi-keys; no pairwise or nested-loop shapes."""
+    plan = plans("span_corruption_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
