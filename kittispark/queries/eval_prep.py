@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kittispark.operators.dedup import portable_hash64
+from kittispark.operators.text import (
+    DE_STOPWORDS,
+    EN_STOPWORDS,
+    ES_STOPWORDS,
+    FR_STOPWORDS,
+)
 from kittispark.queries._util import t
 from kittispark.registry import register
 
@@ -346,4 +352,75 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_start_sum",
         )
         .orderBy("doc_id")
+    )
+
+
+def _sw_list_sql(words) -> str:
+    return ", ".join("'" + w + "'" for w in sorted(words))
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({en}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS s_en,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({de}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS s_de,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({es}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS s_es,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({fr}))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS s_fr
+        FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr) < 0.02 THEN 'unk'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scored
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang, lang_pred
+    ORDER BY lang NULLS FIRST, lang_pred
+    """.format(
+        en=_sw_list_sql(EN_STOPWORDS),
+        de=_sw_list_sql(DE_STOPWORDS),
+        es=_sw_list_sql(ES_STOPWORDS),
+        fr=_sw_list_sql(FR_STOPWORDS),
+    ),
+    doc="Language-ID classifier AUDIT: the confusion matrix of the "
+    "4-profile stopword classifier (operators.text."
+    "lang_id_stopwords — argmax of per-language stopword hit rates "
+    "with an 'unk' floor at 0.02) against the gold lang column — "
+    "the per-class error table a curation reviewer reads before "
+    "trusting automated language routing. The argmax tie order "
+    "(en, de, es, fr) and the floor are replicated EXACTLY in the "
+    "oracle's CASE chain; both engines compute each score with one "
+    "identical int/int double division, so the float equality "
+    "comparisons in the argmax cannot fork. Zero-token and NULL "
+    "texts are excluded by explicit contract on both sides. One "
+    "projection + one (gold, pred) hash aggregation at any scale.",
+    tags=("text", "governance", "aggregate"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.text import lang_id_stopwords, tokens_col
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.size(tokens_col("text")) > 0)
+    )
+    pred = lang_id_stopwords(docs)
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy(F.col("lang").asc_nulls_first(), "lang_pred")
     )

@@ -247,6 +247,7 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "rouge1_eval_overlap",
         "vocab_coverage_curve",
         "span_corruption_plan",
+        "lang_confusion_matrix",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

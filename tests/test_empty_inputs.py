@@ -112,6 +112,7 @@ R6C_EMPTY_GREEN = [
     "rouge1_eval_overlap",
     "vocab_coverage_curve",
     "span_corruption_plan",
+    "lang_confusion_matrix",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 

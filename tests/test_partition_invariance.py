@@ -89,6 +89,7 @@ INVARIANCE_SET = [
     "rouge1_eval_overlap",
     "vocab_coverage_curve",
     "span_corruption_plan",
+    "lang_confusion_matrix",
 ]
 
 
