@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "kittispark.queries.training_prep",
     "kittispark.queries.data_selection",
     "kittispark.queries.eval_prep",
+    "kittispark.queries.pipeline_tuning",
     "kittispark.queries.curation",
     "kittispark.queries.storage_ops",
     "kittispark.queries.vectors_ext",
@@ -248,6 +249,8 @@ _DEFER_FRESH: frozenset[str] = frozenset(
         "vocab_coverage_curve",
         "span_corruption_plan",
         "lang_confusion_matrix",
+        "watermark_lateness_profile",
+        "dedup_threshold_curve",
     }
 )
 # r5 start: empty — the 23 late-r4 additions rejoin the head of the

@@ -113,6 +113,11 @@ R6C_EMPTY_GREEN = [
     "vocab_coverage_curve",
     "span_corruption_plan",
     "lang_confusion_matrix",
+    # pipeline-tuning wave: watermark_lateness_profile needed the
+    # zero-row coalesce (same class as kanonymity_audit's landing
+    # fix); the threshold curve was born green.
+    "watermark_lateness_profile",
+    "dedup_threshold_curve",
 ]
 EMPTY_PINNED = EMPTY_PINNED + R6_EMPTY_GREEN + R6C_EMPTY_GREEN
 

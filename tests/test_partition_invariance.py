@@ -90,6 +90,8 @@ INVARIANCE_SET = [
     "vocab_coverage_curve",
     "span_corruption_plan",
     "lang_confusion_matrix",
+    "watermark_lateness_profile",
+    "dedup_threshold_curve",
 ]
 
 

@@ -1021,3 +1021,34 @@ def test_span_plan_block_equi_join_only(plans):
     plan = plans("span_corruption_plan")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateness_running_max_is_bucketed_two_level(plans):
+    """The arrival-order running max must ride the two-level bucket
+    shape: windows partitioned by the data-derived bucket key, plus
+    the tiny per-bucket offset table. The only SinglePartition
+    exchanges are (a) the bucket-level prefix-max window over the
+    per-bucket max table and (b) the exact-percentile final merge
+    (one partial buffer per partition) — both bounded bookkeeping,
+    never the per-event rows."""
+    plan = plans("watermark_lateness_profile")
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_threshold_curve_single_pass_over_pairs(plans):
+    """All seven thresholds come from ONE pass over the pair table
+    (explode + conditional aggregation) — the pair join runs once,
+    not per threshold."""
+    plan = plans("dedup_threshold_curve")
+    import re as _re
+
+    joins = len(
+        _re.findall(r"^\(\d+\) SortMergeJoin", plan, _re.MULTILINE)
+    ) + len(_re.findall(r"^\(\d+\) ShuffledHashJoin", plan, _re.MULTILINE)) + len(
+        _re.findall(r"^\(\d+\) BroadcastHashJoin", plan, _re.MULTILINE)
+    )
+    # shingle self-join + two size joins = 3; per-threshold replay
+    # would show ~21
+    assert joins <= 4, (joins, plan)
+    assert "CartesianProduct" not in plan
