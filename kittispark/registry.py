@@ -110,96 +110,20 @@ def _load_all() -> None:
 # new form, the truly-fresh ones have no driver signal at all.
 _REVERIFY: frozenset[str] = frozenset(
     {
-        # r5 adversarial-sweep fixes, class A (null-safe cosine /
-        # positive-weight contracts — SCALING.md "Round-5 adversarial
-        # sweep"): banked verdicts predate the NULLIF/zero-norm
-        # exclusion rewrite, so they need fresh adjudication.
-        # (cosine_topk_bruteforce, tfidf_top_terms, simhash_candidates,
-        # quality_filter_composite, incremental_dedup_batch were the
-        # first 5 in registry order; re-adjudicated GREEN in
-        # CORRECTNESS_r05.json and removed at r6 start. The 25 below
-        # head the r6 window under the fresh-first policy.)
-        "ann_lsh_topk",
-        "ann_ivf_recall",
-        "ann_ivf_indexed_match",
-        "ann_ivf_topk",
-        "embedding_decontamination",
+        # r7 start: 28 of the 34 r6 waiters were re-adjudicated GREEN
+        # in CORRECTNESS_r06.json and removed here (VERDICT r6 #1).
+        # These six carried over — the r6 window was full before they
+        # could be fronted. Five are r5 NULL-ordering / exact-cents
+        # rewrites (each 6-regime-certified locally in its current
+        # form); rank_fusion_rrf's r6 rewrite is A/B-proven
+        # bit-identical. All six head the r7 window behind the
+        # never-adjudicated fresh tier.
         "rank_fusion_rrf",
-        "cosine_near_dup",
-        # class B (explicit NULL-ordering / NULL-timestamp contracts
-        # in the window & temporal family):
         "running_sum",
         "lag_delta",
         "first_last_value",
-        "tumbling_window_counts",
-        "sessionization",
-        "asof_join_latest_click",
-        "resample_ffill_grid",
-        "scd2_user_value_history",
-        "temporal_interval_lookup",
-        # streaming session contracts (NULL event time -> no session;
-        # the tracker was batch-order-FLAKY on NaT ticks before):
-        "stream_session_counts",
-        "stream_session_tracker",
-        "stream_tumbling_counts",
-        "stream_sliding_avg",
-        # scale-revealed at adversarial-sf0.1 (hot-key 1e5-row frame
-        # ulp fork): rewritten to exact-cents window average
         "moving_avg_time_range",
-        # r5 post-close-out triangle-block pair-enumeration rewrite
-        # (commit cafbb69) never joined this set — its banked verdict
-        # predates that rewrite; r6 additionally materializes the
-        # shared assignment subtree. Caught and queued at r6.
-        "semantic_dedup_clustered",
-        # r6 PQ hot-path change: the interpreted HOF d2 fold replaced
-        # by the codegen-expanded static-width form (d2_static —
-        # provably the same left-to-right association, 6-dataset
-        # re-certified bit-identical), queued on principle: the
-        # banked verdicts predate the compute-path change.
-        "pq_adc_topk",
-        "pq_rerank_topk",
-        # empty-input sweep fixes (grand-total alignment, guarded
-        # rates, schema-explicit index reads):
-        "group_rollup",
-        "group_cube",
         "grouping_sets_explicit",
-        "approx_count_distinct",
-        # r6-continuation 50x-sweep fix: the raw-double disc_price/
-        # charge sums forked by one ulp in the 2nd decimal at 30M
-        # rows; rewritten to the exact-cents integer products
-        # (q6/q14 convention). Gate-scale (sf0.01) values are
-        # bit-identical to the banked form, but sf0.1 shifts one
-        # cent — output changed, verdict voided. Queuing this makes
-        # the reverify tier 29 for a 50-slot window already holding
-        # 22 fresh: rank_fusion_rrf (last by registration order; its
-        # r6 rewrite is A/B-proven bit-identical) waits one round —
-        # the flagship's value change outranks a provably-identical
-        # compute-path change.
-        "q1_pricing_summary",
-        # r6-second-continuation 50x-sweep find: global_rank /
-        # grouped_rank / global_cumsum consumed their pid-stamped
-        # subtree twice, and AQE could coalesce the two stage
-        # instances differently -> dropped rows / inflated ranks
-        # (fired on 3 of 5 runs at 250k rows x 8 cores; invisible at
-        # the sf0.01 gate). Fixed by localCheckpoint-freezing the
-        # pid assignment (operators/analytics.py). These five held
-        # banked verdicts adjudicated on the flaky path — queued on
-        # the compute-path-change principle AND because the old path
-        # was latently wrong at scale. With reverify now 34 for a
-        # 50-slot window holding 22 fresh, the last six by
-        # registration order wait one round: grouping_sets_explicit,
-        # running_sum, lag_delta, first_last_value,
-        # moving_avg_time_range (r5 NULL-ordering rewrites, each
-        # 6-regime-certified locally in its current form) and
-        # rank_fusion_rrf (bit-identical rewrite). Acceptable: every
-        # waiter's current form holds full local certification, and
-        # the five new entries carry a KNOWN-flaky-adjudication
-        # taint the waiters don't.
-        "lm_score_deciles",
-        "decile_spend_profile",
-        "corpus_shard_manifest",
-        "length_grouped_batches",
-        "compaction_bin_plan",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
@@ -213,50 +137,11 @@ _REVERIFY: frozenset[str] = frozenset(
 # ROUND START (update_green_bank.py --check warns while it is
 # non-empty): once the round's verdicts land, these are ordinary
 # never-green queries and belong at the head of the fresh tier.
-_DEFER_FRESH: frozenset[str] = frozenset(
-    {
-        # r6 continuation wave, registered AFTER the r6 window was
-        # exactly full (22 fresh + 28 _REVERIFY = 50): locally
-        # 6-dataset-certified (sf0.1, sf1synth, adversarial/empty/
-        # dup/neg — SCALING.md "Round-6 continuation"), they must
-        # not evict a judge-demanded re-adjudication; they head the
-        # r7 fresh tier once the r6 verdicts land.
-        "heaps_vocab_growth",
-        "source_overlap_jaccard",
-        "embedding_centroid_outliers",
-        "wordpiece_segment_vocab",
-        "trimmed_winsorized_value",
-        "quantile_normalize_doclen",
-        "split_leakage_audit",
-        # r6 second-continuation wave (same rationale: the r6 window
-        # is exactly full; these head the r7 fresh tier):
-        "kanonymity_audit",
-        "record_linkage_blocked_pairs",
-        "curriculum_phase_mix",
-        "tokenizer_fertility_by_source",
-        "unigram_seed_vocab",
-        "media_phash_clusters",
-        "mlm_masking_plan",
-        "stratified_kfold_assign",
-        "kneser_ney_bigram",
-        "phash_hamming_near_dup",
-        "audio_fingerprint_clusters",
-        "video_phash_signature",
-        "contrastive_margin_mining",
-        "farthest_point_coreset",
-        "dataset_card_report",
-        "rouge1_eval_overlap",
-        "vocab_coverage_curve",
-        "span_corruption_plan",
-        "lang_confusion_matrix",
-        "watermark_lateness_profile",
-        "dedup_threshold_curve",
-    }
-)
-# r5 start: empty — the 23 late-r4 additions rejoin the head of the
-# fresh tier (none has a driver verdict, so they auto-sort into the
-# r5 window per VERDICT r4 #1). Re-populate only if a round's window
-# is already exactly full when a new query registers.
+_DEFER_FRESH: frozenset[str] = frozenset()
+# r7 start: cleared per its own mandate — the 28 late-r6 additions
+# rejoin the head of the fresh tier (none has a driver verdict, so
+# they auto-sort into the r7 window). Re-populate only if a round's
+# window is already exactly full when a new query registers.
 
 
 def all_specs() -> dict[str, QuerySpec]:
