@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 
 def gapfill_daily(
     df: DataFrame,
@@ -204,10 +206,10 @@ def pagerank(
     # aggregation and every earlier iteration — plan size doubles per
     # round (30 parquet scans by iteration 2, measured) and the fact
     # table would be re-scanned 2^iters times.
-    frac = pagerank_fractions(edges).localCheckpoint()
+    frac = materialize(pagerank_fractions(edges))
     pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
     for _ in range(iters):
-        pr = pagerank_step(nodes, frac, pr, n, damping).localCheckpoint()
+        pr = materialize(pagerank_step(nodes, frac, pr, n, damping))
     return pr
 
 
@@ -290,11 +292,19 @@ def global_rank(
     # join silently DROPS rows whose pid vanished and mis-offsets
     # the rest. Invisible at gate scale (one coalesced partition);
     # at 250k rows x 8 cores it fired on 3 of 5 runs. The
-    # checkpoint freezes one partitioning that both consumers read.
-    local = (
+    # materialization freezes one partitioning that both consumers
+    # read. HOW it is pinned is deployment policy (ADVICE r6): the
+    # default localCheckpoint is executor-local storage — fastest,
+    # but an executor loss afterwards is unrecoverable; set
+    # kittispark.materialize.mode=persist_disk (lineage kept) for
+    # fault-sensitive clusters — see operators/util.materialize.
+    # (A third option — pinning an explicit partition count on the
+    # repartitionByRange, which disables AQE coalescing for that
+    # exchange — avoids materialization entirely but gives up AQE's
+    # right-sizing; we keep AQE and pin the result instead.)
+    local = materialize(
         parts.withColumn("__pid", F.spark_partition_id())
         .withColumn("__lr", F.row_number().over(w_local))
-        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -427,10 +437,9 @@ def global_cumsum(
     # same double-consumption hazard as global_rank (see the
     # checkpoint comment there): freeze ONE pid assignment for both
     # the partial-sum table and the join side.
-    local = (
+    local = materialize(
         parts.withColumn("__pid", F.spark_partition_id())
         .withColumn("__lc", F.coalesce(F.sum(val).over(w_local), F.lit(0)))
-        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid").agg(F.sum(val).alias("__s"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
@@ -461,16 +470,22 @@ def grouped_rank(
     table is (partitions x groups) rows — its window is over
     partition ids, never data. Order must be total within a group
     (include a unique tiebreak) for determinism. Attaches the group
-    total in ``total_col`` for free."""
+    total in ``total_col`` for free.
+
+    The offset-table join is NOT broadcast-hinted (ADVICE r6): the
+    table is (shuffle partitions x distinct groups) rows, so a
+    high-cardinality group key could exceed the broadcast limit; the
+    planner (AQE at runtime) broadcasts it automatically whenever it
+    is actually small, and falls back to a shuffle join when not —
+    both correct here."""
     parts = df.repartitionByRange(*group_cols, *order_cols)
     w_local = W.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     # same double-consumption hazard as global_rank (see the
     # checkpoint comment there): freeze ONE pid assignment for both
     # the offset table and the join side.
-    local = (
+    local = materialize(
         parts.withColumn("__pid", F.spark_partition_id())
         .withColumn("__lr", F.row_number().over(w_local))
-        .localCheckpoint(eager=True)
     )
     sizes = local.groupBy("__pid", *group_cols).agg(
         F.count(F.lit(1)).alias("__n")
@@ -493,7 +508,7 @@ def grouped_rank(
     for g in group_cols:
         cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{g}"))
     return (
-        local.join(F.broadcast(offs), cond)
+        local.join(offs, cond)
         .withColumn(out_col, F.col("__off") + F.col("__lr"))
         .withColumn(total_col, F.col("__tot"))
         .drop(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 from kittispark.operators.text import tokens_col
 
 # Modulus for minhash permutations: largest 31-bit prime, so
@@ -416,7 +418,7 @@ def connected_components(
     bi = bi.unionByName(
         bi.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    bi = bi.localCheckpoint()
+    bi = materialize(bi)
 
     labels = bi.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
@@ -430,11 +432,10 @@ def connected_components(
         msgs = bi.join(labels, bi["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
         )
-        labels = (
+        labels = materialize(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 # Deterministic pseudo-random hyperplanes: seeded LCG constants (no
 # runtime randomness — plans must be reproducible across runs).
 _LCG_A, _LCG_C, _LCG_M = 6_364_136_223_846_793_005, 1_442_695_040_888_963_407, 1 << 63
@@ -536,7 +538,7 @@ def ann_ivf_topk_indexed(
     # materialize the assigned query batch once: the probed-cid
     # collect below AND the returned scoring plan both consume q, and
     # without this the pandas_udf assignment kernel would run twice
-    q = q.localCheckpoint(eager=True)
+    q = materialize(q)
     probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
     corpus = (
         spark.read.schema(

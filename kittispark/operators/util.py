@@ -2,7 +2,70 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+# How iterative / shared-frontier operators pin an intermediate result
+# (conf `kittispark.materialize.mode`, or env KITTISPARK_MATERIALIZE):
+#
+#   local_checkpoint  (default) — df.localCheckpoint(eager=True).
+#       Fastest: blocks live in executor-local storage, lineage is
+#       TRUNCATED. Correct and measured-faster on local[n] / a
+#       single-node cluster, but on a multi-executor cluster an
+#       executor loss after the checkpoint makes those blocks
+#       unrecoverable and FAILS the job (no lineage to recompute).
+#   persist_disk — persist(DISK_ONLY) + eager count().
+#       Cluster-safe: lineage is kept, so a lost block is recomputed
+#       from source. The recompute replays the SAME finalized physical
+#       plan (partition structure is fixed once the stage ran), so the
+#       AQE pid-remap hazard that motivates eager materialization —
+#       two stage instances coalescing one exchange differently —
+#       cannot reappear: there is exactly one RDD whose partition ids
+#       all consumers read. Choose this (or `checkpoint`) for
+#       fault-sensitive multi-executor deployments.
+#   checkpoint — reliable df.checkpoint(eager=True).
+#       Writes to spark.sparkContext.setCheckpointDir (HDFS/S3);
+#       survives executor loss AND truncates lineage (useful when the
+#       lineage itself is the problem, e.g. many iterative rounds).
+#       Requires a checkpoint dir to be configured.
+_MATERIALIZE_MODES = ("local_checkpoint", "persist_disk", "checkpoint")
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly pin `df` so every downstream consumer reads ONE
+    materialized copy (one partitioning, one set of pids).
+
+    This is the shared-frontier idiom behind global_rank /
+    grouped_rank / global_cumsum (AQE pid-remap fix —
+    operators/analytics.py), connected components, iterative
+    PageRank/k-means frontiers, and the blocked pair-enumeration
+    subtrees: the materialization is REQUIRED for correctness where a
+    pid-stamped subtree feeds two consumers, and for performance
+    where an expensive subtree feeds many rounds. The storage
+    strategy is policy, selected per deployment — see
+    _MATERIALIZE_MODES above and SCALING.md "Materialization policy".
+    """
+    spark = df.sparkSession
+    mode = os.environ.get("KITTISPARK_MATERIALIZE", "")
+    try:
+        mode = spark.conf.get("kittispark.materialize.mode", mode) or mode
+    except Exception:
+        pass
+    mode = mode or "local_checkpoint"
+    if mode not in _MATERIALIZE_MODES:
+        raise ValueError(
+            f"kittispark.materialize.mode={mode!r}; expected one of "
+            f"{_MATERIALIZE_MODES}"
+        )
+    if mode == "persist_disk":
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()  # eager: freeze the partitioning now
+        return out
+    if mode == "checkpoint":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 from kittispark.registry import register
 from kittispark.queries._util import t
 from kittispark.operators.similarity import as_double, dot
@@ -352,9 +354,9 @@ def pagerank_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one fact pass, checkpointed: pr2's plan must reference the 625-row
     # fraction table, not replay the 4-table edge aggregation (the
     # lineage otherwise doubles per iteration — see operators.pagerank)
-    frac = pagerank_fractions(edges).localCheckpoint()
+    frac = materialize(pagerank_fractions(edges))
     pr0 = nodes.select("node", (F.lit(1.0) / 25).alias("pr"))
-    pr1 = pagerank_step(nodes, frac, pr0, n=25).localCheckpoint()
+    pr1 = materialize(pagerank_step(nodes, frac, pr0, n=25))
     pr2 = pagerank_step(nodes, frac, pr1, n=25)
     pr1_out = pr1.select(F.col("node").alias("node1"), F.col("pr").alias("pr1v"))
     return (

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 from kittispark.registry import register
 from kittispark.queries._util import t
 from kittispark.operators.text import (
@@ -317,7 +319,7 @@ def _bpe_learn(
         F.length("w") > 0
     )
     wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    cur = wf.select(
+    cur = materialize(wf.select(
         "w",
         "freq",
         F.concat_ws(
@@ -329,7 +331,7 @@ def _bpe_learn(
                 F.lit("</w>"),
             ),
         ).alias("sym"),
-    ).localCheckpoint(eager=True)
+    ))
     # zip_with over shifted slices, NOT transform(sequence(1, n-1)):
     # once a word fully merges to a single symbol, n-1 = 0 and Spark's
     # sequence(1, 0) is the DESCENDING [1, 0] (element_at then throws
@@ -361,11 +363,11 @@ def _bpe_learn(
         best = rows[0]
         merges.append((rnd, best["pair"], int(best["cnt"])))
         merged = best["pair"].replace(" ", "")
-        cur = cur.select(
+        cur = materialize(cur.select(
             "w",
             "freq",
             _bpe_splice(F.col("sym"), best["pair"], merged).alias("sym"),
-        ).localCheckpoint(eager=True)
+        ))
     _BPE_CACHE[key] = (merges, cur)
     return merges, cur
 
@@ -646,10 +648,9 @@ def wordpiece_segment_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segmentation branches, and the UNK branch — materialize it
     # ONCE (vocab-sized; the semantic_dedup shared-frontier
     # pattern) instead of re-tokenizing the corpus per consumer.
-    wf = (
+    wf = materialize(
         words.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .localCheckpoint(eager=True)
     )
 
     init, cont = wordpiece_vocab_top(wf)

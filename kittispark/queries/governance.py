@@ -206,21 +206,24 @@ def record_linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL-standard NTILE but computed WITHOUT a single-partition "
     "window: the two-level global_rank operator "
     "(operators/analytics.py) provides exact rank r and total N in "
-    "one distributed pass, and the NTILE closed form is applied per "
-    "row (the first N%4 buckets take ceil(N/4) rows, the rest "
-    "floor(N/4) — larger buckets FIRST, which is what "
-    "distinguishes NTILE from equi-width bucketing). The oracle "
+    "one distributed pass, and the shared ntile_from_rank closed "
+    "form maps (r, N) to a phase (the first N%4 buckets take "
+    "ceil(N/4) rows, the rest floor(N/4) — larger buckets FIRST, "
+    "which is what distinguishes NTILE from equi-width bucketing, "
+    "all in _exact_div integer discipline). The oracle "
     "uses DuckDB's native ntile() — an independent derivation the "
     "closed form must agree with. All-integer end to end.",
     tags=("governance", "window", "llm-pipeline"),
 )
 def curriculum_phase_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kittispark.operators.analytics import global_rank
+    from kittispark.operators.analytics import global_rank, ntile_from_rank
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     # NULLS FIRST explicitly on both order keys: Spark's ascending
     # default is nulls-first but DuckDB's is nulls-last, so the
     # contract is spelled out on BOTH sides (the r5 class-B lesson).
+    # global_rank's total_col exists precisely for the ntile consumer
+    # (ADVICE r6: reuse the shared closed form, don't re-derive it).
     ranked = global_rank(
         docs,
         F.col("n_chars").asc_nulls_first(),
@@ -228,27 +231,9 @@ def curriculum_phase_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="__r",
         total_col="__n",
     )
-    # NTILE(4) closed form from (rank r, total N), all integer ops on
-    # non-negative operands (so truncating arithmetic == floor):
-    #   q = N div 4, rem = N mod 4; the first rem buckets hold q+1
-    #   rows (cutoff = rem*(q+1)), the rest hold q.
-    r, n = F.col("__r"), F.col("__n")
-    q = (n - n % 4) / F.lit(4)
-    rem = n % 4
-    cutoff = rem * (q + 1)
-    big = (r - 1) - (r - 1) % (q + 1)
-    # small-bucket branch: divide by max(q, 1) — the branch is only
-    # taken when r > cutoff, which requires q >= 1, but ANSI mode
-    # must never see a 0 divisor even on the untaken side.
-    qs = F.greatest(q, F.lit(1))
-    small = (r - cutoff - 1) - (r - cutoff - 1) % qs
-    phase = F.when(r <= cutoff, big / (q + 1) + 1).otherwise(
-        rem + small / qs + 1
-    )
+    phase = ntile_from_rank(F.col("__r"), F.col("__n"), 4)
     return (
-        ranked.select(
-            phase.cast("int").alias("phase"), "lang", "n_chars"
-        )
+        ranked.select(phase.alias("phase"), "lang", "n_chars")
         .groupBy("phase", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

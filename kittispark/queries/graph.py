@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 from kittispark.queries._util import t
 from kittispark.registry import register
 
@@ -116,10 +118,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     # oriented feeds three consumers (adjacency build + both probe
     # sides) — materialize it, or the deg joins replay 3x
-    oriented = with_deg.select(
+    oriented = materialize(with_deg.select(
         F.when(src_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(src_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=True)
+    ))
 
     # per-vertex out-neighbor arrays (bounded O(sqrt(m)) by the
     # orientation), then one codegen array_intersect per edge — the
@@ -153,11 +155,10 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     # sym is consumed once per round plus the label init — materialize
     # it so the edge build runs once, not rounds+1 times
     sym = (
-        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        materialize(edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionAll(
             edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
-        )
-        .localCheckpoint(eager=True)
+        ))
     )
     labels = sym.select(F.col("x").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -273,7 +274,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weight agg per consumer. At cluster scale this is "persist the
     # frontier" — the standard multi-pass graph-analytics move.
     edges = (
-        _edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=True)
+        materialize(_edges(spark, sf_dir).select("u", "v"))
     )
     tri = triangle_count(edges)
 

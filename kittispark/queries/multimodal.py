@@ -622,10 +622,15 @@ def ahash_12bit(pixels: np.ndarray) -> int:
     return int((bits.astype("int64") << np.arange(12, dtype="int64")).sum())
 
 
-@register(
-    "media_phash_clusters",
-    oracle=f"""
-    WITH dd AS (
+def _phash_hashes_ctes() -> str:
+    """Shared oracle CTE chain — closed-form re-derivation of the PPM
+    decode + 12-bit aHash from doc_id (dd -> dims -> px -> lum ->
+    cells -> csum -> tot -> hashes). ONE definition feeding both
+    media_phash_clusters and phash_hamming_near_dup, so the grid
+    geometry and the integer threshold rule can never drift between
+    the two oracles (ADVICE r6 — the _bpe_round_ctes pattern)."""
+    return f"""
+    dd AS (
         SELECT DISTINCT doc_id % {_PHASH_MOD} AS did
         FROM documents WHERE doc_id < 200
     ),
@@ -663,7 +668,29 @@ def ahash_12bit(pixels: np.ndarray) -> int:
                    AS phash
         FROM csum c JOIN tot t USING (did)
         GROUP BY c.did
-    )
+    )"""
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared Arrow decode+hash kernel (doc_id, payload) ->
+    (doc_id, did, phash): stdlib P6 PPM parse + integer aHash. One
+    definition for both pHash queries (ADVICE r6)."""
+    from kittispark.operators.multimodal import decode_ppm
+
+    for pdf in batches:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            out = decode_ppm(payload)
+            rows.append(
+                (int(d), int(d) % _PHASH_MOD, ahash_12bit(out["pixels"]))
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _PHASH_SCHEMA.fields])
+
+
+@register(
+    "media_phash_clusters",
+    oracle=f"""
+    WITH {_phash_hashes_ctes()}
     SELECT h.phash,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT d.doc_id % {_PHASH_MOD}) AS BIGINT)
@@ -694,28 +721,9 @@ def ahash_12bit(pixels: np.ndarray) -> int:
     tags=("multimodal", "dedup", "udf"),
 )
 def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kittispark.operators.multimodal import decode_ppm
-
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = _synth_ppm_dup_payloads(docs)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                out = decode_ppm(payload)
-                rows.append(
-                    (
-                        int(d),
-                        int(d) % _PHASH_MOD,
-                        ahash_12bit(out["pixels"]),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _PHASH_SCHEMA.fields]
-            )
-
-    hashed = media.mapInPandas(kernel, _PHASH_SCHEMA)
+    hashed = media.mapInPandas(_phash_kernel, _PHASH_SCHEMA)
     return (
         hashed.groupBy("phash")
         .agg(
@@ -730,45 +738,7 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "phash_hamming_near_dup",
     oracle=f"""
-    WITH dd AS (
-        SELECT DISTINCT doc_id % {_PHASH_MOD} AS did
-        FROM documents WHERE doc_id < 200
-    ),
-    dims AS (
-        SELECT did, 4 + did % 5 AS w, 3 + did % 4 AS h FROM dd
-    ),
-    px AS (
-        SELECT did, w, h, j // 3 AS p,
-               CAST((did * 13 + j * 11) % 256 AS BIGINT) AS v
-        FROM dims,
-             LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1))
-                      AS j) g
-    ),
-    lum AS (
-        SELECT did, w, h, p, sum(v) AS lv
-        FROM px GROUP BY did, w, h, p
-    ),
-    cells AS (
-        SELECT did,
-               (((p // w) * 3) // h) * 4 + ((p % w) * 4) // w AS cell,
-               lv
-        FROM lum
-    ),
-    csum AS (
-        SELECT did, cell, sum(lv) AS s, count(*) AS n
-        FROM cells GROUP BY did, cell
-    ),
-    tot AS (
-        SELECT did, sum(s) AS ts, sum(n) AS tn FROM csum GROUP BY did
-    ),
-    hashes AS (
-        SELECT c.did,
-               CAST(sum(CASE WHEN c.s * t.tn > t.ts * c.n
-                             THEN 1 << c.cell ELSE 0 END) AS BIGINT)
-                   AS phash
-        FROM csum c JOIN tot t USING (did)
-        GROUP BY c.did
-    )
+    WITH {_phash_hashes_ctes()}
     SELECT CAST(a.did AS BIGINT) AS did1,
            CAST(b.did AS BIGINT) AS did2,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -794,29 +764,10 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "similarity", "udf"),
 )
 def phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kittispark.operators.multimodal import decode_ppm
-
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = _synth_ppm_dup_payloads(docs)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                out = decode_ppm(payload)
-                rows.append(
-                    (
-                        int(d),
-                        int(d) % _PHASH_MOD,
-                        ahash_12bit(out["pixels"]),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _PHASH_SCHEMA.fields]
-            )
-
     hashes = (
-        media.mapInPandas(kernel, _PHASH_SCHEMA)
+        media.mapInPandas(_phash_kernel, _PHASH_SCHEMA)
         .select("did", "phash")
         .distinct()
     )

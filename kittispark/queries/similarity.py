@@ -14,6 +14,8 @@ import atexit
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kittispark.operators.util import materialize
+
 from kittispark.registry import register
 from kittispark.queries._util import t
 from kittispark.operators.similarity import (
@@ -622,10 +624,9 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted unit-normalize transform, the 8-centroid argmin,
     # and the assignment join, measured at ~1.6 s per replay of the
     # ~3.4 s sf0.1 total
-    sided = (
+    sided = materialize(
         asg.join(base, "vec_id")
         .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(blocks)))
-        .localCheckpoint(eager=True)
     )
     a = sided.select(
         "cid",
