@@ -12,11 +12,12 @@ examples a training run sees.
 - ``farthest_point_coreset`` — k-center greedy coreset selection
   (Gonzalez 1985; the geometric "pick diverse examples" primitive
   behind coreset data pruning): seed with the lowest id, then k-1
-  rounds of "take the point farthest from the selected set". Each
-  round is one broadcast join + min-aggregate + 1-row argmax collect
-  (the bounded-driver-state pattern of the BPE learner / connected
-  components); distances ride the exact integer-micro lattice so
-  both engines agree bit-for-bit.
+  rounds of "take the point farthest from the selected set",
+  maintaining a RUNNING min-distance column so each round folds in
+  only the newly selected center — one O(N) scan + 1-row argmax
+  collect per round (the bounded-driver-state pattern of the BPE
+  learner / connected components); distances ride the exact
+  integer-micro lattice so both engines agree bit-for-bit.
 - ``dataset_card_report`` — the one-row dataset-card summary
   (docs, languages, sources, chars, exact-duplicate rate, median
   length) that accompanies a corpus release.
@@ -224,55 +225,68 @@ def _coreset_oracle(k: int = _CORESET_K) -> str:
 @register(
     "farthest_point_coreset",
     oracle=_coreset_oracle(),
-    doc="k-center greedy coreset selection (Gonzalez 1985) — the "
-    "farthest-point-sampling primitive behind diversity-driven "
-    "training-data pruning: seed with the lowest vec_id, then 5 "
-    "rounds of 'take the point whose distance to the nearest "
-    "already-selected point is largest' (ties to the lower id). "
-    "Each round is a broadcast join of the <=k selected vectors "
-    "into one corpus scan, a per-candidate min, and a 1-row argmax "
-    "collect — bounded driver state (k ids), the BPE-learner / "
-    "connected-components pattern, never data on the driver. "
-    "Distances are exact squared L2 on the integer-micro lattice "
-    "(max 64 * (2e6)^2 = 2.6e14, deep inside int64), so argmax ties "
-    "can never fork between engines. The oracle replays all k "
-    "rounds with chained CTEs from a generator, the same "
-    "learn-replay discipline as BPE.",
+    doc="k-center greedy coreset selection (Gonzalez 1985) in its "
+    "canonical INCREMENTAL form — the farthest-point-sampling "
+    "primitive behind diversity-driven training-data pruning: seed "
+    "with the lowest vec_id, then 5 rounds of 'take the point whose "
+    "distance to the nearest already-selected point is largest' "
+    "(ties to the lower id). The state is a running per-point "
+    "min-distance column: each round broadcasts ONLY the newly "
+    "selected center (one 64-dim row, collected with the argmax) "
+    "into one corpus scan and folds it in with least(dmin, d2) — "
+    "O(N) work per round regardless of how many centers are "
+    "already selected, vs O(|selected|*N) for re-scoring against "
+    "the whole set (VERDICT r6 #3). Round state is pinned via "
+    "materialize() (the BPE-learner / connected-components "
+    "pattern); driver state stays bounded at one (id, dmin, "
+    "center-vector) row per round. Distances are exact squared L2 "
+    "on the integer-micro lattice (max 64 * (2e6)^2 = 2.6e14, deep "
+    "inside int64), so argmax ties can never fork between engines. "
+    "The oracle replays all k rounds with chained CTEs from a "
+    "generator, the same learn-replay discipline as BPE.",
     tags=("similarity", "llm-pipeline", "iterative"),
 )
 def farthest_point_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.util import materialize
+
     emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = emb.select("vec_id", _micro("embedding").alias("vn"))
-    seed = v.agg(F.min("vec_id").alias("vec_id")).collect()[0][0]
-    rows = [(1, seed, None)]
-    if seed is None:  # empty corpus: no seed, empty result
+    seed = v.orderBy("vec_id").limit(1).collect()
+    if not seed:  # empty corpus: no seed, empty result
         return spark.createDataFrame(
             [], "selection_round int, vec_id long, d2_micro long"
         )
-    selected = [seed]
-    d2 = F.expr(
-        _D2_SPARK.format(n=_DIM - 1, a="vn", b="svn")
+    rows = [(1, seed[0].vec_id, None)]
+    d2 = F.expr(_D2_SPARK.format(n=_DIM - 1, a="vn", b="svn"))
+
+    def center_lit(vn_values) -> F.Column:
+        # the new center as a 64-literal bigint array — no join, the
+        # center folds into the scan as a constant (codegen-friendly)
+        return F.array(*[F.lit(int(x)).cast("bigint") for x in vn_values])
+
+    # round-1 state: every non-seed point, dmin = d2 to the seed
+    state = materialize(
+        v.filter(F.col("vec_id") != seed[0].vec_id)
+        .select("vec_id", "vn", center_lit(seed[0].vn).alias("svn"))
+        .select("vec_id", "vn", d2.alias("dmin"))
     )
     for r in range(2, _CORESET_K + 1):
-        sel_df = F.broadcast(
-            v.filter(F.col("vec_id").isin(selected)).select(
-                F.col("vn").alias("svn")
-            )
-        )
-        cand = (
-            v.filter(~F.col("vec_id").isin(selected))
-            .crossJoin(sel_df)
-            .select("vec_id", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min("d2").alias("dm"))
-            .orderBy(F.col("dm").desc(), "vec_id")
-            .limit(1)
-            .collect()
-        )
+        # argmax of the running min-distance; ship the winner's vn
+        # back with it (one bounded row) so the next fold needs no
+        # second lookup scan.
+        cand = state.orderBy(F.col("dmin").desc(), "vec_id").limit(1).collect()
         if not cand:
             break
-        rows.append((r, cand[0].vec_id, int(cand[0].dm)))
-        selected.append(cand[0].vec_id)
+        rows.append((r, cand[0].vec_id, int(cand[0].dmin)))
+        if r == _CORESET_K:
+            break  # no fold needed after the final selection
+        state = materialize(
+            state.filter(F.col("vec_id") != cand[0].vec_id)
+            .select("vec_id", "vn", "dmin", center_lit(cand[0].vn).alias("svn"))
+            .select(
+                "vec_id", "vn", F.least(F.col("dmin"), d2).alias("dmin")
+            )
+        )
     return spark.createDataFrame(
         rows, "selection_round int, vec_id long, d2_micro long"
     ).orderBy("selection_round")
