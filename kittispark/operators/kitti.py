@@ -153,18 +153,20 @@ _Y_TOP = (0, 0, 0, 0, 1, 1, 1, 1)  # 1 -> -h
 _Z_SIGNS = (-1, -1, 1, 1, -1, -1, 1, 1)
 
 
-def bbox_corners(labels: DataFrame) -> DataFrame:
-    """Explode each label into its 8 rotated+translated 3-D box
-    corners, already axis-aligned (reference get_3d_bbox,
-    data_utils.py:111-137: Y-rotation data_utils.py:124-131,
-    translation :132-134, X-remap :135-136).
+def corner_structs() -> list:
+    """The 8 rotated+translated+axis-remapped corner expressions of a
+    3-D label box as struct columns (corner_idx, cx, cy, cz) — the
+    ONE definition of the box geometry, shared by bbox_corners (the
+    P11 explode) and viz.bbox_wireframe (the 12-edge expansion), so
+    the corner layout can never drift between analysis and rendering.
 
-    Closed form per corner (cos/sin of rotation_y once per row):
+    Closed form per corner (cos/sin of rotation_y once per row;
+    reference get_3d_bbox, data_utils.py:111-137: Y-rotation
+    :124-131, translation :132-134, X-remap :135-136):
         bx = cos*sx*l/2 + sin*sz*w/2 + loc_x
         by = {0|-h} + loc_y
         bz = -sin*sx*l/2 + cos*sz*w/2 + loc_z
-    then the X-axis remap (bx, bz, -by). Emitted as
-    explode(array(struct x8)) — generator expressions, no UDF."""
+    then the X-axis remap (bx, bz, -by)."""
     c, s = F.cos("rotation_y"), F.sin("rotation_y")
     corners = []
     for i in range(8):
@@ -182,10 +184,19 @@ def bbox_corners(labels: DataFrame) -> DataFrame:
                 (-by).alias("cz"),
             )
         )
+    return corners
+
+
+def bbox_corners(labels: DataFrame) -> DataFrame:
+    """Explode each label into its 8 rotated+translated 3-D box
+    corners, already axis-aligned (reference get_3d_bbox,
+    data_utils.py:111-137). Emitted as explode(array(struct x8)) —
+    generator expressions, no UDF; geometry lives in
+    corner_structs()."""
     return labels.select(
         "frame_id",
         "label",
-        F.explode(F.array(*corners)).alias("c"),
+        F.explode(F.array(*corner_structs())).alias("c"),
     ).select("frame_id", "label", "c.corner_idx", "c.cx", "c.cy", "c.cz")
 
 

@@ -245,3 +245,79 @@ def test_viz_single_frame_data_path(loaded):
 
         with _pytest.raises(NotImplementedError):
             viz.frame_figure(points, one)
+
+
+def test_bbox_wireframe_golden(loaded):
+    """12 per-class-colored edge segments per included label,
+    endpoint-exact against the NumPy corner golden + the reference's
+    literal edge list (visualize.py:85-98)."""
+    frames, _, labels, _ = loaded
+    from tests.kitti_fixture import label_corners
+
+    from kittispark.viz import BBOX_COLORS, DEFAULT_CLASSES, WIREFRAME_EDGES, bbox_wireframe
+
+    one = min(frames)
+    got_rows = bbox_wireframe(labels).filter(F.col("frame_id") == one).collect()
+    incl = [r for r in frames[one]["labels"] if r["label"] in DEFAULT_CLASSES]
+    assert len(got_rows) == 12 * len(incl)
+
+    def seg_key(x1, y1, z1, x2, y2, z2, color):
+        return (round(x1, 6), round(y1, 6), round(z1, 6),
+                round(x2, 6), round(y2, 6), round(z2, 6), color)
+
+    want = sorted(
+        seg_key(*corners[a], *corners[b], BBOX_COLORS[rec["label"]])
+        for rec in incl
+        for corners in [label_corners(rec)]
+        for a, b in WIREFRAME_EDGES
+    )
+    got = sorted(
+        seg_key(r["x1"], r["y1"], r["z1"], r["x2"], r["y2"], r["z2"], r["color"])
+        for r in got_rows
+    )
+    assert got == want
+
+
+def test_plane_mesh_golden(spark):
+    """Vertex order, corner derivation, z_fixed override, and the
+    Mesh3d triangle triples exactly as generate_plane_two_corners
+    (reference visualize.py:23-64)."""
+    from kittispark.viz import PLANE_TRIANGLES, plane_mesh_two_corners
+
+    def reference_plane(corner1, corner2, z_fixed=None):
+        # independent NumPy-free replay of visualize.py:32-52
+        x1, y1, z1 = corner1
+        x2, y2, z2 = corner2
+        if z_fixed is not None:
+            z1 = z2 = z_fixed
+        corner3 = (x2, y1, z1)
+        corner4 = (x1, y2, z2)
+        plane_corners = [(x1, y1, z1), corner3, (x2, y2, z2), corner4]
+        return plane_corners, ([0, 1, 2], [1, 2, 3], [2, 3, 0])
+
+    planes = spark.createDataFrame(
+        [("p1", -4.25, 1.5, 9.0, 7.75, -3.5, 2.0, "green"),
+         ("p2", 0.0, 0.0, 1.0, 10.0, 20.0, 3.0, "red")],
+        "plane string, x1 double, y1 double, z1 double, "
+        "x2 double, y2 double, z2 double, color string",
+    )
+    for zf in (None, 0.0):
+        got = {
+            (r["plane"], r["vtx_idx"]): r
+            for r in plane_mesh_two_corners(planes, z_fixed=zf).collect()
+        }
+        for name, c1, c2 in (
+            ("p1", (-4.25, 1.5, 9.0), (7.75, -3.5, 2.0)),
+            ("p2", (0.0, 0.0, 1.0), (10.0, 20.0, 3.0)),
+        ):
+            verts, (ti, tj, tk) = reference_plane(list(c1), list(c2), zf)
+            for v, (px, py, pz) in enumerate(verts):
+                row = got[(name, v)]
+                assert (row["px"], row["py"], row["pz"]) == (px, py, pz)
+                if v < 3:
+                    assert (row["tri_a"], row["tri_b"], row["tri_c"]) == (
+                        ti[v], tj[v], tk[v]) == PLANE_TRIANGLES[v]
+                else:
+                    assert row["tri_a"] is None
+    # reference parity of the index triples themselves
+    assert PLANE_TRIANGLES == ((0, 1, 2), (1, 2, 3), (2, 3, 0))
