@@ -258,3 +258,120 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+def _lsh_curve_oracle() -> str:
+    """LSH-fed threshold curve: the shared MinHash-LSH candidate CTE
+    chain (queries.dedup._minhash_cte_block — one definition, the
+    near_dup_pipeline discipline), then the SAME candidate-bounded
+    exact-Jaccard + integer-threshold curve the quadratic twin
+    computes, restricted to the banded candidates."""
+    from kittispark.queries.dedup import _minhash_cte_block
+
+    return f"""
+    WITH {_minhash_cte_block()},
+    sh2 AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN sh2 a ON a.doc_id = c.doc_a
+        JOIN sh2 b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter,
+               CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS un
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    curve AS (
+        SELECT t, doc_a, doc_b, 100 * n_inter >= t * un AS ok
+        FROM pairs,
+             LATERAL (SELECT unnest([{", ".join(str(x) for x in _THRESHOLDS)}])
+                      AS t) g
+    )
+    SELECT CAST(t AS INT) AS threshold_pct,
+           CAST(count(*) FILTER (ok) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN ok THEN doc_a END)
+                + count(DISTINCT CASE WHEN ok THEN doc_b END) AS BIGINT)
+               AS n_doc_slots
+    FROM curve
+    GROUP BY t
+    ORDER BY threshold_pct
+    """
+
+
+@register(
+    "dedup_threshold_curve_lsh",
+    oracle=_lsh_curve_oracle(),
+    doc="The AT-SCALE threshold-sensitivity curve (VERDICT r6 #6): "
+    "identical curve semantics to dedup_threshold_curve, but the "
+    "pair set feeds from the MinHash-LSH banded candidates "
+    "(minhash_lsh_candidates) with exact Jaccard computed "
+    "candidate-bounded — cost scales with |candidates| x "
+    "shingles/doc, never with the stop-shingle-quadratic inverted "
+    "index, so THIS form (unlike the quadratic twin, which stays "
+    "gate-only as the adjudication oracle) joins the 50x sweep and "
+    "is the production path at 100 TB. Membership per threshold is "
+    "the same integer cross-multiplication (100*|inter| >= "
+    "t*|union|). The curve over candidates lower-bounds the "
+    "all-pairs curve at low thresholds and converges to it above "
+    "the LSH operating point — reading the two together IS the "
+    "banding-quality check; the oracle replays the shared "
+    "candidate CTE chain so both engines see the identical "
+    "candidate set.",
+    tags=("dedup", "aggregate", "llm-pipeline"),
+)
+def dedup_threshold_curve_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.dedup import minhash_lsh_candidates, shingle_rows
+
+    docs = t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs)
+    ds = shingle_rows(docs).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = ds.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = ds.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    pairs = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("bigint")
+            .alias("un"),
+        )
+    )
+    curve = pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "un",
+        F.explode(F.array(*[F.lit(x) for x in _THRESHOLDS])).alias("t"),
+    ).withColumn("ok", 100 * F.col("n_inter") >= F.col("t") * F.col("un"))
+    return (
+        curve.groupBy(F.col("t").cast("int").alias("threshold_pct"))
+        .agg(
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            (
+                F.countDistinct(F.when(F.col("ok"), F.col("doc_a")))
+                + F.countDistinct(F.when(F.col("ok"), F.col("doc_b")))
+            )
+            .cast("bigint")
+            .alias("n_doc_slots"),
+        )
+        .orderBy("threshold_pct")
+    )
