@@ -1052,3 +1052,34 @@ def test_threshold_curve_single_pass_over_pairs(plans):
     # would show ~21
     assert joins <= 4, (joins, plan)
     assert "CartesianProduct" not in plan
+
+
+def test_wireframe_zero_join_codegen_expansion(plans):
+    # corners are an inline struct array + literal edge-table explode:
+    # the ONLY exchange allowed is the bounded per-frame box-ordinal
+    # window's hash partition — no joins at all, and no Python
+    plan = plans("wireframe_edge_segments")
+    assert "Join" not in plan  # matches *HashJoin/SortMergeJoin/Nested
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the 12-edge explode
+    assert shuffle_exchanges(plan) == 1  # box_idx window only
+
+
+def test_plane_mesh_single_agg_no_extra_shuffle(plans):
+    # one envelope aggregation (partial + final over one exchange),
+    # then literal-array explode — nothing else may shuffle
+    plan = plans("plane_mesh_vertices")
+    assert shuffle_exchanges(plan) == 1
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_threshold_curve_lsh_candidate_bounded(plans):
+    # the at-scale curve must stay candidate-bounded: banding +
+    # shingle joins are equi-joins (hash/sort-merge), never a
+    # cross product, and the size side-tables ride broadcast
+    plan = plans("dedup_threshold_curve_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan  # the per-doc size tables
