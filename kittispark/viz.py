@@ -312,3 +312,71 @@ def frame_figure(
         }
     )
     return fig
+
+
+def area_planes_df(
+    spark,
+    minimal_area: tuple[tuple[float, ...], tuple[float, ...]],
+    maximal_area: tuple[tuple[float, ...], tuple[float, ...]],
+) -> DataFrame:
+    """The two analysis-area planes as a two-corner plane table —
+    the bridge from operators.kitti.analyze's envelope scalars
+    (minimal_area/maximal_area, reference data_pipeline.py:56-63) to
+    plane_mesh_two_corners, with the reference's green/red colors
+    (visualize.py:110-111)."""
+    rows = [
+        ("minimal_area", *map(float, minimal_area[0]),
+         *map(float, minimal_area[1]), "green"),
+        ("maximal_area", *map(float, maximal_area[0]),
+         *map(float, maximal_area[1]), "red"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "plane string, x1 double, y1 double, z1 double, "
+        "x2 double, y2 double, z2 double, color string",
+    )
+
+
+def frame_browser(
+    points: DataFrame,
+    labels: DataFrame | None = None,
+    planes: DataFrame | None = None,
+    max_points: int | None = 200_000,
+):
+    """Interactive frame browser — the engine-side equivalent of the
+    reference's ipywidgets slider loop (visualize.py:106-128): an
+    IntSlider over the sorted frame ids; each slider event runs ONE
+    partition-pruned single-frame query (frame_figure -> the E3
+    lookup path) instead of re-reading files.
+
+    The frame-id list is the only driver-side state (bounded: one
+    string per frame). Requires ipywidgets + plotly (both optional —
+    notebook presentation, not query semantics); every underlying
+    query path is exercised headlessly by frame_figure's tests."""
+    frame_ids = [
+        r["frame_id"]
+        for r in points.select("frame_id").distinct().orderBy("frame_id").collect()
+    ]
+    try:
+        from ipywidgets import IntSlider, interact
+    except ImportError as e:  # pragma: no cover - not in this container
+        raise NotImplementedError(
+            "ipywidgets not installed; call frame_figure(points, frame_id) "
+            "per frame instead — it is the exact per-slider-event query"
+        ) from e
+
+    def update(index: int):
+        fig = frame_figure(
+            points,
+            frame_ids[index],
+            max_points=max_points,
+            labels=labels,
+            planes=planes,
+        )
+        fig.show()
+
+    interact(
+        update,
+        index=IntSlider(min=0, max=len(frame_ids) - 1, step=1,
+                        description="File Index"),
+    )

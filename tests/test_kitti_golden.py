@@ -321,3 +321,35 @@ def test_plane_mesh_golden(spark):
                     assert row["tri_a"] is None
     # reference parity of the index triples themselves
     assert PLANE_TRIANGLES == ((0, 1, 2), (1, 2, 3), (2, 3, 0))
+
+
+def test_area_planes_and_frame_browser_paths(spark, loaded):
+    """area_planes_df bridges analyze()'s envelope scalars to the
+    plane-mesh generator with the reference's green/red colors; the
+    frame_browser raises the documented NotImplementedError without
+    ipywidgets (not in this container) AFTER running its only Spark
+    query (the bounded frame-id listing)."""
+    import pytest as _pytest
+
+    from kittispark.viz import area_planes_df, frame_browser, plane_mesh_two_corners
+
+    frames, points, labels, calib = loaded
+    res = analyze(points, labels, calib)
+    planes = area_planes_df(spark, res.minimal_area, res.maximal_area)
+    rows = {r["plane"]: r for r in planes.collect()}
+    assert rows["minimal_area"]["color"] == "green"
+    assert rows["maximal_area"]["color"] == "red"
+    assert rows["minimal_area"]["x1"] == res.minimal_area[0][0]
+    assert rows["maximal_area"]["z2"] == res.maximal_area[1][2]
+    # 4 mesh vertices per plane at z=0 (reference z_fixed=0.)
+    mesh = plane_mesh_two_corners(planes, z_fixed=0.0)
+    assert mesh.count() == 8
+    assert mesh.filter(F.col("pz") != 0.0).count() == 0
+    try:
+        import ipywidgets  # noqa: F401
+
+        _pytest.skip("ipywidgets present; browser path needs a notebook")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="frame_figure"):
+        frame_browser(points, labels=labels, planes=planes)
