@@ -92,6 +92,12 @@ INVARIANCE_SET = [
     "lang_confusion_matrix",
     "watermark_lateness_profile",
     "dedup_threshold_curve",
+    # r7: the LSH-fed curve (banded candidate join + integer
+    # thresholds), the box-ordinal ranked wireframe expansion, and
+    # the envelope-derived plane meshes
+    "dedup_threshold_curve_lsh",
+    "wireframe_edge_segments",
+    "plane_mesh_vertices",
 ]
 
 
