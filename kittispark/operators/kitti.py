@@ -366,3 +366,24 @@ def cutout_pipeline(
     frame_count_stats) so the filtered frame is written once and the
     stats can reuse it."""
     return cutout_filter(axis_align(apply_calibration(points, calib_wide)), lo, hi)
+
+
+def center_area_borders(
+    minimal_area: tuple[tuple[float, ...], tuple[float, ...]],
+    factor: float = 1.0 / 8.0,
+) -> tuple[tuple[float, float, float], tuple[float, float, float]]:
+    """Borders of the reference's SECOND cut-out dataset
+    (lbl_center_area_PoCls, data_pipeline.py:92-95): the minimal
+    analysis area shrunk toward the origin by ``factor`` —
+    lo' = lo * f and hi' = (lo + (hi - lo)) * f = hi * f, written in
+    the reference's two-step form (area_dims then lo + dims) to make
+    the parity line-for-line auditable. Feed the result to
+    cutout_pipeline exactly like the primary minimal_area borders
+    (the .gitignore's two output dirs are these two datasets)."""
+    lo = tuple(float(v) for v in minimal_area[0])
+    hi = tuple(float(v) for v in minimal_area[1])
+    area_dims = tuple(h - l for l, h in zip(lo, hi))
+    return (
+        tuple(l * factor for l in lo),
+        tuple((l + d) * factor for l, d in zip(lo, area_dims)),
+    )

@@ -353,3 +353,39 @@ def test_area_planes_and_frame_browser_paths(spark, loaded):
         pass
     with _pytest.raises(NotImplementedError, match="frame_figure"):
         frame_browser(points, labels=labels, planes=planes)
+
+
+def test_center_area_cutout_golden(loaded, tmp_path):
+    """The reference __main__'s SECOND dataset (lbl_center_area_PoCls,
+    data_pipeline.py:92-95): minimal-area borders scaled by factor
+    1/8 toward the origin, then the same E2 cutout. Border arithmetic
+    replayed independently in NumPy; per-frame counts golden-checked
+    via golden_cutout on the scaled borders."""
+    from kittispark.operators.kitti import center_area_borders
+
+    frames, points, labels, calib = loaded
+    res = analyze(points, labels, calib)
+    lo, hi = center_area_borders(res.minimal_area, factor=1.0 / 8.0)
+
+    # independent replay of data_pipeline.py:93-95
+    lo_np = np.array(res.minimal_area[0])
+    dims_np = np.array(res.minimal_area[1]) - lo_np
+    np.testing.assert_allclose(np.array(lo), lo_np * (1 / 8), rtol=1e-12)
+    np.testing.assert_allclose(np.array(hi), (lo_np + dims_np) * (1 / 8), rtol=1e-12)
+
+    cut = cutout_pipeline(points, calib, lo, hi)
+    got = {
+        r["frame_id"]: r["n"]
+        for r in cut.groupBy("frame_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        fid: arr.shape[0]
+        for fid, arr in golden_cutout(frames, np.array(lo), np.array(hi)).items()
+        if arr.shape[0]
+    }
+    assert got == want
+    # A6 stats over the center-area dataset (the reference's prints)
+    stats = frame_count_stats(cut).collect()
+    if want:
+        assert stats[0]["min_points"] == min(want.values())
+        assert stats[0]["max_points"] == max(want.values())
