@@ -215,9 +215,16 @@ def pagerank(
 
 def pagerank_fractions(edges: DataFrame) -> DataFrame:
     """Normalize (src, dst, w) edge weights to per-src out-fractions —
-    the one-time graph materialization every iteration reuses."""
+    the one-time graph materialization every iteration reuses.
+
+    The out-weight and rank tables are one row per NODE, so neither
+    this join nor pagerank_step's hints a broadcast (the grouped_rank
+    lesson, ADVICE r6): a forced broadcast fails outright on a
+    billion-node graph, while the planner (AQE at runtime) broadcasts
+    automatically whenever the node table is actually small — which
+    is every current consumer."""
     outw = edges.groupBy(F.col("src").alias("osrc")).agg(F.sum("w").alias("ow"))
-    return edges.join(F.broadcast(outw), F.col("src") == F.col("osrc")).select(
+    return edges.join(outw, F.col("src") == F.col("osrc")).select(
         "src",
         "dst",
         (F.col("w").cast("double") / F.col("ow").cast("double")).alias("f"),
@@ -238,10 +245,10 @@ def pagerank_step(
     return (
         nodes.join(frac, F.col("dst") == F.col("node"), "left")
         .join(
-            F.broadcast(
-                prev.select(
-                    F.col("node").alias("pnode"), F.col("pr").alias("src_pr")
-                )
+            # per-node rank table: planner's choice, no forced
+            # broadcast (see pagerank_fractions)
+            prev.select(
+                F.col("node").alias("pnode"), F.col("pr").alias("src_pr")
             ),
             F.col("src") == F.col("pnode"),
             "left",

@@ -124,6 +124,13 @@ _REVERIFY: frozenset[str] = frozenset(
         "first_last_value",
         "moving_avg_time_range",
         "grouping_sets_explicit",
+        # r7: pagerank_fractions/pagerank_step dropped their per-node
+        # broadcast hints (the grouped_rank ADVICE class — a forced
+        # broadcast of a node-sized table fails at graph scale);
+        # values re-verified identical at sf0.001/0.01/0.1, but the
+        # physical plan changed, so the r4 banked verdict is queued
+        # on the compute-path-change principle.
+        "pagerank_nation_flow",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
