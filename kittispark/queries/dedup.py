@@ -287,8 +287,12 @@ def near_dup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     verified = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # per-DOC size tables: planner's join choice, no forced
+        # broadcast (the grouped_rank/pagerank ADVICE class — at
+        # corpus scale these are one row per document; AQE still
+        # broadcasts them whenever they are actually small)
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b")
     )

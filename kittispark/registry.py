@@ -131,6 +131,11 @@ _REVERIFY: frozenset[str] = frozenset(
         # physical plan changed, so the r4 banked verdict is queued
         # on the compute-path-change principle.
         "pagerank_nation_flow",
+        # same audit, same class, same principle: the near-dup
+        # pipeline's per-DOC shingle-size tables lost their forced
+        # broadcast (one row per document at corpus scale); values
+        # re-verified identical at sf0.01/sf0.1.
+        "near_dup_pipeline_survivors",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated

@@ -1077,9 +1077,10 @@ def test_plane_mesh_single_agg_no_extra_shuffle(plans):
 
 def test_threshold_curve_lsh_candidate_bounded(plans):
     # the at-scale curve must stay candidate-bounded: banding +
-    # shingle joins are equi-joins (hash/sort-merge), never a
-    # cross product, and the size side-tables ride broadcast
+    # shingle joins are equi-joins (hash/sort-merge), never a cross
+    # product. The per-doc size tables carry NO broadcast hint (one
+    # row per document at corpus scale) — the planner may still
+    # broadcast them at this sf, but must not be forced to.
     plan = plans("dedup_threshold_curve_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastExchange" in plan  # the per-doc size tables
