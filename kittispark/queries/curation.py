@@ -398,7 +398,8 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank all docs and cut into deciles, and report each decile's "
     "doc count / token mass / mean score — the table a curation run "
     "reads to decide which perplexity band to keep. The vocab table "
-    "is corpus-distinct-tokens sized and joins back broadcast-style; "
+    "is corpus-distinct-tokens sized and joins back planner-chosen "
+    "(broadcast while small, hash join at web-corpus vocab); "
     "the global decile rank goes through operators.analytics."
     "global_rank (range-repartition + two-level prefix sum — no "
     "single-partition window at any scale). All score math is "
@@ -423,7 +424,10 @@ def lm_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lpn"),
     )
     per_doc = (
-        tok.join(F.broadcast(lp), "tok")
+        # per-TOKEN log-prob table: vocab-sized, data-scaled — no
+        # forced broadcast; the planner broadcasts while the vocab is
+        # small and falls back to a hash join at web-corpus vocab
+        tok.join(lp, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

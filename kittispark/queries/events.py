@@ -65,7 +65,10 @@ def percentile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rescale_by_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     stats = events.groupBy("user_id").agg(F.percentile("value", 0.05).alias("p05"))
-    return events.join(F.broadcast(stats), "user_id").select(
+    # per-USER stats: planner's join choice, no forced broadcast
+    # (data-scaled side — the grouped_rank/pagerank ADVICE class;
+    # AQE broadcasts it whenever the user count is actually small)
+    return events.join(stats, "user_id").select(
         "event_id",
         "user_id",
         F.round(F.col("value") - F.col("p05"), 6).alias("value_rescaled"),
@@ -100,7 +103,8 @@ def rescale_by_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.05).alias("p05"),
         F.percentile_approx("value", 0.05, 10000).alias("p05_approx"),
     )
-    return events.join(F.broadcast(stats), "user_id").select(
+    # per-USER stats: planner's choice (see rescale_by_percentile)
+    return events.join(stats, "user_id").select(
         "event_id",
         "user_id",
         F.round(F.col("value") - F.col("p05"), 6).alias("value_rescaled"),

@@ -136,6 +136,12 @@ _REVERIFY: frozenset[str] = frozenset(
         # broadcast (one row per document at corpus scale); values
         # re-verified identical at sf0.01/sf0.1.
         "near_dup_pipeline_survivors",
+        # per-USER stats rejoin and the vocab-sized unigram log-prob
+        # table: same unbounded-side audit, hints dropped, values
+        # re-verified identical at sf0.01/sf0.1.
+        "rescale_by_percentile",
+        "rescale_by_percentile_approx",
+        "lm_score_deciles",
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
