@@ -168,7 +168,11 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     bg = bigram_rows(df, text_col)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    lm = c2.join(F.broadcast(c1), "w1")
+    # c1/c2 are vocab-sized (data-scaled): planner's join choice, no
+    # forced broadcast — AQE broadcasts them while the vocab is small
+    # (the query docstring's claim, now actually true) and falls back
+    # to a hash join at web-corpus vocab
+    lm = c2.join(c1, "w1")
     scored = bg.join(lm, ["w1", "w2"]).select(
         "doc_id", (F.log(F.col("n2") / F.col("n1"))).alias("lp")
     )

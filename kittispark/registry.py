@@ -142,6 +142,7 @@ _REVERIFY: frozenset[str] = frozenset(
         "rescale_by_percentile",
         "rescale_by_percentile_approx",
         "lm_score_deciles",
+        "bigram_lm_score",  # vocab-sized c1 hint dropped, same audit
     }
 )
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
