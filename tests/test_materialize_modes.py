@@ -109,3 +109,16 @@ def test_rank_pid_fix_holds_in_every_mode(mode_conf, mode):
         _rank_invariants(spark)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_conf_overrides_env(mode_conf, monkeypatch):
+    # deployment conf (spark.conf) must win over the process env —
+    # a cluster operator sets the conf per job; the env is the
+    # local-dev fallback
+    spark = mode_conf
+    monkeypatch.setenv("KITTISPARK_MATERIALIZE", "local_checkpoint")
+    spark.conf.set("kittispark.materialize.mode", "persist_disk")
+    df = materialize(spark.range(5))
+    plan = df._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" in plan, plan  # persist_disk path taken
+    df.unpersist()

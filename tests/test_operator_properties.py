@@ -285,3 +285,30 @@ def test_d2_static_bit_equals_hof_fold(spark):
             import struct
 
             assert struct.pack("<d", r["hof"]) == struct.pack("<d", r["cg"])
+
+
+def test_ntile_from_rank_matches_sql_ntile_exhaustive(spark):
+    """Closed-form ntile(k) from (rank, n) vs the engine's own NTILE
+    window, exhaustively for every (n, k) in [0..40] x [1..7] — the
+    shared operator behind curriculum_phase_mix and the decile
+    family must agree with SQL semantics at every boundary
+    (n < k, n == k, remainders 0..k-1)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from kittispark.operators.analytics import ntile_from_rank
+
+    rows = spark.range(1, 41).select(F.col("id").alias("r"))
+    for k in range(1, 8):
+        for n in (0, 1, k - 1, k, k + 1, 2 * k + 3, 37, 40):
+            if n < 1:
+                continue
+            df = rows.filter(F.col("r") <= n)
+            got = df.select(
+                "r", ntile_from_rank(F.col("r"), F.lit(n), k).alias("t")
+            )
+            want = df.select(
+                "r", F.ntile(k).over(W.orderBy("r")).alias("t")
+            )
+            diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+            assert diff == 0, f"ntile mismatch at n={n}, k={k}"
