@@ -206,7 +206,9 @@ _WF_EDGE_VALUES = ", ".join(
     "literal array explode, endpoints via element_at — zero joins, "
     "zero shuffles, whole-stage codegen; the only window is the "
     "per-frame box ordinal over tens of rows per frame. The oracle "
-    "rebuilds corners AND the 12-edge join relationally.",
+    "rebuilds corners AND the 12-edge join relationally. The "
+    "p_partkey < 600 cap keeps the output SF-stable (the box set "
+    "stops growing once the part table covers the key range).",
     tags=("kitti-analog", "viz", "explode"),
 )
 def wireframe_edge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
