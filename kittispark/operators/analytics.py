@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from kittispark.operators.util import materialize
+from kittispark.operators.util import materialize, release
 
 
 def gapfill_daily(
@@ -209,7 +209,10 @@ def pagerank(
     frac = materialize(pagerank_fractions(edges))
     pr = nodes.select("node", (F.lit(1.0) / n).alias("pr"))
     for _ in range(iters):
+        prev_pr = pr
         pr = materialize(pagerank_step(nodes, frac, pr, n, damping))
+        release(prev_pr)  # dead round (no-op round 1: unmaterialized)
+    release(frac)  # the final pr is pinned; the fraction table is done
     return pr
 
 

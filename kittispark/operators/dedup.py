@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kittispark.operators.util import materialize
+from kittispark.operators.util import materialize, release
 
 from kittispark.operators.text import tokens_col
 
@@ -432,11 +432,16 @@ def connected_components(
         msgs = bi.join(labels, bi["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("comp")
         )
+        prev_labels = labels
         labels = materialize(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
+        # successor is eagerly pinned; drop the dead round's blocks
+        # (persist_disk would otherwise accumulate one DISK_ONLY copy
+        # per round for the life of the job — ADVICE r7)
+        release(prev_labels)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True

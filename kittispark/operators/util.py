@@ -68,6 +68,28 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def release(df: DataFrame) -> None:
+    """Release a frontier previously pinned by materialize(), once its
+    successor is eagerly pinned.
+
+    Iterative operators (connected components, PageRank, BPE learning,
+    farthest-point coreset) supersede their frontier every round; in
+    persist_disk mode each round's persist registers in Spark's
+    CacheManager and is NOT GC-reclaimed, so without an explicit
+    unpersist the disk blocks and cached-plan entries of every dead
+    round accumulate for the whole job — exactly the long
+    fault-sensitive cluster runs that mode targets (ADVICE r7).
+    Safe in every mode: unpersist is CacheManager-level, so it is a
+    no-op for localCheckpoint/checkpoint frontiers (their blocks are
+    RDD/HDFS-level and must NOT be dropped — lineage is truncated),
+    and in persist_disk mode lineage is retained, so a later block
+    loss in the successor simply recomputes through the released
+    round from source. Call only AFTER materialize() returned the
+    successor (materialize is eager in all three modes, so the dead
+    frontier has already been read)."""
+    df.unpersist(blocking=False)
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the input has fewer partitions than
     the session's parallelism.

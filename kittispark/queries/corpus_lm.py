@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kittispark.operators.util import materialize
+from kittispark.operators.util import materialize, release
 
 from kittispark.registry import register
 from kittispark.queries._util import t
@@ -363,11 +363,14 @@ def _bpe_learn(
         best = rows[0]
         merges.append((rnd, best["pair"], int(best["cnt"])))
         merged = best["pair"].replace(" ", "")
+        prev_cur = cur
         cur = materialize(cur.select(
             "w",
             "freq",
             _bpe_splice(F.col("sym"), best["pair"], merged).alias("sym"),
         ))
+        release(prev_cur)  # superseded round (final cur stays pinned
+        # for _BPE_CACHE reuse) — ADVICE r7
     _BPE_CACHE[key] = (merges, cur)
     return merges, cur
 

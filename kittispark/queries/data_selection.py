@@ -247,11 +247,15 @@ def _coreset_oracle(k: int = _CORESET_K) -> str:
     tags=("similarity", "llm-pipeline", "iterative"),
 )
 def farthest_point_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kittispark.operators.util import materialize
+    from kittispark.operators.util import materialize, release
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     v = emb.select("vec_id", _micro("embedding").alias("vn"))
-    seed = v.orderBy("vec_id").limit(1).collect()
+    # asc_nulls_last: Spark's plain orderBy is NULLS FIRST, so a NULL
+    # vec_id row would become the seed, empty the state via
+    # vec_id != NULL, and collapse the result — while the oracle's
+    # NULL-ignoring min(vec_id) still picks a real seed (ADVICE r7).
+    seed = v.orderBy(F.col("vec_id").asc_nulls_last()).limit(1).collect()
     if not seed:  # empty corpus: no seed, empty result
         return spark.createDataFrame(
             [], "selection_round int, vec_id long, d2_micro long"
@@ -280,6 +284,7 @@ def farthest_point_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((r, cand[0].vec_id, int(cand[0].dmin)))
         if r == _CORESET_K:
             break  # no fold needed after the final selection
+        prev_state = state
         state = materialize(
             state.filter(F.col("vec_id") != cand[0].vec_id)
             .select("vec_id", "vn", "dmin", center_lit(cand[0].vn).alias("svn"))
@@ -287,6 +292,8 @@ def farthest_point_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "vn", F.least(F.col("dmin"), d2).alias("dmin")
             )
         )
+        release(prev_state)  # dead round's pinned frontier (ADVICE r7)
+    release(state)  # selections are collected; the last frontier is dead
     return spark.createDataFrame(
         rows, "selection_round int, vec_id long, d2_micro long"
     ).orderBy("selection_round")

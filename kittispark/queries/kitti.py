@@ -182,10 +182,10 @@ _WF_EDGE_VALUES = ", ".join(
     )
     SELECT c1.frame_id, c1.label, c1.box_idx,
            CAST(e.edge_idx AS INT) AS edge_idx,
-           round(c1.cx, 6) AS x1, round(c1.cy, 6) AS y1,
-           round(c1.cz, 6) AS z1,
-           round(c2.cx, 6) AS x2, round(c2.cy, 6) AS y2,
-           round(c2.cz, 6) AS z2,
+           round(c1.cx, 6) + 0.0 AS x1, round(c1.cy, 6) + 0.0 AS y1,
+           round(c1.cz, 6) + 0.0 AS z1,
+           round(c2.cx, 6) + 0.0 AS x2, round(c2.cy, 6) + 0.0 AS y2,
+           round(c2.cz, 6) + 0.0 AS z2,
            {_WF_COLOR_SQL} AS color
     FROM corners c1
     JOIN (VALUES {_WF_EDGE_VALUES}) AS e(edge_idx, a, b) ON c1.ci = e.a
@@ -230,12 +230,17 @@ def wireframe_edge_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 3).cast("double").alias("loc_z"),
     )
     wf = bbox_wireframe(labels, include_classes=_VIZ_CLASSES[:3])
+    # round(...) + 0.0 on BOTH sides: Spark's round(-0.0, 6) yields
+    # +0.0 (BigDecimal has no signed zero) while DuckDB's preserves
+    # -0.0; the IEEE identity -0.0 + 0.0 = +0.0 normalizes the sign
+    # in both engines so the driver's bit-level value hash agrees
+    # (CORRECTNESS_r07 red; VERDICT r7 #1).
     return wf.select(
         "frame_id",
         "label",
         "box_idx",
         "edge_idx",
-        *[F.round(c, 6).alias(c) for c in ("x1", "y1", "z1", "x2", "y2", "z2")],
+        *[(F.round(c, 6) + 0.0).alias(c) for c in ("x1", "y1", "z1", "x2", "y2", "z2")],
         "color",
     )
 

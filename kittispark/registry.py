@@ -108,43 +108,11 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset(
-    {
-        # r7 start: 28 of the 34 r6 waiters were re-adjudicated GREEN
-        # in CORRECTNESS_r06.json and removed here (VERDICT r6 #1).
-        # These six carried over — the r6 window was full before they
-        # could be fronted. Five are r5 NULL-ordering / exact-cents
-        # rewrites (each 6-regime-certified locally in its current
-        # form); rank_fusion_rrf's r6 rewrite is A/B-proven
-        # bit-identical. All six head the r7 window behind the
-        # never-adjudicated fresh tier.
-        "rank_fusion_rrf",
-        "running_sum",
-        "lag_delta",
-        "first_last_value",
-        "moving_avg_time_range",
-        "grouping_sets_explicit",
-        # r7: pagerank_fractions/pagerank_step dropped their per-node
-        # broadcast hints (the grouped_rank ADVICE class — a forced
-        # broadcast of a node-sized table fails at graph scale);
-        # values re-verified identical at sf0.001/0.01/0.1, but the
-        # physical plan changed, so the r4 banked verdict is queued
-        # on the compute-path-change principle.
-        "pagerank_nation_flow",
-        # same audit, same class, same principle: the near-dup
-        # pipeline's per-DOC shingle-size tables lost their forced
-        # broadcast (one row per document at corpus scale); values
-        # re-verified identical at sf0.01/sf0.1.
-        "near_dup_pipeline_survivors",
-        # per-USER stats rejoin and the vocab-sized unigram log-prob
-        # table: same unbounded-side audit, hints dropped, values
-        # re-verified identical at sf0.01/sf0.1.
-        "rescale_by_percentile",
-        "rescale_by_percentile_approx",
-        "lm_score_deciles",
-        "bigram_lm_score",  # vocab-sized c1 hint dropped, same audit
-    }
-)
+_REVERIFY: frozenset[str] = frozenset()
+# r8 start: emptied — all 12 r7 waiters (six carried window rewrites
+# + six broadcast-audit requeues) were re-adjudicated GREEN in
+# CORRECTNESS_r07.json (VERDICT r7: "The entire r6 backlog cleared").
+# Re-populate only when a rewrite voids a banked verdict.
 # (r5 start was empty — all 13 r3/r4 rewrites were re-adjudicated
 # green in CORRECTNESS_r04.json. Populated again the same day the
 # adversarial-sweep rewrites landed, per VERDICT r4 #2.)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import os
+from decimal import Decimal
 
 import duckdb
 
@@ -36,11 +37,28 @@ def run_oracle(sql: str, sf_dir: str):
 def _norm_cell(v):
     if isinstance(v, bool):
         return v
+    if isinstance(v, Decimal):
+        # DuckDB hands back DECIMAL where its round()/literal
+        # arithmetic stays exact while the Spark side is DOUBLE; the
+        # driver's r7 verdicts show its hash coerces these equal
+        # (plane_mesh_vertices, media_feature_extract were green), so
+        # compare in double space. Both engines' decimals here are
+        # sub-2^53-scaled, so the conversion is exact.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 vs 0.0 and collapse float noise below round-off
-        return round(v + 0.0, 9)
+        # Driver-faithful bit identity: the driver's value hash
+        # distinguishes -0.0 from +0.0 and sees sub-1e-9 drift, so
+        # the local rehearsal must too (the old round(v + 0.0, 9)
+        # collapse is exactly why the r7 wireframe signed-zero red
+        # was invisible locally — VERDICT r7 #2). repr() round-trips
+        # doubles exactly and renders the zero sign.
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     return v
 
 
