@@ -143,6 +143,26 @@ HEADLINE = [
     "ann_ivf_index_append",
     "near_dup_pipeline_survivors",
     "dedup_threshold_curve_lsh",
+    # round-8 (VERDICT r7 #5): the streaming / kitti-file / viz
+    # families with real I/O were unbenched. Cold-timed at sf0.1
+    # before admission; the warm medians are the steady-state serve
+    # paths. stream_jsonl_ingest drains the JSONL landing dir through
+    # the JSON file source (one file per micro-batch);
+    # kitti_points_bin_roundtrip writes + re-reads real fixed-width
+    # .bin via the Python DataSource; kitti_datasource_scan is the
+    # registered-format read path; kitti_analysis_envelope is the
+    # heaviest kitti batch composition (calib chain + corner explode
+    # + envelope combine); wireframe_edge_segments is the r8
+    # signed-zero-fixed viz expansion kept under the clock.
+    # (stream_session_tracker measured 14.6 s warm at sf0.1 and is
+    # deliberately NOT admitted: 5 micro-batches of
+    # applyInPandasWithState per-batch state-store setup is a fixed
+    # overhead that doesn't track engine changes — see SCALING.md r8.)
+    "stream_jsonl_ingest",
+    "kitti_points_bin_roundtrip",
+    "kitti_datasource_scan",
+    "kitti_analysis_envelope",
+    "wireframe_edge_segments",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

@@ -457,6 +457,9 @@ def connected_components(
             "propagation budget); raise max_iter or switch to "
             "large-star/small-star contraction"
         )
+    # the returned labels are eagerly pinned; the symmetrized edge
+    # frontier is dead (same accumulation class as the round loop)
+    release(bi)
     return labels
 
 

@@ -905,11 +905,11 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS sum_all,
-           round(list_max(embedding::DOUBLE[]), 4) AS max_val,
-           round(embedding[1]::DOUBLE, 4) AS first_val,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) + 0.0 AS sum_all,
+           round(list_max(embedding::DOUBLE[]), 4) + 0.0 AS max_val,
+           round(embedding[1]::DOUBLE, 4) + 0.0 AS first_val,
            round(list_aggregate(list_slice(embedding::DOUBLE[], 1, 8), 'sum'), 4)
-               AS sum_head8,
+               + 0.0 AS sum_head8,
            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos
     FROM embeddings
     """,
@@ -922,13 +922,18 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     add = lambda acc, x: acc + x  # noqa: E731
+    # round(...) + 0.0 on BOTH sides: a tiny-negative value rounds to
+    # -0.0 in DuckDB but +0.0 in Spark (BigDecimal has no signed
+    # zero); the IEEE identity -0.0 + 0.0 = +0.0 normalizes both.
+    # Latent at the sf0.01 driver gate — first embedding[1] that
+    # rounds to zero appears at sf0.1 (r8 strict sweep).
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.aggregate(v, F.lit(0.0), add), 4).alias("sum_all"),
-        F.round(F.array_max(v), 4).alias("max_val"),
-        F.round(F.element_at(v, 1), 4).alias("first_val"),
-        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), add), 4).alias("sum_head8"),
+        (F.round(F.aggregate(v, F.lit(0.0), add), 4) + 0.0).alias("sum_all"),
+        (F.round(F.array_max(v), 4) + 0.0).alias("max_val"),
+        (F.round(F.element_at(v, 1), 4) + 0.0).alias("first_val"),
+        (F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), add), 4) + 0.0).alias("sum_head8"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
     )
 

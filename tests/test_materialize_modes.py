@@ -126,3 +126,30 @@ def test_conf_overrides_env(mode_conf, monkeypatch):
     plan = df._jdf.queryExecution().withCachedData().toString()
     assert "InMemoryRelation" in plan, plan  # persist_disk path taken
     df.unpersist()
+
+
+def test_persist_disk_iterative_loops_release_dead_frontiers(mode_conf):
+    # ADVICE r7: in persist_disk mode every materialize() registers a
+    # DataFrame in Spark's CacheManager and is NOT GC-reclaimed; an
+    # iterative loop that never unpersists superseded frontiers
+    # accumulates one DISK_ONLY copy per round for the life of the
+    # job. connected_components runs >= 2 rounds here (chain graph),
+    # so without release() it would leave round-count + 1 entries;
+    # with it, at most the returned labels stay pinned.
+    from kittispark.operators.dedup import connected_components
+
+    spark = _with_mode(mode_conf, "persist_disk")
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    jcm.clearCache()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    labels = connected_components(edges, src="a", dst="b")
+    assert labels.groupBy("comp").count().count() == 1  # one chain
+    # dead rounds released: only the returned frontier may remain
+    assert not jcm.isEmpty() , "returned labels should still be pinned"
+    labels.unpersist()
+    assert jcm.isEmpty(), (
+        "CacheManager should be empty once the caller releases the "
+        "result — any residue is a leaked per-round frontier"
+    )
