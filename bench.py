@@ -261,6 +261,14 @@ def main() -> None:
     if len(line) > 1800:
         line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(line_obj)
+    # The driver tail buffer is EXACTLY 2000 chars (BENCH_r07.tail
+    # measured); the 62-query 2dp line is already 1915. If the line
+    # ever nears the buffer, drop per-query precision to 1dp — the
+    # full-precision medians + spread always live in
+    # BENCH_DETAIL.json, the stdout line only needs to stay parseable.
+    if len(line) > 1950:
+        line_obj["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(line_obj)
     detail = {
         **line_obj,
         "queries": timings,
