@@ -1084,3 +1084,42 @@ def test_threshold_curve_lsh_candidate_bounded(plans):
     plan = plans("dedup_threshold_curve_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kitti_datasource_scan_pure_batchscan(plans):
+    # the registered Python DataSource serves the whole read: one
+    # BatchScan + a codegen projection, nothing else — no shuffle, no
+    # separate Python eval node (the Arrow decode lives inside the
+    # reader), no join
+    plan = plans("kitti_datasource_scan")
+    assert re.search(r"^\(\d+\) BatchScan kitti_points", plan, re.MULTILINE)
+    assert shuffle_exchanges(plan) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_points_bin_roundtrip_scan_decode_only(plans):
+    # binaryFile scan -> one Arrow MapInPandas decode -> projection;
+    # per-file decode is embarrassingly parallel and must stay
+    # shuffle-free end to end
+    plan = plans("kitti_points_bin_roundtrip")
+    assert re.search(r"^\(\d+\) Scan binaryFile", plan, re.MULTILINE)
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.MULTILINE)) == 1
+    assert shuffle_exchanges(plan) == 0
+    assert "Join" not in plan
+
+
+def test_analysis_envelope_broadcast_combine_shape(plans):
+    # the full S1/S2/S3/S4->P11->A1-A5 composition: every calib/label
+    # attach is a broadcast hash join (frames are the dimension side,
+    # never shuffled against points), the global envelope re-attaches
+    # to per-frame stats through ONE BroadcastNestedLoopJoin whose
+    # build side is the 1-row envelope aggregate (the bounded-cross
+    # pattern), and the only exchanges are aggregation partial/final
+    # boundaries — 4 at most, none data-sized joins
+    plan = plans("kitti_analysis_envelope")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE)) == 1
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 4
+    assert shuffle_exchanges(plan) <= 4
