@@ -583,11 +583,20 @@ def kitti_analysis_envelope(
 ) -> DataFrame:
     from kittispark.operators.kitti import frame_z_scale, rescale_z
 
+    from kittispark.operators.util import materialize
+
     root = kitti_fixture_root(spark, sf_dir, n_docs, n_frames)
     points = read_points(spark, os.path.join(root, "velodyne"))
     calib_wide = calib_matrices(read_calib(spark, os.path.join(root, "calib")))
-    tr = axis_align(apply_calibration(points, calib_wide))
-    zs = frame_z_scale(tr)
+    # Pin the decoded+calibrated cloud: it feeds BOTH the z-scale
+    # aggregation and the rescale join, and without the pin each
+    # consumer re-runs the binaryFile scan + Arrow decode (the plan
+    # showed 3 decode passes). At real KITTI volume the decode is the
+    # dominant cost; one pinned pass is the shared-frontier idiom.
+    tr = materialize(axis_align(apply_calibration(points, calib_wide)))
+    # zs (per-frame scalars, bounded rows) is itself consumed twice —
+    # by the point rescale and the label rescale — so pin it too.
+    zs = materialize(frame_z_scale(tr))
     # the P7/J2 operator itself, not a hand-rolled twin (zs is shared
     # with the label rescale below, so it is passed in explicitly)
     resc = rescale_z(tr, zs).select("x", "y", "z")

@@ -1115,16 +1115,18 @@ def test_points_bin_roundtrip_scan_decode_only(plans):
 
 
 def test_analysis_envelope_broadcast_combine_shape(plans):
-    # the full S1/S2/S3/S4->P11->A1-A5 composition: every calib/label
-    # attach is a broadcast hash join (frames are the dimension side,
-    # never shuffled against points), the global envelope re-attaches
-    # to per-frame stats through ONE BroadcastNestedLoopJoin whose
-    # build side is the 1-row envelope aggregate (the bounded-cross
-    # pattern), and the only exchanges are aggregation partial/final
-    # boundaries — 4 at most, none data-sized joins
+    # the full S1/S2/S3/S4->A1-A5 composition with the decoded cloud
+    # and the per-frame z-scale PINNED (each feeds two consumers;
+    # unpinned, the binaryFile+Arrow decode ran three times): the
+    # serve plan must contain ZERO decode nodes (the one decode ran at
+    # pin time) and read only the pinned RDDs; label attaches stay
+    # broadcast; the global envelope re-attaches through ONE 1-row
+    # BroadcastNestedLoopJoin; exchanges only at aggregation
+    # partial/final boundaries
     plan = plans("kitti_analysis_envelope")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.MULTILINE)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.MULTILINE)) >= 2
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE)) == 1
-    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 4
-    assert shuffle_exchanges(plan) <= 4
+    assert shuffle_exchanges(plan) <= 2
