@@ -764,9 +764,17 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "similarity", "udf"),
 )
 def phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.util import materialize
+
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = _synth_ppm_dup_payloads(docs)
-    hashes = (
+    # Pin the (did, phash) table: both sides of the banded self-join
+    # derive from it, and unpinned each side re-ran the image synth +
+    # decode kernels over the whole corpus (the plan showed 2x2
+    # Python nodes). The pinned table is one tiny row per distinct
+    # image — at corpus scale the decode dominates, so pinning halves
+    # the query's real cost.
+    hashes = materialize(
         media.mapInPandas(_phash_kernel, _PHASH_SCHEMA)
         .select("did", "phash")
         .distinct()

@@ -135,6 +135,12 @@ _REVERIFY: frozenset[str] = frozenset(
         # (pinning never changes results), 1.27x at the 100x fixture;
         # banked r3 verdict voided on the compute-path principle.
         "kitti_analysis_envelope",
+        # r8 continuation: the (did, phash) table is now pinned —
+        # both sides of the banded self-join derive from it, and
+        # unpinned each side re-ran the image synth + decode kernels
+        # over the whole corpus. Values pin-invariant; banked verdict
+        # voided on the compute-path principle.
+        "phash_hamming_near_dup",
     }
 )
 # r8 start: emptied — all 12 r7 waiters (six carried window rewrites

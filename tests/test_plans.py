@@ -950,10 +950,15 @@ def test_kneser_ney_one_row_broadcast_only(plans):
 def test_phash_hamming_banded_equi_join(plans):
     """Near-dup image pairs come from the banded EQUI-join on
     (band, value) — the MinHash-LSH shape — never a cartesian pair
-    enumeration."""
+    enumeration. The (did, phash) table is PINNED before the
+    self-join: the serve plan must contain zero decode kernels
+    (unpinned, BOTH join sides re-ran the image synth + decode over
+    the whole corpus)."""
     plan = plans("phash_hamming_near_dup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.MULTILINE)) == 0
+    assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.MULTILINE)) >= 2
 
 
 def test_audio_fingerprint_single_hash_shuffle(plans):
