@@ -183,6 +183,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kittispark import get_spark, registry  # noqa: F401
     from kittispark import registry as reg
+    from kittispark.operators.util import release_pins
 
     # Progress-bar \r frames share the captured output stream with the
     # final JSON line; suppress them so the driver's bounded tail is
@@ -226,6 +227,7 @@ def main() -> None:
         if reset is not None:
             reset()
         fn(spark, sf_dir).count()
+        release_pins()  # drain one-shot persist_disk pins (ADVICE r8)
         runs = []
         for _ in range(iters):
             if reset is not None:
@@ -233,6 +235,7 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
+            release_pins()
         med = statistics.median(runs)
         timings[name] = round(med, 3)
         # relative min-max spread: round-over-round drift smaller than

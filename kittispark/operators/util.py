@@ -32,6 +32,19 @@ from pyspark.storagelevel import StorageLevel
 #       Requires a checkpoint dir to be configured.
 _MATERIALIZE_MODES = ("local_checkpoint", "persist_disk", "checkpoint")
 
+# persist_disk-mode pins registered by materialize() and not yet
+# release()d. Iterative operators release superseded frontiers
+# themselves; ONE-SHOT pins (a decoded cloud feeding two consumers,
+# a phash table feeding both sides of a self-join) live until the
+# query's action completes and the harness calls release_pins().
+# Without the drain, each invocation leaks a CacheManager entry +
+# DISK_ONLY blocks for the session lifetime (ADVICE r8) — bench's
+# 6 runs/query and long-lived cluster sessions accumulate them.
+# Only persist_disk registers here: localCheckpoint/checkpoint blocks
+# are RDD/HDFS-level, not CacheManager-level, and must NOT be dropped
+# mid-session (lineage is truncated).
+_PIN_TRACKER: list[DataFrame] = []
+
 
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly pin `df` so every downstream consumer reads ONE
@@ -62,6 +75,7 @@ def materialize(df: DataFrame) -> DataFrame:
     if mode == "persist_disk":
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()  # eager: freeze the partitioning now
+        _PIN_TRACKER.append(out)
         return out
     if mode == "checkpoint":
         return df.checkpoint(eager=True)
@@ -88,6 +102,30 @@ def release(df: DataFrame) -> None:
     successor (materialize is eager in all three modes, so the dead
     frontier has already been read)."""
     df.unpersist(blocking=False)
+    for i, pin in enumerate(_PIN_TRACKER):
+        if pin is df:
+            del _PIN_TRACKER[i]
+            break
+
+
+def release_pins() -> int:
+    """Drain every persist_disk pin still registered by materialize().
+
+    The one-shot-pin release path (ADVICE r8): queries that pin a
+    shared subtree for a single invocation (analysis envelope's
+    decoded cloud, phash's hash table, the AVI frame index) return a
+    DataFrame whose action happens OUTSIDE the query function — in
+    bench.py, the oracle harness, or the driver — so they cannot
+    unpersist before returning. The harness calls release_pins()
+    AFTER consuming the result; safe because persist_disk retains
+    lineage (a later re-read simply recomputes). No-op in
+    local_checkpoint/checkpoint modes (nothing registers). Returns
+    the number of pins released."""
+    n = 0
+    while _PIN_TRACKER:
+        _PIN_TRACKER.pop().unpersist(blocking=False)
+        n += 1
+    return n
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

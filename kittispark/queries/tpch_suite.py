@@ -716,12 +716,16 @@ def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-order distinct-supplier counts (collect_set sizes, overall "
     "and late-only) computed alongside each line, then filtered to "
     "n_supp > 1 AND n_late = 1 AND this-line-late. One lineitem scan, "
-    "one join, one window shuffle — the previous aggregate-then-"
-    "semi-join form consumed the joined fact TWICE (no exchange reuse: "
-    "the two consumers diverge before the shuffle), and the correlated "
-    "rewrite would be two more self-joins of lineitem. Measured 1.6x "
-    "faster at sf0.1 and 3x at 250x (spill-bound) vs the two-pass "
-    "form; per-order group state is bounded by suppliers-per-order.",
+    "two joins (filtered orders — broadcast at test SF — plus the "
+    "broadcast supplier name attach), one window shuffle — the "
+    "previous aggregate-then-semi-join form consumed the joined fact "
+    "TWICE (no exchange reuse: the two consumers diverge before the "
+    "shuffle), and the correlated rewrite would be two more "
+    "self-joins of lineitem. Measured 1.6x faster at sf0.1 and 3x at "
+    "250x (spill-bound) vs the two-pass form. Window buffer is "
+    "bounded by lines-per-order (the unbounded frame buffers the "
+    "order's lines); only the collect_set STATE inside it is "
+    "bounded by suppliers-per-order.",
     tags=("relational", "tpch", "join", "subquery", "window"),
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

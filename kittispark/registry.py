@@ -108,41 +108,13 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset(
-    {
-        # r8: the strict (bit-faithful) sf0.1 sweep caught a latent
-        # signed-zero instance — round(tiny_negative, 4) is -0.0 in
-        # DuckDB but +0.0 in Spark — invisible at the sf0.01 driver
-        # gate (no embedding[1] rounds to zero there). All four
-        # rounded double columns now emit round(...) + 0.0 on both
-        # sides; values identical at sf0.001/0.01 (no -0.0 exists),
-        # changed at sf0.1 only where the oracle previously emitted
-        # -0.0. Compute path changed after the r1 adjudication, so
-        # the banked verdict is voided on principle.
-        "array_functions",
-        # r8 continuation: q21 rewritten from aggregate-then-semi-join
-        # (two passes over the joined fact — no exchange reuse) to a
-        # single orderkey-window pass: one lineitem scan, 2 shuffles
-        # instead of 4; value-identical at sf0.01/0.1 vs the old form
-        # and the unchanged oracle, 1.6x faster at sf0.1, 3x at 250x.
-        # Compute path changed after the banked adjudication, so the
-        # verdict is voided on principle.
-        "q21_waiting_suppliers",
-        # r8 continuation: the decoded+calibrated point cloud and the
-        # per-frame z-scale table are now pinned via materialize()
-        # (each fed two consumers; the unpinned plan ran the
-        # binaryFile+Arrow decode three times). Values identical
-        # (pinning never changes results), 1.27x at the 100x fixture;
-        # banked r3 verdict voided on the compute-path principle.
-        "kitti_analysis_envelope",
-        # r8 continuation: the (did, phash) table is now pinned —
-        # both sides of the banded self-join derive from it, and
-        # unpinned each side re-ran the image synth + decode kernels
-        # over the whole corpus. Values pin-invariant; banked verdict
-        # voided on the compute-path principle.
-        "phash_hamming_near_dup",
-    }
-)
+_REVERIFY: frozenset[str] = frozenset()
+# r9 start: emptied — all four r8 waiters (array_functions signed-zero
+# normalization, the q21 single-pass window rewrite, and the two
+# materialize() pin additions for the envelope and phash queries) were
+# re-adjudicated GREEN in CORRECTNESS_r08.json (VERDICT r8: "All four
+# _REVERIFY waiters came back green"). Repopulate per rule 3 above
+# when a post-verdict rewrite lands.
 # r8 start: emptied — all 12 r7 waiters (six carried window rewrites
 # + six broadcast-audit requeues) were re-adjudicated GREEN in
 # CORRECTNESS_r07.json (VERDICT r7: "The entire r6 backlog cleared").

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kittispark import get_spark  # noqa: E402
 from kittispark import registry as reg  # noqa: E402
+from kittispark.operators.util import release_pins  # noqa: E402
 
 # The iterative heavy tail: every query here drives materialize() in
 # a loop (connected components, PageRank, BPE, k-means, k-center) or
@@ -54,12 +55,14 @@ def time_mode(spark, qs, sf_dir: str, mode: str, iters: int):
         fn = qs[name]
         _reset_bpe()
         fn(spark, sf_dir).count()  # untimed pre-run (plan compile)
+        release_pins()  # drain one-shot persist_disk pins (ADVICE r8)
         runs = []
         for _ in range(iters):
             _reset_bpe()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+            release_pins()
         out[name] = round(statistics.median(runs), 3)
     return out
 

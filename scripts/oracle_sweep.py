@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kittispark import registry  # noqa: E402
+from kittispark.operators.util import release_pins
 from kittispark.session import get_spark
 from tests.oracle_harness import compare
 
@@ -63,6 +64,8 @@ def sweep(
             except Exception as ex:  # report and continue — a sweep is a census
                 fails.append((name, sf, str(ex)[:300]))
                 print(f"FAIL {name} @{sf}: {str(ex)[:300]}", flush=True)
+            finally:
+                release_pins()  # drain one-shot persist_disk pins (ADVICE r8)
         if kitti_scale:
             from kittispark.queries.kitti_files import KITTI_SCALE_CHECKS
 

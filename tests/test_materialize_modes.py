@@ -153,3 +153,38 @@ def test_persist_disk_iterative_loops_release_dead_frontiers(mode_conf):
         "CacheManager should be empty once the caller releases the "
         "result — any residue is a leaked per-round frontier"
     )
+
+
+def test_release_pins_drains_one_shot_persist_disk_pins(mode_conf):
+    # ADVICE r8: ONE-SHOT pins (a decoded cloud shared by two
+    # consumers inside a single query invocation) cannot unpersist
+    # before the query returns its DataFrame — the action happens in
+    # the caller. materialize() therefore registers persist_disk pins
+    # in a tracker and the harness drains it with release_pins()
+    # after consuming the result. Without the drain, bench's 6
+    # runs/query leak 6 CacheManager entries per pin site.
+    from kittispark.operators.util import _PIN_TRACKER, release, release_pins
+
+    spark = _with_mode(mode_conf, "persist_disk")
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    jcm.clearCache()
+    release_pins()  # start clean (other tests may have left residue)
+    a = materialize(spark.range(10))
+    b = materialize(spark.range(20))
+    assert len(_PIN_TRACKER) == 2
+    assert not jcm.isEmpty()
+    # an iterative op releasing a superseded frontier prunes the
+    # tracker too — release_pins must not double-unpersist it
+    release(a)
+    assert len(_PIN_TRACKER) == 1
+    assert release_pins() == 1
+    assert not _PIN_TRACKER
+    assert jcm.isEmpty(), "drained pins must leave no CacheManager entry"
+    # the other two modes never register: nothing to leak, nothing
+    # for release_pins to wrongly drop (their blocks are lineage-
+    # truncated and MUST survive)
+    spark.conf.set("kittispark.materialize.mode", "local_checkpoint")
+    c = materialize(spark.range(5))
+    assert not _PIN_TRACKER
+    assert release_pins() == 0
+    assert c.count() == 5

@@ -26,6 +26,14 @@ SF = "/root/testdata/sf0.001"
 def plans(spark):
     qs = registry.queries()
 
+    # Plan-shape assertions that look through materialize() (Scan
+    # ExistingRDD counts, MapInPandas == 0 after a pin) encode the
+    # local_checkpoint plan; under persist_disk/checkpoint the pinned
+    # subtree shows InMemoryTableScan / full lineage instead (ADVICE
+    # r8). Pin the default mode for the whole module so the asserts
+    # audit one deterministic shape regardless of the process env.
+    spark.conf.set("kittispark.materialize.mode", "local_checkpoint")
+
     def plan_of(name: str) -> str:
         # Other test modules cache base tables (session-scoped
         # fixtures); a cached table substitutes InMemoryTableScan for
@@ -37,7 +45,8 @@ def plans(spark):
             qs[name](spark, SF).explain("formatted")
         return buf.getvalue()
 
-    return plan_of
+    yield plan_of
+    spark.conf.unset("kittispark.materialize.mode")
 
 
 def shuffle_exchanges(plan: str) -> int:
@@ -360,8 +369,12 @@ def test_q21_no_correlated_self_join_explosion(plans):
     # exactly once.
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)) <= 3
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE)) == 1
-    # one shuffle for the window, one for the final supplier rollup
-    assert shuffle_exchanges(plan) <= 2
+    # one shuffle for the window, one for the final supplier rollup —
+    # WHILE the filtered orders side broadcasts (it does at test SF).
+    # Past the broadcast threshold the planner legitimately adds a
+    # third exchange for a sort-merge orders join; allow it so a
+    # threshold change doesn't read as a plan regression (ADVICE r8).
+    assert shuffle_exchanges(plan) <= 3
 
 
 def test_q22_anti_join_and_scalar_broadcast(plans):
