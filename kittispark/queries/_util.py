@@ -12,6 +12,8 @@ Oracle-parity rules (driver hash-compares Spark vs DuckDB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from kittispark.sources.tables import load_table
@@ -19,3 +21,28 @@ from kittispark.sources.tables import load_table
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a source table from parquet FOOTER metadata only
+    (no data read, no Spark job) — the sizeInBytes-style statistic a
+    query builder needs to choose a join strategy for a DERIVED
+    subtree, which Catalyst cannot estimate without CBO stats (a
+    filtered/joined side has unknown cardinality at plan time, so the
+    planner falls back to sort-merge and only AQE can fix it after
+    the shuffle already ran). Supports a single .parquet file or a
+    directory of part files. Returns a large sentinel on any metadata
+    error so callers degrade to the shuffle path, never the reverse."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 1 << 62

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kittispark.registry import register
-from kittispark.queries._util import t
+from kittispark.queries._util import t, table_rows
 
 # Exact int64 money/quantity atoms (see relational._rev_scaled_sum).
 _REV_SQL = (
@@ -88,10 +88,20 @@ def _qty_long():
     "ECONOMY-part revenue sold into ASIA customers, per order year. "
     "One conditional aggregate computes both numerator and "
     "denominator in a single pass over the 7-way star join (no "
-    "self-join, no second scan); all dimensions broadcast so "
-    "lineitem shuffles exactly once (on orderkey). The share is a "
-    "ratio of two exact int64 sums — both engines divide the same "
-    "integers, so round(.., 6) is stable.",
+    "self-join, no second scan). Join order is the scale design "
+    "(VERDICT r8 #2 — the old li-join-orders-first form spilled at "
+    "the 250x tier): BOTH sides of the orderkey fact-fact join are "
+    "pruned and narrowed BEFORE it. The lineitem side takes the "
+    "selective ECONOMY-part broadcast (~1/6 of lines) and the "
+    "supplier-nation broadcast first and is projected down to "
+    "(l_orderkey, rev int64, is_nat bool); the orders side takes the "
+    "ASIA-customer broadcast (~1/5 of orders) first and is projected "
+    "to (o_orderkey, o_year). At test SF the pruned orders side "
+    "auto-broadcasts (zero fact shuffles); past the threshold the "
+    "sort-merge join sorts ~6x fewer and ~5x narrower rows per side "
+    "than the unpruned form — the spill fix is the plan, not a knob. "
+    "The share is a ratio of two exact int64 sums — both engines "
+    "divide the same integers, so round(.., 6) is stable.",
     tags=("relational", "tpch", "join"),
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,26 +112,76 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    # Size-aware broadcast hints: Catalyst cannot estimate a
+    # post-join/post-filter cardinality without CBO stats, so a
+    # derived build side either gets NO hint (static planner
+    # sort-merges; AQE converts only after the exchange already ran)
+    # or an UNCONDITIONAL hint (OOMs when the table outgrows memory
+    # at real scale). The parquet footer row count is the missing
+    # statistic — a metadata-only peek, no data read. Below the bound
+    # the pruned side is hinted broadcast; above it the planner keeps
+    # the (pruned, narrowed) shuffle path, which is the 250x spill
+    # fix. On any metadata error table_rows returns a large sentinel:
+    # degrade to the shuffle path, never a forced broadcast.
+    def bc(df: DataFrame, table: str, max_rows: int) -> DataFrame:
+        return F.broadcast(df) if table_rows(sf_dir, table) <= max_rows else df
+
+    # ASIA nation keys (nation x region is fixed-cardinality: always
+    # broadcast), then ASIA customer keys — gated: customer is
+    # unbounded at 100 TB.
     nc = nation.join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
     ).select(F.col("n_nationkey").alias("c_nk"))
+    cust_asia = bc(
+        cust.join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk")).select(
+            "c_custkey"
+        ),
+        "customer",
+        30_000_000,
+    )
+    # supplier -> is_nat flag (nation name resolved at build time so
+    # the fact never carries the string); gated like customer.
     ns = nation.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
-    rev = _rev_scaled()
+    supp_nat = bc(
+        supp.join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk")).select(
+            "s_suppkey", (F.col("supp_nation") == "NATION_3").alias("is_nat")
+        ),
+        "supplier",
+        30_000_000,
+    )
+    # Orders pruned to ASIA customers and narrowed to (orderkey, year)
+    # BEFORE the fact-fact join. Tighter bound: the broadcast happens
+    # AFTER the ~1/5 ASIA prune, and 5M orders -> ~1M narrow rows.
+    orders_asia = bc(
+        orders.join(cust_asia, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey", F.year("o_orderdate").alias("o_year")
+        ),
+        "orders",
+        5_000_000,
+    )
+    # Lineitem pruned by the ECONOMY part filter (gated: part is
+    # unbounded at 100 TB) and narrowed to (orderkey, rev, is_nat)
+    # BEFORE the fact-fact join: the revenue atom is computed
+    # map-side so the (potential) sort never carries
+    # price/discount/partkey/suppkey.
+    li_pruned = (
+        li.join(
+            bc(part, "part", 30_000_000), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", _rev_scaled().alias("rev"), "is_nat")
+    )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        li_pruned.join(orders_asia, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
         .agg(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
-            ).alias("__nat"),
-            F.sum(rev).alias("__tot"),
+            F.sum(F.when(F.col("is_nat"), F.col("rev")).otherwise(F.lit(0))).alias(
+                "__nat"
+            ),
+            F.sum("rev").alias("__tot"),
         )
         .select(
             "o_year",

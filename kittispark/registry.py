@@ -108,7 +108,24 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset()
+_REVERIFY: frozenset[str] = frozenset(
+    {
+        # r9: q8 rewritten per VERDICT r8 #2 — the 250x spill fix.
+        # Both sides of the orderkey fact-fact join are now pruned
+        # and narrowed BEFORE it (ECONOMY parts + supplier is_nat
+        # fold onto lineitem -> (orderkey, rev, is_nat); ASIA
+        # customers onto orders -> (orderkey, o_year)), with
+        # size-aware broadcast gates (parquet-footer row counts) on
+        # every dimension unbounded at 100 TB. Value-identical vs the
+        # unchanged oracle at sf0.001/0.01/0.1 strict, 50x value
+        # tier, and all four depth fixtures; 250x: 113 s -> 12 s cold
+        # (and now runs under the default 8g heap). Same-session A/B
+        # at sf0.1: no regression (1.20 vs 1.19 s medians). Compute
+        # path changed after the banked adjudication, so the verdict
+        # is voided on principle.
+        "q8_market_share",
+    }
+)
 # r9 start: emptied — all four r8 waiters (array_functions signed-zero
 # normalization, the q21 single-pass window rewrite, and the two
 # materialize() pin additions for the envelope and phash queries) were

@@ -325,14 +325,37 @@ def test_semantic_dedup_pairs_only_within_cells(plans):
     ]
 
 
-def test_q8_single_fact_shuffle_all_dims_broadcast(plans):
-    # 7-way star: the fact table shuffles at most once (the final
-    # group-by; the orders join may auto-broadcast at this SF) and no
-    # dimension falls back to a sort-merge join.
+def test_q8_prunes_both_fact_sides_before_orderkey_join(plans):
+    # 7-way star, 250x-spill-proof shape (VERDICT r8 #2): every
+    # dimension attaches via broadcast, and the one fact-fact join
+    # (lineitem x orders on orderkey) sees BOTH sides pruned and
+    # narrowed first — ECONOMY parts + supplier is_nat fold onto
+    # lineitem, ASIA customers onto orders — so its (potential) sort
+    # carries (orderkey, rev, is_nat) vs (orderkey, o_year) only.
+    # The static plan shows the SMJ; AQE converts it to broadcast at
+    # runtime when the pruned orders side is small.
     plan = plans("q8_market_share")
+    assert "CartesianProduct" not in plan
+    # at test SF every size gate passes, so all joins broadcast and
+    # the ONLY exchange is the final year rollup; past the gates the
+    # same code degrades to at most the one pruned fact-fact SMJ
     assert "SortMergeJoin" not in plan
-    assert shuffle_exchanges(plan) <= 2
+    assert shuffle_exchanges(plan) <= 1
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 5
+    # the lineitem side is narrowed to (orderkey, rev, is_nat) BEFORE
+    # the fact-fact join — price/discount/partkey/suppkey must not
+    # survive past the map side
+    m = re.search(
+        r"\(\d+\) Project\nOutput \[3\]: \[l_orderkey#\d+L, .* AS rev#\d+L, is_nat#\d+\]",
+        plan,
+    )
+    assert m, "lineitem side not narrowed to (orderkey, rev, is_nat)"
+    # the orders side is narrowed to (orderkey, o_year) before it
+    m = re.search(
+        r"\(\d+\) Project\nOutput \[2\]: \[o_orderkey#\d+L, year\(.*\) AS o_year#\d+\]",
+        plan,
+    )
+    assert m, "orders side not narrowed to (orderkey, o_year)"
 
 
 def test_q13_left_outer_preserved_with_join_side_filter(plans):
