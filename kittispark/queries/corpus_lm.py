@@ -375,21 +375,30 @@ def _bpe_learn(
     return merges, cur
 
 
-def _bpe_round_ctes(rounds: int = 3) -> str:
+def _bpe_round_ctes(rounds: int = 3, materialized: bool = False) -> str:
     """CTE chain replaying `rounds` BPE rounds in DuckDB (word table
     carried through, scalar-subquery argmax per round, the SAME
     doubled-space splice as _bpe_splice). Ends with s{rounds} holding
     (w, freq, sym). BOTH BPE oracles compose from this one generator
     so learner and applier can never adjudicate different merge
-    semantics."""
-    head = """
-    wd AS (
+    semantics.
+
+    materialized=True emits `AS MATERIALIZED` CTEs: each round
+    references s{r-1} twice (pair counts + re-segmentation), so an
+    inlining planner re-evaluates the chain ~2x per round — fine at
+    3 rounds, EXPONENTIAL (~2^8) at 8 (the 8-round oracle timed out
+    at sf0.001 before this). Materialization makes the replay linear
+    in rounds. The 3-round oracles keep the original un-annotated
+    text so their adjudicated SQL is byte-identical."""
+    kw = " MATERIALIZED" if materialized else ""
+    head = f"""
+    wd AS{kw} (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
-    wf AS (
+    wf AS{kw} (
         SELECT w, count(*) AS freq FROM wd WHERE length(w) > 0 GROUP BY w
     ),
-    s0 AS (
+    s0 AS{kw} (
         SELECT w, freq,
                array_to_string(list_append(
                    list_transform(generate_series(1, length(w)),
@@ -400,7 +409,7 @@ def _bpe_round_ctes(rounds: int = 3) -> str:
     rounds_sql = []
     for r in range(1, rounds + 1):
         rounds_sql.append(f""",
-    p{r} AS (
+    p{r} AS{kw} (
         SELECT sym2.pair, sum(freq) AS cnt FROM (
             SELECT freq, unnest(list_transform(
                 generate_series(1, len(string_split(sym, ' ')) - 1),
@@ -409,8 +418,8 @@ def _bpe_round_ctes(rounds: int = 3) -> str:
             FROM s{r - 1}
         ) sym2 GROUP BY pair
     ),
-    m{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
-    s{r} AS (
+    m{r} AS{kw} (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+    s{r} AS{kw} (
         SELECT w, freq,
                trim(replace(
                    replace(' ' || replace(sym, ' ', '  ') || ' ',
@@ -454,6 +463,42 @@ def _bpe_round_ctes(rounds: int = 3) -> str:
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _bpe_learn(spark, sf_dir, rounds=3)
+    return spark.createDataFrame(
+        merges, "round int, pair string, merge_count long"
+    )
+
+
+@register(
+    "bpe_learn_merges_8r",
+    oracle="WITH " + _bpe_round_ctes(8, materialized=True) + """
+    SELECT CAST(round AS INT) AS round, pair,
+           CAST(cnt AS BIGINT) AS merge_count
+    FROM (
+        SELECT 1 AS round, pair, cnt FROM m1
+        UNION ALL SELECT 2, pair, cnt FROM m2
+        UNION ALL SELECT 3, pair, cnt FROM m3
+        UNION ALL SELECT 4, pair, cnt FROM m4
+        UNION ALL SELECT 5, pair, cnt FROM m5
+        UNION ALL SELECT 6, pair, cnt FROM m6
+        UNION ALL SELECT 7, pair, cnt FROM m7
+        UNION ALL SELECT 8, pair, cnt FROM m8
+    )
+    """,
+    doc="EIGHT rounds of the same BPE merge learner (VERDICT r8 #4: "
+    "bench the iterative compositions at a REAL iteration count — "
+    "3 rounds underweights the per-round frontier churn that "
+    "dominates a production merge-table build). Same algorithm, "
+    "scalar-witness argmax, and per-round localCheckpoint as "
+    "bpe_learn_merges; the oracle replays all eight rounds through "
+    "the SAME parameterized CTE generator, so learner and oracle "
+    "cannot fork at any round count. The deeper run also exercises "
+    "the release() path: each round's superseded frontier is "
+    "dropped, so persist_disk state stays one-frontier-deep at "
+    "every round.",
+    tags=("text", "llm-pipeline", "iterative"),
+)
+def bpe_learn_merges_8r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_learn(spark, sf_dir, rounds=8)
     return spark.createDataFrame(
         merges, "round int, pair string, merge_count long"
     )

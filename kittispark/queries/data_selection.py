@@ -81,9 +81,9 @@ _SIM_DUCK = (
         FROM scored WHERE clabel <> qlabel AND sim IS NOT NULL
     )
     SELECT p.query_id, p.qlabel AS label,
-           p.pos_id, round(p.pos_raw, 4) AS pos_sim,
-           n.neg_id, round(n.neg_raw, 4) AS neg_sim,
-           round(p.pos_raw - n.neg_raw, 4) AS margin
+           p.pos_id, round(p.pos_raw, 4) + 0.0 AS pos_sim,
+           n.neg_id, round(n.neg_raw, 4) + 0.0 AS neg_sim,
+           round(p.pos_raw - n.neg_raw, 4) + 0.0 AS margin
     FROM pos p JOIN neg n USING (query_id)
     WHERE p.rk = 1 AND n.rk = 1
     ORDER BY query_id
@@ -157,10 +157,14 @@ def contrastive_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "label",
             "pos_id",
-            F.round("pos_raw", 4).alias("pos_sim"),
+            # + 0.0 on all three: cosine sims and margins can sit
+            # within 5e-5 of zero on the negative side, where DuckDB's
+            # round emits -0.0 and Spark's +0.0 (the r9 agghash-tier
+            # latent class; see rescale_by_percentile)
+            (F.round("pos_raw", 4) + 0.0).alias("pos_sim"),
             "neg_id",
-            F.round("neg_raw", 4).alias("neg_sim"),
-            F.round(F.col("pos_raw") - F.col("neg_raw"), 4).alias("margin"),
+            (F.round("neg_raw", 4) + 0.0).alias("neg_sim"),
+            (F.round(F.col("pos_raw") - F.col("neg_raw"), 4) + 0.0).alias("margin"),
         )
         .orderBy("query_id")
     )

@@ -53,7 +53,7 @@ def percentile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id,
-           round(e.value - s.p05, 6) AS value_rescaled
+           round(e.value - s.p05, 6) + 0.0 AS value_rescaled
     FROM events e JOIN stats s ON e.user_id = s.user_id
     """,
     doc="Aggregate-to-detail rejoin: per-group percentile broadcast back "
@@ -68,10 +68,16 @@ def rescale_by_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-USER stats: planner's join choice, no forced broadcast
     # (data-scaled side — the grouped_rank/pagerank ADVICE class;
     # AQE broadcasts it whenever the user count is actually small)
+    # round(...) + 0.0 on BOTH sides: a value sitting just below its
+    # group's p05 rounds to -0.0 in DuckDB but +0.0 in Spark; the
+    # IEEE identity -0.0 + 0.0 = +0.0 normalizes both. Latent at
+    # every tier below 50x (first value within 1e-6 under its
+    # percentile appears at ~5M events) — caught by the r9
+    # aggregate-hash 50x value tier on its first run.
     return events.join(stats, "user_id").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.col("p05"), 6).alias("value_rescaled"),
+        (F.round(F.col("value") - F.col("p05"), 6) + 0.0).alias("value_rescaled"),
     )
 
 
@@ -83,7 +89,7 @@ def rescale_by_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id,
-           round(e.value - s.p05, 6) AS value_rescaled,
+           round(e.value - s.p05, 6) + 0.0 AS value_rescaled,
            TRUE AS within_tol
     FROM events e JOIN stats s ON e.user_id = s.user_id
     """,
@@ -107,7 +113,9 @@ def rescale_by_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.join(stats, "user_id").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.col("p05"), 6).alias("value_rescaled"),
+        # + 0.0: signed-zero normalization, same latent class as
+        # rescale_by_percentile (caught by the r9 agghash 50x tier)
+        (F.round(F.col("value") - F.col("p05"), 6) + 0.0).alias("value_rescaled"),
         (F.abs(F.col("p05_approx") - F.col("p05")) <= 15.0).alias("within_tol"),
     )
 

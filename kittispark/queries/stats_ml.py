@@ -168,8 +168,8 @@ def ols_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
     )
     SELECT n_click, n_purchase,
-           round(md, 6) AS mean_diff,
-           round(md / sqrt(va + vb), 4) AS t_stat,
+           round(md, 6) + 0.0 AS mean_diff,
+           round(md / sqrt(va + vb), 4) + 0.0 AS t_stat,
            round((va + vb) * (va + vb)
                  / (va * va / (n_click - 1) + vb * vb / (n_purchase - 1)),
                  4) AS welch_df
@@ -225,8 +225,12 @@ def welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "n_click",
         "n_purchase",
-        F.round(F.col("md"), 6).alias("mean_diff"),
-        F.round(F.col("md") / F.sqrt(F.col("va") + F.col("vb")), 4).alias(
+        # + 0.0: mean_diff / t_stat are signed differences that can
+        # round to -0.0 in DuckDB but +0.0 in Spark (r9 agghash-tier
+        # latent class; see rescale_by_percentile). welch_df >= 0 by
+        # construction, no normalization needed.
+        (F.round(F.col("md"), 6) + 0.0).alias("mean_diff"),
+        (F.round(F.col("md") / F.sqrt(F.col("va") + F.col("vb")), 4) + 0.0).alias(
             "t_stat"
         ),
         F.round(

@@ -77,7 +77,7 @@ def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            round(value - lag(value) OVER (PARTITION BY user_id
-                 ORDER BY ts NULLS FIRST, event_id), 6) AS delta
+                 ORDER BY ts NULLS FIRST, event_id), 6) + 0.0 AS delta
     FROM events
     """,
     doc="lag() delta per user over event time (change detection shape).",
@@ -91,7 +91,10 @@ def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        # + 0.0: consecutive values within 5e-7 produce a tiny
+        # negative delta that rounds to -0.0 in DuckDB but +0.0 in
+        # Spark (r9 agghash-tier latent class)
+        (F.round(F.col("value") - F.lag("value").over(w), 6) + 0.0).alias("delta"),
     )
 
 

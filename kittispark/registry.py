@@ -124,6 +124,24 @@ _REVERIFY: frozenset[str] = frozenset(
         # path changed after the banked adjudication, so the verdict
         # is voided on principle.
         "q8_market_share",
+        # r9: the new aggregate-hash 50x VALUE tier (per-row families
+        # were count-only before) caught a latent signed-zero fork on
+        # its FIRST run: rescale_by_percentile emitted round(value -
+        # p05, 6) without the + 0.0 normalization — 1250 DuckDB -0.0
+        # cells at 5M events, zero at every tier below 50x. Fixed
+        # with round(...) + 0.0 on both sides (the r8 array_functions
+        # discipline), then the same latent class was swept and fixed
+        # in four more queries (seven more signed-difference
+        # emissions: approx-rescale, margin x3, t-test x2, lag
+        # delta). All five hold
+        # strict MATCH at sf0.001/0.01/0.1 after the fix (and the two
+        # rescales AGGHASH-MATCH at 50x); oracle text changed, so the
+        # banked verdicts are voided on principle.
+        "rescale_by_percentile",
+        "rescale_by_percentile_approx",
+        "contrastive_margin_mining",
+        "welch_ttest_value",
+        "lag_delta",
     }
 )
 # r9 start: emptied — all four r8 waiters (array_functions signed-zero

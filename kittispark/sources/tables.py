@@ -8,6 +8,8 @@ call sites still apply (predicate → partition pruning for free).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -29,9 +31,69 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# Single-JVM heap guard for the engine-execution tiers (VERDICT r8
+# #5): local[n] crams n "executors" into ONE driver JVM, so a fixture
+# big enough for the 250x tier (>= ~100M fact rows) under the default
+# KITTISPARK_DRIVER_MEM=8g dies as an opaque mid-stage OOM. Fail fast
+# with the knob's name instead. Threshold is the smallest fixture
+# observed to OOM-pressure 8g (the 150M-row 250x lineitem); 16g is
+# the floor below which that tier was never run clean. On a real
+# cluster driver memory is NOT the bottleneck (plans run in
+# per-executor heaps) — this guard is specifically for local mode.
+# Override with KITTISPARK_SMALL_HEAP_OK=1 to proceed anyway (e.g. a
+# deliberately spill-tolerant experiment).
+_HEAP_GUARD_ROWS = 100_000_000
+_HEAP_GUARD_MIN_BYTES = 16 << 30
+_heap_guard_checked: set[str] = set()
+
+
+def _parse_mem(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _check_local_heap(spark: SparkSession, sf_dir: str, name: str) -> None:
+    key = f"{sf_dir}/{name}"
+    if key in _heap_guard_checked:
+        return
+    _heap_guard_checked.add(key)
+    if os.environ.get("KITTISPARK_SMALL_HEAP_OK") == "1":
+        return
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        return
+    try:
+        from kittispark.queries._util import table_rows
+
+        rows = table_rows(sf_dir, name)
+    except Exception:
+        return
+    if not (rows >= _HEAP_GUARD_ROWS and rows < (1 << 61)):
+        return
+    try:
+        mem = _parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    except Exception:
+        return
+    if mem < _HEAP_GUARD_MIN_BYTES:
+        raise RuntimeError(
+            f"{name} at {sf_dir} has {rows:,} rows but this local-mode "
+            f"session's single JVM has only "
+            f"{spark.conf.get('spark.driver.memory')} of heap — the "
+            "engine-execution tier at this size needs "
+            "KITTISPARK_DRIVER_MEM=48g (set BEFORE the session starts; "
+            "see README 'Scale design'). Set KITTISPARK_SMALL_HEAP_OK=1 "
+            "to proceed anyway."
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name in ("lineitem", "orders", "events"):
+        _check_local_heap(spark, sf_dir, name)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

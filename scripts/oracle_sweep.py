@@ -36,16 +36,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from kittispark import registry  # noqa: E402
 from kittispark.operators.util import release_pins
 from kittispark.session import get_spark
-from tests.oracle_harness import compare
+from tests.oracle_harness import compare, compare_agghash
 
 
 def sweep(
     sf_dirs: list[str],
     kitti_scale: bool = False,
     only: set[str] | None = None,
+    agghash: bool = False,
 ) -> int:
+    """agghash=True swaps the collect()-bound strict compare for the
+    engine-side aggregate-hash adjudication (compare_agghash): both
+    engines reduce to ONE (count, 60-bit-hash-sum) row, so per-row-
+    output queries get VALUE verdicts at engine scale (50x tier) where
+    the row-collect harness would dominate wall (VERDICT r8 #3)."""
     spark = get_spark(app_name="oracle-sweep")
     specs = registry.all_specs()
+    cmp_fn = compare_agghash if agghash else compare
+    tag_mode = "AGGHASH " if agghash else ""
     if only:
         missing = only - set(specs)
         if missing:
@@ -59,8 +67,13 @@ def sweep(
                 continue
             t0 = time.perf_counter()
             try:
-                compare(s.fn(spark, sf), s.oracle, sf, name)
-                print(f"MATCH {name} @{sf} {time.perf_counter() - t0:.1f}s", flush=True)
+                out = cmp_fn(s.fn(spark, sf), s.oracle, sf, name)
+                extra = f" {out}" if agghash else ""
+                print(
+                    f"{tag_mode}MATCH {name} @{sf} "
+                    f"{time.perf_counter() - t0:.1f}s{extra}",
+                    flush=True,
+                )
             except Exception as ex:  # report and continue — a sweep is a census
                 fails.append((name, sf, str(ex)[:300]))
                 print(f"FAIL {name} @{sf}: {str(ex)[:300]}", flush=True)
@@ -174,7 +187,7 @@ def materialize_fixture(kind: str, base: str = "/root/testdata/sf0.01") -> str:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    known = {"--kitti-scale", "--fixture"}
+    known = {"--kitti-scale", "--fixture", "--agghash"}
     unknown = [
         a
         for a in args
@@ -195,6 +208,7 @@ if __name__ == "__main__":
             only |= {n for n in a.split("=", 1)[1].split(",") if n}
     args = [a for a in args if not a.startswith("--only=")]
     ks = "--kitti-scale" in args
+    ah = "--agghash" in args
     fixtures = [
         a.split("=", 1)[1] for a in args if a.startswith("--fixture=")
     ]
@@ -219,4 +233,6 @@ if __name__ == "__main__":
     dirs += [materialize_fixture(k) for k in fixtures]
     if not dirs:
         dirs = ["/root/testdata/sf0.1"]
-    raise SystemExit(sweep(dirs, kitti_scale=ks, only=only or None))
+    raise SystemExit(
+        sweep(dirs, kitti_scale=ks, only=only or None, agghash=ah)
+    )

@@ -70,6 +70,83 @@ def render(bank: dict[str, int]) -> str:
     return _HEADER + "".join(lines) + "}\n"
 
 
+def _git_epoch(args: list[str]) -> int:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", *args],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        ).stdout.strip()
+        return int(out) if out else 0
+    except Exception:
+        return 0
+
+
+def staleness_report(bank: dict[str, int]) -> list[str]:
+    """The re-verification cadence tripwire (VERDICT r8 #6): with a
+    50-slot window over 266 greens a banked verdict refreshes every
+    ~5 rounds by rotation alone. Flag any query whose green verdict
+    is MORE than 6 rounds old AND whose defining module changed
+    since that verdict landed (a forgotten _REVERIFY entry — the
+    registry discipline says a compute-path change voids the banked
+    green). Also list the stalest decile with (query, green round,
+    defining file, changed-since flag) so drift is visible before it
+    becomes a flag. File granularity is the tripwire's resolution: a
+    module edit flags every stale query it defines — cheap, and a
+    false positive just means one extra re-adjudication."""
+    import inspect
+
+    from kittispark import registry
+
+    specs = registry.all_specs()
+    current = max(bank.values(), default=0)
+    lines: list[str] = []
+    # one git call per distinct module file, not per query
+    file_of = {}
+    for name in bank:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        f = inspect.getsourcefile(spec.fn) or "?"
+        file_of[name] = os.path.relpath(f, REPO)
+    changed_at = {
+        f: _git_epoch(["--", f]) for f in sorted(set(file_of.values()))
+    }
+    verdict_at = {
+        rnd: _git_epoch(["--diff-filter=A", "--", f"CORRECTNESS_r{rnd:02d}.json"])
+        or _git_epoch(["--", f"CORRECTNESS_r{rnd:02d}.json"])
+        for rnd in sorted(set(bank.values()))
+    }
+    rows = []
+    for name, rnd in bank.items():
+        f = file_of.get(name)
+        if f is None:
+            continue
+        changed = changed_at.get(f, 0) > verdict_at.get(rnd, 0) > 0
+        rows.append((rnd, name, f, changed))
+    rows.sort()
+    flagged = [
+        (rnd, name, f)
+        for rnd, name, f, changed in rows
+        if changed and current - rnd > 6 and name not in registry._REVERIFY
+    ]
+    for rnd, name, f in flagged:
+        lines.append(
+            f"STALE: {name} green r{rnd} ({current - rnd} rounds old) but "
+            f"{f} changed since — queue in _REVERIFY or re-sweep"
+        )
+    decile = rows[: max(1, len(rows) // 10)]
+    lines.append(f"stalest decile of {len(rows)} banked greens (current r{current}):")
+    for rnd, name, f, changed in decile:
+        mark = " [file changed since]" if changed else ""
+        lines.append(f"  {name}: green r{rnd}, {f}{mark}")
+    return lines
+
+
 def main() -> int:
     bank = scan_correctness()
     known = registered_names()
@@ -93,6 +170,8 @@ def main() -> int:
             print("DRIFT: kittispark/_green_bank.py is stale — rerun "
                   "scripts/update_green_bank.py")
             return 1
+        for line in staleness_report(bank):
+            print(line)
         print(f"OK: bank current ({len(bank)} greens)")
         return 0
     with open(BANK_PATH, "w") as f:
