@@ -83,31 +83,39 @@ def _norm_rows(cols, rows):
 #
 # Cross-engine canonical encoding per Spark output type:
 # - double/float/decimal (top level): the EXACT IEEE-754 bit pattern,
-#   extracted engine-side by a vectorized numpy view('int64') UDF on
-#   both engines (Arrow pandas_udf in Spark, Arrow UDF in DuckDB) —
-#   bit-faithful by construction: signed zero, subnormals, and
-#   full-precision pass-through doubles all distinguish. (String
-#   formatting cannot do this portably: Java pads the shortest
-#   round-trip repr while C rounds the exact expansion, and the two
-#   fork on doubles needing >15 significant digits — exactly the raw
-#   parquet pass-through columns of per-row families.) NaN normalized
-#   by guard before the bits (payloads may differ); NULL guarded by
-#   sentinel (a float64 batch cannot carry NULL distinctly).
-# - double inside arrays: printf('%.15e') on both engines (a Python
-#   UDF is not callable inside a Spark higher-order-function lambda).
-#   Exact for every double whose shortest repr needs <= 15
-#   significant digits — guaranteed for COMPUTED emissions by the
-#   float-identity audit (round(x, k<=9)+0.0 grid values;
-#   scripts/float_identity_audit.py); signed zero stays visible.
+#   extracted engine-side in PURE NATIVE SQL as (sign)(mantissa)p(exp)
+#   — frexp done arithmetically: e0 = floor(log2(|x|)) (any libm
+#   error < 0.5 absolute is absorbed by an explicit +-1 correction
+#   step), then |x| * 2^-e — an IEEE-EXACT multiply by a power of two
+#   (power(2.0, n) is exact for integer n; scaling a normal into
+#   [1,2) never rounds) — and M = m * 2^52 cast to BIGINT (exact:
+#   m has <= 52 fractional bits). Subnormals pre-scale by 2^600
+#   (two exact 2^300 multiplies; the bias is subtracted from the
+#   emitted exponent). Bit-faithful by construction: signed zero
+#   (sign term from signbit/minus-rendering), subnormals, and
+#   full-precision pass-through doubles all distinguish — validated
+#   against struct.pack bits over adversarial doubles including
+#   boundary mantissas and random bit patterns
+#   (tests/test_agghash.py). String formatting could not do this
+#   portably (Java pads the shortest repr, C rounds the exact
+#   expansion — they fork past 15 significant digits), and Python
+#   UDFs were disqualified on cost: DuckDB's per-chunk Python UDF
+#   overhead measured ~6 us/row, minutes per query at the 50x tier,
+#   while this form stays in whole-stage codegen / native vector
+#   ops on both engines. NaN normalized by guard before the
+#   decomposition (payloads may differ); Inf guarded (log2(inf)
+#   would poison the cast).
 # - integrals: cast to string (identical rendering); DuckDB side
 #   first cast to BIGINT so HUGEINT/INT32 widths render alike.
-# - decimal: cast through DOUBLE then %.15e — same coercion the
-#   strict compare() applies (_norm_cell).
+# - decimal/float: cast through DOUBLE then the same decomposition —
+#   the coercion the strict compare() applies (_norm_cell).
 # - string: length-prefixed (no delimiter ambiguity); bool/date:
 #   cast to string (identical rendering both engines).
 # - array<primitive>: size-prefixed element-joined canonicals
 #   (elements NULL-sentineled before the join so neither engine's
-#   join can drop them).
+#   join can drop them); double elements use the same native
+#   decomposition — it is plain SQL, so it composes into
+#   transform/list_transform lambdas.
 # Unsupported types (timestamp, map, struct) raise — per house rule
 # those never reach hashed outputs raw.
 
@@ -120,24 +128,73 @@ _FS = "\x1f"
 _ES = "\x1e"
 
 
-def _canon_spark(col: str, dt, in_array: bool = False) -> str:
+def _dbl_canon_spark(d: str) -> str:
+    """(sign)(M)p(e) canonical of a finite double expression `d` —
+    see the module comment. Pure Spark SQL, codegen-friendly."""
+    sub = f"(abs({d}) < 2.2250738585072014e-308)"
+    xs = (
+        f"(CASE WHEN {sub} THEN abs({d}) * power(2.0, 300) * power(2.0, 300) "
+        f"ELSE abs({d}) END)"
+    )
+    e0 = f"CAST(floor(log2({xs})) AS INT)"
+    m0 = f"({xs} * power(2.0, -{e0}))"
+    e1 = (
+        f"({e0} + (CASE WHEN {m0} >= 2.0 THEN 1 ELSE 0 END)"
+        f" - (CASE WHEN {m0} < 1.0 THEN 1 ELSE 0 END))"
+    )
+    m = f"({xs} * power(2.0, -{e1}))"
+    mm = f"CAST({m} * power(2.0, 52) AS BIGINT)"
+    ef = f"({e1} - (CASE WHEN {sub} THEN 600 ELSE 0 END))"
+    sign = (
+        f"(CASE WHEN {d} < 0.0 OR ({d} = 0.0 AND "
+        f"startswith(cast({d} AS STRING), '-')) THEN '-' ELSE '' END)"
+    )
+    return (
+        f"CASE WHEN {d} = 0.0 THEN {sign} || '0p0' "
+        f"WHEN isnan({d}) THEN 'NaN' "
+        f"WHEN {d} = double('Infinity') THEN 'Inf' "
+        f"WHEN {d} = double('-Infinity') THEN '-Inf' "
+        f"ELSE {sign} || CAST({mm} AS STRING) || 'p' || CAST({ef} AS STRING) END"
+    )
+
+
+def _dbl_canon_duck(d: str) -> str:
+    """DuckDB twin of _dbl_canon_spark — identical construction, so
+    the two canonicals agree on every finite double (validated
+    against struct bits in tests/test_agghash.py)."""
+    sub = f"(abs({d}) < 2.2250738585072014e-308)"
+    xs = (
+        f"(CASE WHEN {sub} THEN abs({d}) * pow(2.0, 300) * pow(2.0, 300) "
+        f"ELSE abs({d}) END)"
+    )
+    e0 = f"CAST(floor(log2({xs})) AS INT)"
+    m0 = f"({xs} * pow(2.0, -{e0}))"
+    e1 = (
+        f"({e0} + (CASE WHEN {m0} >= 2.0 THEN 1 ELSE 0 END)"
+        f" - (CASE WHEN {m0} < 1.0 THEN 1 ELSE 0 END))"
+    )
+    m = f"({xs} * pow(2.0, -{e1}))"
+    mm = f"CAST({m} * pow(2.0, 52) AS BIGINT)"
+    ef = f"({e1} - (CASE WHEN {sub} THEN 600 ELSE 0 END))"
+    sign = f"(CASE WHEN signbit({d}) THEN '-' ELSE '' END)"
+    return (
+        f"CASE WHEN {d} = 0.0 THEN {sign} || '0p0' "
+        f"WHEN isnan({d}) THEN 'NaN' "
+        f"WHEN isinf({d}) AND {d} > 0 THEN 'Inf' "
+        f"WHEN isinf({d}) THEN '-Inf' "
+        f"ELSE {sign} || CAST({mm} AS VARCHAR) || 'p' || CAST({ef} AS VARCHAR) END"
+    )
+
+
+def _canon_spark(col: str, dt) -> str:
     from pyspark.sql import types as T
 
     q = f"`{col}`"
     if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
         d = f"cast({q} as double)"
-        if in_array:
-            return (
-                f"CASE WHEN {q} IS NULL THEN '{_NULL}' "
-                f"WHEN isnan({d}) THEN 'NaN' "
-                f"WHEN {d} = double('Infinity') THEN 'Inf' "
-                f"WHEN {d} = double('-Infinity') THEN '-Inf' "
-                f"ELSE format_string('%.15e', {d}) END"
-            )
         return (
             f"CASE WHEN {q} IS NULL THEN '{_NULL}' "
-            f"WHEN isnan({d}) THEN 'NaN' "
-            f"ELSE cast(__ks_dbits({d}) as string) END"
+            f"ELSE ({_dbl_canon_spark(d)}) END"
         )
     if isinstance(
         dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType, T.DateType)
@@ -149,7 +206,7 @@ def _canon_spark(col: str, dt, in_array: bool = False) -> str:
             f"ELSE concat(cast(length({q}) as string), ':', {q}) END"
         )
     if isinstance(dt, T.ArrayType):
-        inner = _canon_spark("__e", dt.elementType, in_array=True).replace(
+        inner = _canon_spark("__e", dt.elementType).replace(
             "`__e`", "_e"
         )
         return (
@@ -160,24 +217,15 @@ def _canon_spark(col: str, dt, in_array: bool = False) -> str:
     raise ValueError(f"compare_agghash: unsupported output type {dt} for {col!r}")
 
 
-def _canon_duck(col: str, dt, in_array: bool = False) -> str:
+def _canon_duck(col: str, dt) -> str:
     from pyspark.sql import types as T
 
     q = f'"{col}"'
     if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
         d = f"CAST({q} AS DOUBLE)"
-        if in_array:
-            return (
-                f"CASE WHEN {q} IS NULL THEN '{_NULL}' "
-                f"WHEN isnan({d}) THEN 'NaN' "
-                f"WHEN isinf({d}) AND {d} > 0 THEN 'Inf' "
-                f"WHEN isinf({d}) THEN '-Inf' "
-                f"ELSE printf('%.15e', {d}) END"
-            )
         return (
             f"CASE WHEN {q} IS NULL THEN '{_NULL}' "
-            f"WHEN isnan({d}) THEN 'NaN' "
-            f"ELSE CAST(ks_dbits({d}) AS VARCHAR) END"
+            f"ELSE ({_dbl_canon_duck(d)}) END"
         )
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return f"coalesce(CAST(CAST({q} AS BIGINT) AS VARCHAR), '{_NULL}')"
@@ -189,7 +237,7 @@ def _canon_duck(col: str, dt, in_array: bool = False) -> str:
             f"ELSE concat(CAST(length({q}) AS VARCHAR), ':', {q}) END"
         )
     if isinstance(dt, T.ArrayType):
-        inner = _canon_duck("__e", dt.elementType, in_array=True).replace(
+        inner = _canon_duck("__e", dt.elementType).replace(
             '"__e"', "_e"
         )
         return (
@@ -200,32 +248,6 @@ def _canon_duck(col: str, dt, in_array: bool = False) -> str:
     raise ValueError(f"compare_agghash: unsupported output type {dt} for {col!r}")
 
 
-def _register_dbits_spark(spark) -> None:
-    import pandas as pd  # noqa: F401  (pandas_udf resolves hints lazily)
-    from pyspark.sql.functions import pandas_udf
-
-    def _bits(s):
-        import pandas as _pd
-
-        return _pd.Series(s.to_numpy(dtype="float64").view("int64"))
-
-    spark.udf.register("__ks_dbits", pandas_udf(_bits, "long"))
-
-
-def _register_dbits_duck(con) -> None:
-    import numpy as np
-    import pyarrow as pa
-
-    def _bits(arr):
-        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        npa = a.to_numpy(zero_copy_only=False)
-        return pa.array(np.asarray(npa, dtype="float64").view("int64"), type=pa.int64())
-
-    con.create_function(
-        "ks_dbits", _bits, [duckdb.typing.DOUBLE], duckdb.typing.BIGINT, type="arrow"
-    )
-
-
 def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
     """Adjudicate a per-row-output query at engine scale: one
     (count, 60-bit-hash-sum) row collected per engine instead of the
@@ -234,7 +256,6 @@ def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
 
     fields = {f.name: f.dataType for f in spark_df.schema.fields}
     order = sorted(fields)
-    _register_dbits_spark(spark_df.sparkSession)
 
     s_row = f" , '{_FS}', ".join(_canon_spark(c, fields[c]) for c in order)
     s_hash = f"cast(conv(substr(md5(concat({s_row})), 1, 15), 16, 10) as bigint)"
@@ -244,7 +265,6 @@ def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
     ).collect()[0]
 
     con = duckdb.connect()
-    _register_dbits_duck(con)
     for t in TABLES:
         if not os.path.exists(f"{sf_dir}/{t}.parquet"):
             continue

@@ -147,6 +147,63 @@ def test_agghash_ulp_drift_really_is_one_ulp():
     assert a != b and b == math.nextafter(a, math.inf)
 
 
+def _bit_canon_reference(x: float) -> str:
+    # ground truth from the actual IEEE bits (via frexp, which is
+    # exact): (sign)(53-bit mantissa int)p(unbiased exponent)
+    if x == 0:
+        return ("-" if math.copysign(1, x) < 0 else "") + "0p0"
+    m, e = math.frexp(abs(x))
+    return ("-" if x < 0 else "") + f"{int(m * 2**53)}p{e - 1}"
+
+
+def _adversarial_doubles():
+    import random
+    import struct
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 2.0, 0.5, 1.5, 0.1, 0.2, 0.3, 1e25, -1e25,
+        1e-5, 4.9e-324, -4.9e-324, 2.2250738585072014e-308,
+        2.225073858507201e-308, 1.7976931348623157e308,
+        -1.7976931348623157e308, 3.141592653589793,
+        math.nextafter(1.0, 2), math.nextafter(1.0, 0),
+        math.nextafter(2.0, 0), math.nextafter(2.0, 3), 8.0,
+        math.nextafter(8.0, 0), 1024.0, 2.0**-1022,
+        math.nextafter(2.0**-1022, 0), 123456789.123456789, 2.0**52,
+        2.0**53, 2.0**53 - 1, 6.62607015e-34,
+    ]
+    rnd = random.Random(7)
+    # random finite bit patterns (mask the exponent below all-ones)
+    for _ in range(2000):
+        bits = rnd.getrandbits(64) & 0x7FEFFFFFFFFFFFFF | (rnd.getrandbits(1) << 63)
+        vals.append(struct.unpack("<d", struct.pack("<Q", bits))[0])
+    return [v for v in vals if not (math.isnan(v) or math.isinf(v))]
+
+
+def test_native_double_canonical_matches_ieee_bits_spark(spark):
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import _dbl_canon_spark
+
+    vals = _adversarial_doubles()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select("x", F.expr(_dbl_canon_spark("`x`")).alias("c")).collect()
+    for r in rows:
+        assert r.c == _bit_canon_reference(r.x), repr(r.x)
+
+
+def test_native_double_canonical_matches_ieee_bits_duck():
+    import duckdb
+
+    from tests.oracle_harness import _dbl_canon_duck
+
+    vals = _adversarial_doubles()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(x DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?)", [(v,) for v in vals])
+    for x, c in con.execute(f"SELECT x, {_dbl_canon_duck('x')} FROM v").fetchall():
+        assert c == _bit_canon_reference(x), repr(x)
+
+
 def test_agghash_empty_result(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     r = compare_agghash(df, "SELECT 1 AS k WHERE false", SF, "empty")
