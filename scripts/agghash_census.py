@@ -35,12 +35,25 @@ def main() -> int:
 
     names = [n for n in open(names_file).read().split() if n]
     done: set[str] = set()
+    started: set[str] = set()
     if os.path.exists(log_file):
         for line in open(log_file):
             try:
-                done.add(json.loads(line)["name"])
+                row = json.loads(line)
             except Exception:
-                pass
+                continue
+            if row.get("status") == "started":
+                started.add(row["name"])
+            else:
+                done.add(row["name"])
+    # a name with a started marker but no terminal line was killed by
+    # the slice timeout mid-query (in practice: a quadratic oracle at
+    # this fixture size) — record the skip so resume never loops on it
+    for n in sorted(started - done):
+        with open(log_file, "a") as f:
+            f.write(json.dumps({"name": n, "status": "timeout_skip"}) + "\n")
+        done.add(n)
+        print(f"TIMEOUT_SKIP {n} (killed mid-query in a previous slice)", flush=True)
     todo = [n for n in names if n not in done]
     if not todo:
         print("CENSUS_DONE", flush=True)
@@ -60,6 +73,8 @@ def main() -> int:
         if spec is None or not spec.oracle:
             row = {"name": name, "status": "no_oracle"}
         else:
+            log.write(json.dumps({"name": name, "status": "started"}) + "\n")
+            log.flush()
             t0 = time.perf_counter()
             try:
                 out = compare_agghash(spec.fn(spark, sf_dir), spec.oracle, sf_dir, name)

@@ -265,25 +265,28 @@ def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
     ).collect()[0]
 
     con = duckdb.connect()
-    for t in TABLES:
-        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
-            continue
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+    try:
+        for t in TABLES:
+            if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+                continue
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        d_cols = [d[0] for d in con.execute(f"DESCRIBE ({sql})").fetchall()]
+        assert sorted(d_cols) == order, (
+            f"{name}: column mismatch spark={order} duckdb={sorted(d_cols)}"
         )
-    d_cols = [d[0] for d in con.execute(f"DESCRIBE ({sql})").fetchall()]
-    assert sorted(d_cols) == order, (
-        f"{name}: column mismatch spark={order} duckdb={sorted(d_cols)}"
-    )
-    d_row = f" , '{_FS}', ".join(_canon_duck(c, fields[c]) for c in order)
-    d_hash = (
-        f"CAST(CAST(concat('0x', substr(md5(concat({d_row})), 1, 15)) AS BIGINT)"
-        f" AS HUGEINT)"
-    )
-    d = con.execute(
-        f"SELECT COUNT(*) AS n, SUM({d_hash}) AS h FROM ({sql}) __t"
-    ).fetchone()
-    con.close()
+        d_row = f" , '{_FS}', ".join(_canon_duck(c, fields[c]) for c in order)
+        d_hash = (
+            f"CAST(CAST(concat('0x', substr(md5(concat({d_row})), 1, 15)) AS "
+            f"BIGINT) AS HUGEINT)"
+        )
+        d = con.execute(
+            f"SELECT COUNT(*) AS n, SUM({d_hash}) AS h FROM ({sql}) __t"
+        ).fetchone()
+    finally:
+        con.close()
 
     assert s.n == d[0], f"{name}: row count spark={s.n} duckdb={d[0]}"
     s_h = None if s.h is None else int(s.h)
