@@ -224,17 +224,28 @@ def group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS sum_price,
+           count(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     HAVING count(*) > 0  -- see group_rollup: empty-input alignment
     """,
-    doc="CUBE over two grouping columns (SURVEY §2.4 generalized surface).",
+    doc="CUBE over two grouping columns (SURVEY §2.4 generalized "
+    "surface). sum_price is an exact integer cents sum "
+    "(order-independent) emitted once through double division — the "
+    "old round(sum(double), 2) forked by the last cent at the 50x "
+    "tier's 5e11 grand totals, where 30M summation-order ulps "
+    "outgrow the 2dp grid (the q1 class, caught by the r9 agghash "
+    "census; grouping_sets_explicit had the same fix in r4). "
+    "Quantity sums (group_rollup, pivot) stay raw: whole-number "
+    "doubles sum EXACTLY below 2^53, so they cannot fork.",
     tags=("agg",),
 )
 def group_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        (F.sum(cents).cast("double") / 100).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -722,12 +733,15 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT)   AS order_month,
            CAST(quarter(o_orderdate) AS INT) AS order_quarter,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
     FROM orders
     GROUP BY 1, 2, 3, 4
     """,
     doc="Date/time function family: truncation, field extraction, "
-    "formatted output (absent from reference — SURVEY §2.6 date row).",
+    "formatted output (absent from reference — SURVEY §2.6 date row). "
+    "total is an exact integer cents sum emitted once through double "
+    "division — same 50x summation-order class as group_cube.",
     tags=("scalar",),
 )
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,7 +757,12 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("total"),
         )
     )
 

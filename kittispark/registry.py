@@ -142,6 +142,17 @@ _REVERIFY: frozenset[str] = frozenset(
         "contrastive_margin_mining",
         "welch_ttest_value",
         "lag_delta",
+        # r9 census catch #2 — the q1 summation-order class:
+        # round(sum(raw_double), 2) forked by the last cent at the
+        # 50x tier's 5e11 cube totals (30M summation-order ulps
+        # outgrow the 2dp grid; group_rollup's quantity sums are
+        # exempt — whole-number doubles sum exactly below 2^53).
+        # Both rewritten to exact integer cents sums emitted once
+        # through double division (the q1/q6/q14/grouping_sets
+        # discipline); strict MATCH at 3 SFs + agghash MATCH at 50x
+        # after the fix; banked verdicts voided (oracle changed).
+        "group_cube",
+        "date_functions",
     }
 )
 # r9 start: emptied — all four r8 waiters (array_functions signed-zero
