@@ -108,53 +108,13 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset(
-    {
-        # r9: q8 rewritten per VERDICT r8 #2 — the 250x spill fix.
-        # Both sides of the orderkey fact-fact join are now pruned
-        # and narrowed BEFORE it (ECONOMY parts + supplier is_nat
-        # fold onto lineitem -> (orderkey, rev, is_nat); ASIA
-        # customers onto orders -> (orderkey, o_year)), with
-        # size-aware broadcast gates (parquet-footer row counts) on
-        # every dimension unbounded at 100 TB. Value-identical vs the
-        # unchanged oracle at sf0.001/0.01/0.1 strict, 50x value
-        # tier, and all four depth fixtures; 250x: 113 s -> 12 s cold
-        # (and now runs under the default 8g heap). Same-session A/B
-        # at sf0.1: no regression (1.20 vs 1.19 s medians). Compute
-        # path changed after the banked adjudication, so the verdict
-        # is voided on principle.
-        "q8_market_share",
-        # r9: the new aggregate-hash 50x VALUE tier (per-row families
-        # were count-only before) caught a latent signed-zero fork on
-        # its FIRST run: rescale_by_percentile emitted round(value -
-        # p05, 6) without the + 0.0 normalization — 1250 DuckDB -0.0
-        # cells at 5M events, zero at every tier below 50x. Fixed
-        # with round(...) + 0.0 on both sides (the r8 array_functions
-        # discipline), then the same latent class was swept and fixed
-        # in four more queries (seven more signed-difference
-        # emissions: approx-rescale, margin x3, t-test x2, lag
-        # delta). All five hold
-        # strict MATCH at sf0.001/0.01/0.1 after the fix (and the two
-        # rescales AGGHASH-MATCH at 50x); oracle text changed, so the
-        # banked verdicts are voided on principle.
-        "rescale_by_percentile",
-        "rescale_by_percentile_approx",
-        "contrastive_margin_mining",
-        "welch_ttest_value",
-        "lag_delta",
-        # r9 census catch #2 — the q1 summation-order class:
-        # round(sum(raw_double), 2) forked by the last cent at the
-        # 50x tier's 5e11 cube totals (30M summation-order ulps
-        # outgrow the 2dp grid; group_rollup's quantity sums are
-        # exempt — whole-number doubles sum exactly below 2^53).
-        # Both rewritten to exact integer cents sums emitted once
-        # through double division (the q1/q6/q14/grouping_sets
-        # discipline); strict MATCH at 3 SFs + agghash MATCH at 50x
-        # after the fix; banked verdicts voided (oracle changed).
-        "group_cube",
-        "date_functions",
-    }
-)
+_REVERIFY: frozenset[str] = frozenset()
+# r10 start: emptied — all eight r9 waiters (the q8 plan rewrite, the
+# five signed-zero round(diff,k) fixes, and the two exact-cents
+# summation fixes in group_cube/date_functions) were re-adjudicated
+# GREEN in CORRECTNESS_r09.json (VERDICT r9: "r9 window 50/50
+# including all 8 _REVERIFY waiters"). Repopulate per rule 3 above
+# when a post-verdict rewrite lands.
 # r9 start: emptied — all four r8 waiters (array_functions signed-zero
 # normalization, the q21 single-pass window rewrite, and the two
 # materialize() pin additions for the envelope and phash queries) were
