@@ -192,6 +192,40 @@ RESETS = {
 }
 
 
+def build_stdout_line(
+    timings: dict[str, float], total: float, sf_val
+) -> tuple[dict, str]:
+    """Build the one-line driver contract. The driver tail buffer is
+    EXACTLY 2000 chars (BENCH_r07.tail measured); compact separators
+    from the start (the default ", "/": " waste 2 chars per entry).
+    At 67 queries the full 3dp dict is ~1930 chars — already past a
+    safe margin — so instead of a precision ladder (VERDICT r9 #5:
+    the old 3dp branch was dead code), the line keeps FULL 3dp
+    precision but caps the per-query dict to the top-K most expensive
+    rows until it fits <= 1800 chars. "n" always carries the true
+    query count; the complete dict + spread lives in
+    BENCH_DETAIL.json. Parseable at any registry size."""
+    line_obj = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "queries": timings,
+        "sf": sf_val,
+    }
+    sep = (",", ":")
+    line = json.dumps(line_obj, separators=sep)
+    if len(line) > 1800:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        k = len(by_cost)
+        while len(line) > 1800 and k > 1:
+            k -= 1
+            line_obj["queries"] = {n: timings[n] for n in by_cost[:k]}
+            line_obj["queries_truncated_to_top_k"] = k
+            line = json.dumps(line_obj, separators=sep)
+    return line_obj, line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kittispark import get_spark, registry  # noqa: F401
@@ -227,6 +261,12 @@ def main() -> None:
     # wider median window costs ~30 s and stabilizes round-over-round
     # comparison.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5")))
+    # Box-state instrumentation (VERDICT r9 #4): record the load
+    # average before and after so "noisy box" adjudication of
+    # round-over-round movers is a measured fact, not a narrative.
+    # (loadavg_pre includes this process's own warm-up; the external
+    # load is roughly pre minus the bench's own footprint.)
+    loadavg_pre = list(os.getloadavg())
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINE:
@@ -266,33 +306,14 @@ def main() -> None:
     # iteration count / methodology go to BENCH_DETAIL.json in the
     # repo instead. If the per-query dict itself ever nears the
     # buffer, degrade precision before dropping information.
-    line_obj = {
-        "metric": "headline_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-    }
-    # Compact separators from the start: the driver tail buffer is
-    # EXACTLY 2000 chars (BENCH_r07.tail measured) and the default
-    # ", "/": " separators waste 2 chars per entry (~140 chars at 67
-    # queries) — the r9 67-query 3dp compact line is ~1914. If the
-    # line ever nears the buffer anyway, degrade per-query precision
-    # — the full-precision medians + spread always live in
-    # BENCH_DETAIL.json; the stdout line only needs to stay parseable.
-    _sep = (",", ":")
-    line = json.dumps(line_obj, separators=_sep)
-    if len(line) > 1800:
-        line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(line_obj, separators=_sep)
-    if len(line) > 1950:
-        line_obj["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(line_obj, separators=_sep)
+    line_obj, line = build_stdout_line(timings, total, sf_val)
     detail = {
-        **line_obj,
+        **{k: v for k, v in line_obj.items() if k != "queries_truncated_to_top_k"},
         "queries": timings,
         "spread": spread,
         "iterations": iters,
+        "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+        "loadavg_post": [round(x, 2) for x in os.getloadavg()],
         # Methodology: r01 was a SINGLE cold run (plan compile charged
         # to each query); r02+ report the median of `iterations` runs
         # (steady state). r5+: each query additionally gets ONE

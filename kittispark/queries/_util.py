@@ -38,10 +38,21 @@ def table_rows(sf_dir: str, name: str) -> int:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
-            return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
+            # Walk recursively: partitioned layouts nest part files in
+            # key=value subdirectories. An empty/partless directory
+            # must return the sentinel, NOT 0 — a 0 would force-
+            # broadcast an arbitrarily large table, the exact inverse
+            # of the degrade-to-shuffle fail-safe.
+            parts = [
+                os.path.join(root, f)
+                for root, _dirs, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
+            ]
+            if not parts:
+                return 1 << 62
+            return sum(
+                pq.ParquetFile(p).metadata.num_rows for p in parts
             )
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:

@@ -50,6 +50,11 @@ _heap_guard_checked: set[str] = set()
 def _parse_mem(s: str) -> int:
     s = s.strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    # Spark accepts both "16g" and "16gb" — strip the optional 'b' so
+    # the long spelling doesn't raise (a swallowed ValueError here
+    # would silently fail-open the heap guard).
+    if len(s) >= 2 and s.endswith("b") and s[-2] in mult:
+        s = s[:-1]
     if s and s[-1] in mult:
         return int(float(s[:-1]) * mult[s[-1]])
     return int(s)
@@ -82,9 +87,10 @@ def _check_local_heap(spark: SparkSession, sf_dir: str, name: str) -> None:
             f"{name} at {sf_dir} has {rows:,} rows but this local-mode "
             f"session's single JVM has only "
             f"{spark.conf.get('spark.driver.memory')} of heap — the "
-            "engine-execution tier at this size needs "
-            "KITTISPARK_DRIVER_MEM=48g (set BEFORE the session starts; "
-            "see README 'Scale design'). Set KITTISPARK_SMALL_HEAP_OK=1 "
+            "engine-execution tier at this size needs at least 16g "
+            "(48g recommended for the 250x tier): set "
+            "KITTISPARK_DRIVER_MEM=48g BEFORE the session starts (see "
+            "README 'Scale design'). Set KITTISPARK_SMALL_HEAP_OK=1 "
             "to proceed anyway."
         )
 

@@ -10,6 +10,12 @@ verdict at 50x, not just the bounded-output ones (VERDICT r8 #3).
 
 Usage:
     python scripts/agghash_census.py NAMES_FILE LOG_FILE [SF_DIR] [BUDGET_S]
+        [--retry-skips]
+
+A name killed mid-query gets ONE free retry on the next resume before
+being converted to timeout_skip (a transient kill should not become a
+permanent census exclusion); --retry-skips re-queues names already
+recorded as timeout_skip.
 """
 
 from __future__ import annotations
@@ -28,14 +34,15 @@ from tests.oracle_harness import compare_agghash  # noqa: E402
 
 
 def main() -> int:
-    names_file = sys.argv[1]
-    log_file = sys.argv[2]
-    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf5synth"
-    budget = float(sys.argv[4]) if len(sys.argv) > 4 else 450.0
-
+    retry_skips = "--retry-skips" in sys.argv
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names_file = argv[0]
+    log_file = argv[1]
+    sf_dir = argv[2] if len(argv) > 2 else "/tmp/sf5synth"
+    budget = float(argv[3]) if len(argv) > 3 else 450.0
     names = [n for n in open(names_file).read().split() if n]
     done: set[str] = set()
-    started: set[str] = set()
+    start_counts: dict[str, int] = {}
     if os.path.exists(log_file):
         for line in open(log_file):
             try:
@@ -43,17 +50,42 @@ def main() -> int:
             except Exception:
                 continue
             if row.get("status") == "started":
-                started.add(row["name"])
+                start_counts[row["name"]] = start_counts.get(row["name"], 0) + 1
             else:
                 done.add(row["name"])
-    # a name with a started marker but no terminal line was killed by
-    # the slice timeout mid-query (in practice: a quadratic oracle at
-    # this fixture size) — record the skip so resume never loops on it
-    for n in sorted(started - done):
-        with open(log_file, "a") as f:
-            f.write(json.dumps({"name": n, "status": "timeout_skip"}) + "\n")
-        done.add(n)
-        print(f"TIMEOUT_SKIP {n} (killed mid-query in a previous slice)", flush=True)
+    if retry_skips:
+        # re-queue previously recorded timeout_skips (their start
+        # counters were consumed when the skip was written)
+        requeued = set()
+        for line in open(log_file) if os.path.exists(log_file) else []:
+            try:
+                row = json.loads(line)
+            except Exception:
+                continue
+            if row.get("status") == "timeout_skip":
+                requeued.add(row["name"])
+        done -= requeued
+        for n in requeued:
+            start_counts.pop(n, None)
+        if requeued:
+            print(f"RETRY_SKIPS re-queued {len(requeued)} names", flush=True)
+    # A name with started markers but no terminal line was killed
+    # mid-query in a previous slice. One kill can be transient (box
+    # OOM, Ctrl-C, unrelated crash) — only convert to timeout_skip
+    # after 2 started-without-terminal occurrences, so every name
+    # gets one free retry before becoming a census exclusion.
+    for n in sorted(set(start_counts) - done):
+        if start_counts[n] >= 2:
+            with open(log_file, "a") as f:
+                f.write(json.dumps({"name": n, "status": "timeout_skip"}) + "\n")
+            done.add(n)
+            print(
+                f"TIMEOUT_SKIP {n} (killed mid-query in {start_counts[n]} "
+                "previous slices)",
+                flush=True,
+            )
+        else:
+            print(f"RETRY {n} (1 prior kill; retrying once)", flush=True)
     todo = [n for n in names if n not in done]
     if not todo:
         print("CENSUS_DONE", flush=True)
@@ -83,6 +115,7 @@ def main() -> int:
                     "status": "match",
                     "rows": out["rows"],
                     "hash": str(out["hash"]),
+                    "hash2": str(out["hash2"]),
                     "wall_s": round(time.perf_counter() - t0, 1),
                 }
             except Exception as ex:

@@ -78,8 +78,11 @@ def _norm_rows(cols, rows):
 # ORDER-INSENSITIVE aggregate hash ENGINE-SIDE on both engines —
 # per row: md5 over a canonical field encoding, folded to a 60-bit
 # int, SUMmed in 38-digit decimal space — and collects exactly ONE
-# row per side. The multiset of rows matches iff (count, hashsum)
-# match (modulo md5 collisions / sum forgery — adjudication-grade).
+# row per side. TWO independent 60-bit folds of the md5 are summed
+# (hex chars 1-15 and 17-31), so the multiset of rows matches iff
+# (count, hashsum, hashsum2) all match — a compensating multi-row
+# forgery would have to cancel in two unrelated 60-bit spaces
+# (modulo md5 collisions — adjudication-grade).
 #
 # Cross-engine canonical encoding per Spark output type:
 # - double/float/decimal (top level): the EXACT IEEE-754 bit pattern,
@@ -250,19 +253,37 @@ def _canon_duck(col: str, dt) -> str:
 
 def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
     """Adjudicate a per-row-output query at engine scale: one
-    (count, 60-bit-hash-sum) row collected per engine instead of the
-    full result set. Returns {"rows": n, "hash": h} for reporting."""
+    (count, hash-sum, hash-sum2) row collected per engine instead of
+    the full result set. TWO independent 60-bit folds of the per-row
+    md5 (hex chars 1-15 and 17-31) are summed separately, so a
+    compensating multi-row mutation would have to cancel in two
+    unrelated 60-bit spaces simultaneously — closing the plain-SUM
+    forgery gap of the single-fold design. Returns
+    {"rows": n, "hash": h, "hash2": h2} for reporting."""
     from pyspark.sql import functions as F
 
     fields = {f.name: f.dataType for f in spark_df.schema.fields}
     order = sorted(fields)
 
     s_row = f" , '{_FS}', ".join(_canon_spark(c, fields[c]) for c in order)
-    s_hash = f"cast(conv(substr(md5(concat({s_row})), 1, 15), 16, 10) as bigint)"
-    s = spark_df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr(s_hash).cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
+    s_md5 = f"md5(concat({s_row}))"
+    s = (
+        spark_df.select(F.expr(s_md5).alias("__h"))
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("cast(conv(substr(__h, 1, 15), 16, 10) as bigint)").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+            F.sum(
+                F.expr("cast(conv(substr(__h, 17, 15), 16, 10) as bigint)").cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h2"),
+        )
+        .collect()[0]
+    )
 
     con = duckdb.connect()
     try:
@@ -278,12 +299,13 @@ def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
             f"{name}: column mismatch spark={order} duckdb={sorted(d_cols)}"
         )
         d_row = f" , '{_FS}', ".join(_canon_duck(c, fields[c]) for c in order)
-        d_hash = (
-            f"CAST(CAST(concat('0x', substr(md5(concat({d_row})), 1, 15)) AS "
-            f"BIGINT) AS HUGEINT)"
-        )
         d = con.execute(
-            f"SELECT COUNT(*) AS n, SUM({d_hash}) AS h FROM ({sql}) __t"
+            "SELECT COUNT(*) AS n, "
+            "SUM(CAST(CAST(concat('0x', substr(__h, 1, 15)) AS BIGINT) "
+            "AS HUGEINT)) AS h, "
+            "SUM(CAST(CAST(concat('0x', substr(__h, 17, 15)) AS BIGINT) "
+            "AS HUGEINT)) AS h2 "
+            f"FROM (SELECT md5(concat({d_row})) AS __h FROM ({sql}) __t) __m"
         ).fetchone()
     finally:
         con.close()
@@ -292,7 +314,10 @@ def compare_agghash(spark_df, sql: str, sf_dir: str, name: str = "?") -> dict:
     s_h = None if s.h is None else int(s.h)
     d_h = None if d[1] is None else int(d[1])
     assert s_h == d_h, f"{name}: aggregate hash spark={s_h} duckdb={d_h}"
-    return {"rows": int(s.n), "hash": s_h}
+    s_h2 = None if s.h2 is None else int(s.h2)
+    d_h2 = None if d[2] is None else int(d[2])
+    assert s_h2 == d_h2, f"{name}: aggregate hash2 spark={s_h2} duckdb={d_h2}"
+    return {"rows": int(s.n), "hash": s_h, "hash2": s_h2}
 
 
 def compare(spark_df, sql: str, sf_dir: str, name: str = "?") -> None:

@@ -207,4 +207,4 @@ def test_native_double_canonical_matches_ieee_bits_duck():
 def test_agghash_empty_result(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     r = compare_agghash(df, "SELECT 1 AS k WHERE false", SF, "empty")
-    assert r == {"rows": 0, "hash": None}
+    assert r == {"rows": 0, "hash": None, "hash2": None}

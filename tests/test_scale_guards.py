@@ -26,12 +26,43 @@ def test_table_rows_missing_table_degrades_to_large_sentinel():
     assert table_rows("/nonexistent", "lineitem") >= 1 << 60
 
 
+def test_table_rows_nested_partitioned_layout(tmp_path):
+    # ADVICE r9: partitioned layouts nest part files under key=value
+    # subdirectories — the footer sum must walk recursively
+    import shutil
+
+    d = tmp_path / "nation.parquet"
+    (d / "n_key=0").mkdir(parents=True)
+    (d / "n_key=1").mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.01/nation.parquet", d / "n_key=0" / "part-0.parquet"
+    )
+    shutil.copy(
+        "/root/testdata/sf0.01/nation.parquet", d / "n_key=1" / "part-1.parquet"
+    )
+    assert table_rows(str(tmp_path), "nation") == 50
+
+
+def test_table_rows_empty_directory_is_sentinel_not_zero(tmp_path):
+    # ADVICE r9: an empty/partless dir returning 0 would FORCE a
+    # broadcast of an arbitrarily large table — the exact inverse of
+    # the degrade-to-shuffle fail-safe. Must return the sentinel.
+    (tmp_path / "lineitem.parquet").mkdir()
+    assert table_rows(str(tmp_path), "lineitem") >= 1 << 60
+
+
 def test_parse_mem():
     assert tb._parse_mem("8g") == 8 << 30
     assert tb._parse_mem("48G") == 48 << 30
     assert tb._parse_mem("512m") == 512 << 20
     assert tb._parse_mem("1t") == 1 << 40
     assert tb._parse_mem("1073741824") == 1 << 30
+    # ADVICE r9: Spark-legal long suffixes must not raise (a swallowed
+    # ValueError silently fail-opens the heap guard)
+    assert tb._parse_mem("16gb") == 16 << 30
+    assert tb._parse_mem("48GB") == 48 << 30
+    assert tb._parse_mem("512mb") == 512 << 20
+    assert tb._parse_mem("2kb") == 2 << 10
 
 
 def test_heap_guard_quiet_at_test_scale(spark):
