@@ -68,6 +68,12 @@ HEADLINE = [
     # interval-union windows) and PQ shortlist + exact re-rank (ADC
     # broadcast-table scan + point-lookup refine):
     "exact_substring_spans",
+    # pq_rerank_topk is the kept BUILD-inclusive PQ row (codebooks +
+    # encode + ADC + re-rank every iteration — the index-construction
+    # cost under the clock). Its ADC-only sibling pq_adc_topk was
+    # REMOVED from the headline set in r10 (VERDICT r9 #2): with pins
+    # draining, both rows timed the same construction twice; the
+    # serve-side story is now carried by the two *_indexed rows below.
     "pq_rerank_topk",
     # round-5 (VERDICT r4 #4): the remaining heaviest deferred
     # families. BPE re-trains every timed iteration (RESETS clears
@@ -78,7 +84,6 @@ HEADLINE = [
     "exact_substring_removal",
     "bpe_learn_merges",
     "bpe_segment_corpus",
-    "pq_adc_topk",
     "incremental_dedup_batch",
     "stream_merge_upsert",
     # round-5 continuation: the heaviest of the new wave — binary
@@ -175,6 +180,15 @@ HEADLINE = [
     "media_avi_decode",
     "media_avi_frame_index",
     "bpe_learn_merges_8r",
+    # round-10 (VERDICT r9 #2): the PQ SERVE path from persisted
+    # codes/codebooks — the 100 TB serving shape. The one-time
+    # pq_write_index builds land in the untimed pre-run (the index
+    # root is a per-process fixture like the IVF index, NOT a pin, so
+    # release_pins doesn't drain it); the medians time query-batch
+    # serving only. Build cost stays under the clock via the kept
+    # pq_rerank_topk row above.
+    "pq_adc_topk_indexed",
+    "pq_rerank_topk_indexed",
 ]
 
 # Pre-iteration reset hooks: queries whose per-process memoization

@@ -895,36 +895,23 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
-    vectors: DataFrame,
+def pq_adc_serve(
+    codes: DataFrame,
+    cb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     m: int = 4,
-    n_codes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sub_dim: int | None = None,
 ) -> DataFrame:
-    """PQ asymmetric-distance top-k (Jegou/Douze/Schmid 2011, "Product
-    Quantization for Nearest Neighbor Search"): the query stays exact,
-    the corpus is its PQ codes, and each candidate's distance is the
-    sum of m table lookups — the distance table (query x subspace x
-    codeword) is tiny (Q * m * n_codes rows) and broadcast, which is
-    the in-cache lookup table of the paper expressed as a broadcast
-    hash join. Per-subspace distances are scaled to integer
-    nanounits BEFORE the per-candidate sum, so the m-way accumulation
-    is order-independent and the DuckDB twin reproduces every ranked
-    distance exactly (a float sum would re-associate under partial
-    aggs). Output (query_id, neighbor_id, adc_nanos, rk<=k), self
-    excluded, ties broken on neighbor_id.
-
-    Scale: the ADC scan is linear in |corpus| x |queries| BY DESIGN —
-    PQ's win is bandwidth (m bytes/vector instead of 4*dim), not
-    pruning; compose with the persisted IVF layout (ivf_write_index)
-    to prune to nprobe/C of the corpus first, which is exactly the
-    IVFADC system of the paper."""
-    cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
-    codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
+    """The ADC *serving* stage shared by pq_adc_topk (in-memory) and
+    pq_adc_topk_indexed (persisted codes): build the per-query
+    distance table against the broadcast codebook, scan the codes
+    with a broadcast join, sum integer-nano partial distances, rank.
+    One implementation so the two paths can never fork — their
+    row-identical output is a gated invariant
+    (pq_indexed_match / tests)."""
     qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
     qd2 = (
         d2_static(F.col("sv"), F.col("cv"), sub_dim)
@@ -958,6 +945,39 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou/Douze/Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): the query stays exact,
+    the corpus is its PQ codes, and each candidate's distance is the
+    sum of m table lookups — the distance table (query x subspace x
+    codeword) is tiny (Q * m * n_codes rows) and broadcast, which is
+    the in-cache lookup table of the paper expressed as a broadcast
+    hash join. Per-subspace distances are scaled to integer
+    nanounits BEFORE the per-candidate sum, so the m-way accumulation
+    is order-independent and the DuckDB twin reproduces every ranked
+    distance exactly (a float sum would re-associate under partial
+    aggs). Output (query_id, neighbor_id, adc_nanos, rk<=k), self
+    excluded, ties broken on neighbor_id.
+
+    Scale: the ADC scan is linear in |corpus| x |queries| BY DESIGN —
+    PQ's win is bandwidth (m bytes/vector instead of 4*dim), not
+    pruning; compose with the persisted IVF layout (ivf_write_index)
+    to prune to nprobe/C of the corpus first, which is exactly the
+    IVFADC system of the paper."""
+    cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
+    codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
+    return pq_adc_serve(codes, cb, queries, k, m, vec_col, id_col, sub_dim)
+
+
 def pq_rerank_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -989,6 +1009,23 @@ def pq_rerank_topk(
         vectors, queries, k=shortlist, m=m, n_codes=n_codes,
         vec_col=vec_col, id_col=id_col, sub_dim=sub_dim,
     ).select("query_id", "neighbor_id")
+    return exact_rerank(sl, vectors, queries, k, vec_col, id_col)
+
+
+def exact_rerank(
+    sl: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a (query_id, neighbor_id)
+    shortlist: fetch ONLY the shortlisted candidates' full vectors
+    (equi-join point lookups against the corpus, not a scan) and
+    rank with the bit-reproducible ordered fold. Shared by
+    pq_rerank_topk and pq_rerank_topk_indexed so the refine stage
+    can never fork between the in-memory and persisted-index paths."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
@@ -1015,6 +1052,90 @@ def pq_rerank_topk(
     return ranked.select(
         "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rk"
     )
+
+
+# --------------------------------------------------------------------------
+# PQ as a persisted serving artifact (VERDICT r9 #2): codes + codebooks
+# written once, served many — the same build/serve split ivf_write_index
+# gives IVF. At 100 TB the encode pass (the expensive stage: m-fold
+# explode + argmin agg over the full corpus) runs once per index build;
+# every query batch then reads m bytes/vector of CODES, never the float
+# corpus.
+# --------------------------------------------------------------------------
+
+
+def pq_write_index(
+    vectors: DataFrame,
+    path: str,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_dim: int | None = None,
+) -> None:
+    """Materialize the PQ serving artifacts: the (s, code, cv)
+    codebooks (tiny: m * n_codes rows, one file) and the (vec_id, s,
+    code) corpus codes. Codes are written sorted by (s, code) so
+    parquet gets long runs for RLE/dictionary encoding AND min/max
+    row-group stats that let the serve-side (s, code) join benefit
+    from predicate pushdown when a query batch's distance table is
+    sparse. Build cost = one encode pass; this is the compression
+    job that turns a 100 TB float corpus into m bytes per vector."""
+    cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
+    codes.sortWithinPartitions("s", "code").write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_adc_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """Serve PQ ADC top-k from a persisted index: read the codebooks
+    (m * n_codes rows) and the code corpus, then run the SAME serve
+    stage as the in-memory operator (shared pq_adc_serve). No encode
+    work per query batch — the 100 TB serving shape the bench's
+    build-inclusive pq_adc_topk row deliberately does NOT measure."""
+    cb = spark.read.schema("s int, code int, cv array<double>").parquet(
+        f"{path}/codebooks"
+    )
+    codes = spark.read.schema("vec_id bigint, s int, code int").parquet(
+        f"{path}/codes"
+    )
+    return pq_adc_serve(codes, cb, queries, k, m, vec_col, id_col, sub_dim)
+
+
+def pq_rerank_topk_indexed(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    m: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """Persisted-index '+R' serving: the ADC shortlist comes from the
+    written codes (pq_adc_topk_indexed), the exact refine fetches only
+    the shortlisted vectors from the corpus (shared exact_rerank).
+    The corpus stays in the lake — the index holds codes + codebooks
+    only, so the refine join is the point-lookup pattern against the
+    (bucketed/partitioned) source table."""
+    sl = pq_adc_topk_indexed(
+        spark, path, queries, k=shortlist, m=m,
+        vec_col=vec_col, id_col=id_col, sub_dim=sub_dim,
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(sl, vectors, queries, k, vec_col, id_col)
 
 
 def ivf_append_index(

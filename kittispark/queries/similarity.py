@@ -313,8 +313,9 @@ _IVF_INDEX_ROOT: dict[str, str] = {}
 def _cleanup_ivf_roots() -> None:
     import shutil
 
-    # _IVF_APPEND_ROOT is defined further down; resolved at call time
-    for store in (_IVF_INDEX_ROOT, _IVF_APPEND_ROOT):
+    # _IVF_APPEND_ROOT/_PQ_INDEX_ROOT are defined further down;
+    # resolved at call time
+    for store in (_IVF_INDEX_ROOT, _IVF_APPEND_ROOT, _PQ_INDEX_ROOT):
         for root in store.values():
             shutil.rmtree(root, ignore_errors=True)
 
@@ -911,6 +912,83 @@ def pq_rerank_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces 5.1M interpreted HOF folds in the encode stage
     return pq_rerank_topk(
         emb, queries, k=5, shortlist=100, m=16, n_codes=64, sub_dim=4
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted PQ index (VERDICT r9 #2): codes + codebooks written once
+# per (process, sf_dir, geometry), served many — the pq_* analogue of
+# the IVF index fixture above. Keyed by geometry because the ADC and
+# rerank queries use different (m, n_codes).
+# --------------------------------------------------------------------------
+
+_PQ_INDEX_ROOT: dict[tuple, str] = {}
+
+
+def _pq_index_path(
+    spark: SparkSession, sf_dir: str, m: int, n_codes: int, sub_dim: int
+) -> str:
+    import os
+    import tempfile
+
+    from kittispark.operators.similarity import pq_write_index
+
+    key = (sf_dir, m, n_codes)
+    cached = _PQ_INDEX_ROOT.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    root = tempfile.mkdtemp(prefix="kittispark-pq-")
+    pq_write_index(
+        t(spark, sf_dir, "embeddings"), root, m=m, n_codes=n_codes,
+        sub_dim=sub_dim,
+    )
+    _PQ_INDEX_ROOT[key] = root
+    return root
+
+
+@register(
+    "pq_adc_topk_indexed",
+    oracle=_PQ_ADC_ORACLE,
+    doc="Persisted-index PQ ADC serving (VERDICT r9 #2): codebooks + "
+    "corpus codes are WRITTEN ONCE (pq_write_index — the encode pass "
+    "that turns a 100 TB float corpus into m bytes/vector), then each "
+    "query batch reads the code parquet and runs the shared ADC serve "
+    "stage (broadcast distance table + linear code scan). The oracle "
+    "is the SAME SQL as the build-inclusive pq_adc_topk — the "
+    "persisted path must reproduce the in-memory ranking "
+    "value-for-value, which adjudicates the write/read roundtrip of "
+    "both artifacts, not just the serve math.",
+    tags=("similarity", "ann", "llm-pipeline"),
+)
+def pq_adc_topk_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import pq_adc_topk_indexed
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = _pq_index_path(spark, sf_dir, m=4, n_codes=16, sub_dim=16)
+    return pq_adc_topk_indexed(spark, idx, queries, k=5, m=4, sub_dim=16)
+
+
+@register(
+    "pq_rerank_topk_indexed",
+    oracle=_PQ_RERANK_ORACLE,
+    doc="Persisted-index PQ shortlist + exact re-rank (VERDICT r9 "
+    "#2): the ADC shortlist comes from the written 16x64 code index; "
+    "only the 100 shortlisted candidates' full vectors are fetched "
+    "from the source table (point-lookup equi-join — the corpus is "
+    "NOT part of the index). Same oracle as the build-inclusive "
+    "pq_rerank_topk: the serve-from-disk path must reproduce the "
+    "in-memory ranking value-for-value.",
+    tags=("similarity", "ann", "llm-pipeline"),
+)
+def pq_rerank_topk_indexed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kittispark.operators.similarity import pq_rerank_topk_indexed
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = _pq_index_path(spark, sf_dir, m=16, n_codes=64, sub_dim=4)
+    return pq_rerank_topk_indexed(
+        spark, idx, emb, queries, k=5, shortlist=100, m=16, sub_dim=4
     )
 
 
