@@ -15,7 +15,22 @@ Key remapping keeps referential integrity where queries rely on it:
   window/sessionization queries see proportionally more buckets, and
   user_id is left as-is (same user population, k x denser activity).
 
-Usage: python scripts/gen_scale_synth.py SRC_DIR DST_DIR K
+Usage: python scripts/gen_scale_synth.py SRC_DIR DST_DIR K [--perturbed-docs]
+
+--perturbed-docs (VERDICT r9 #3): plain clone replication makes every
+document a TRUE near-dup of its k-1 clones, so ground-truth pair/edge
+enumeration (minhash_lsh_recall, ngram_jaccard_pairs,
+dedup_cluster_assign oracles) blows up ~quadratically in k — a fixture
+artifact, not the operators' real-data shape. The perturbed mode
+instead interleaves a (pair, source-doc)-scoped marker token between
+every word of clones i >= 1: clones 2p-1 and 2p of a doc share marker
+w{p}x{doc_id} and differ only in a trailing token (one true near-dup
+pair), while every other clone pair shares NO 3-gram shingle at all
+(every 3-token window contains a marker scoped to a different pair or
+doc). True pair counts scale LINEARLY in k (~k/2 pairs per source
+doc), clone clusters have size 2, and the shingle inverted index stays
+sparse — organic-corpus shape at any k. Clone 0 keeps the original
+text, so the base corpus's own near-dup structure is preserved once.
 """
 
 from __future__ import annotations
@@ -35,7 +50,7 @@ COPY_TABLES = (
 )
 
 
-def generate(src: str, dst: str, k: int) -> None:
+def generate(src: str, dst: str, k: int, perturbed_docs: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_TABLES:
@@ -73,15 +88,27 @@ def generate(src: str, dst: str, k: int) -> None:
     max_doc = con.execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
     ).fetchone()[0]
+    if perturbed_docs:
+        # see the module docstring: marker-interleaved clones so true
+        # near-dup pair counts scale linearly in k
+        text_expr = f"""
+            CASE WHEN i.range = 0 THEN d.text
+                 ELSE replace(d.text, ' ',
+                      ' w' || ((i.range + 1) // 2) || 'x' || d.doc_id || ' ')
+                      || ' c' || i.range
+            END"""
+    else:
+        text_expr = "d.text || ' c' || i.range"
     con.execute(
         f"""
         COPY (
-            SELECT d.* EXCLUDE (doc_id, text, n_chars),
-                   d.doc_id + i.range * {max_doc} AS doc_id,
-                   d.text || ' c' || i.range AS text,
-                   length(d.text || ' c' || i.range) AS n_chars
-            FROM read_parquet('{src}/documents.parquet') d
-            CROSS JOIN range({k}) i
+            SELECT * EXCLUDE (text), text, length(text) AS n_chars FROM (
+                SELECT d.* EXCLUDE (doc_id, text, n_chars),
+                       d.doc_id + i.range * {max_doc} AS doc_id,
+                       {text_expr} AS text
+                FROM read_parquet('{src}/documents.parquet') d
+                CROSS JOIN range({k}) i
+            )
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -140,5 +167,7 @@ def generate(src: str, dst: str, k: int) -> None:
 
 
 if __name__ == "__main__":
-    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    generate(src, dst, k)
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    src, dst, k = args[0], args[1], int(args[2])
+    generate(src, dst, k, perturbed_docs="--perturbed-docs" in flags)
