@@ -108,13 +108,27 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset()
+_REVERIFY: frozenset[str] = frozenset(
+    {
+        # r10: the PQ serve/rerank stages were extracted into shared
+        # helpers (pq_adc_serve / exact_rerank) so the new persisted-
+        # index twins can never fork from the in-memory pair
+        # (VERDICT r9 #2). The plan is expression-identical (pure
+        # extract-function refactor) and both queries re-MATCH their
+        # unchanged oracles at sf0.001/0.01/0.1 strict + all four
+        # depth fixtures this session, but the operator code
+        # physically changed after the banked adjudication, so the
+        # verdicts are voided on principle (rule 3).
+        "pq_adc_topk",
+        "pq_rerank_topk",
+    }
+)
 # r10 start: emptied — all eight r9 waiters (the q8 plan rewrite, the
 # five signed-zero round(diff,k) fixes, and the two exact-cents
 # summation fixes in group_cube/date_functions) were re-adjudicated
 # GREEN in CORRECTNESS_r09.json (VERDICT r9: "r9 window 50/50
-# including all 8 _REVERIFY waiters"). Repopulate per rule 3 above
-# when a post-verdict rewrite lands.
+# including all 8 _REVERIFY waiters"). Repopulated same-session with
+# the PQ serve-stage refactor above, per rule 3.
 # r9 start: emptied — all four r8 waiters (array_functions signed-zero
 # normalization, the q21 single-pass window rewrite, and the two
 # materialize() pin additions for the envelope and phash queries) were
