@@ -1605,7 +1605,25 @@ def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
     )
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        # Derived scan bound (r10, surfaced by the 250x engine pass):
+        # the join keeps only l_shipdate > o_orderdate + 60d and the
+        # orders window floors o_orderdate at 1996-01-01, so every
+        # qualifying line item has l_shipdate > 1996-01-01 + 60d.
+        # Catalyst cannot infer range constraints through a non-equi
+        # join condition, so without this literal the lineitem scan
+        # carried no shipdate pushdown and the semi-join shuffled the
+        # FULL fact table (150M rows at 250x). With it the bound
+        # reaches PushedFilters and min/max row-group pruning — the
+        # filter-early rule at 100 TB. Semantics unchanged: the join
+        # condition still applies the exact per-row comparison.
+        .filter(
+            F.col("l_shipdate")
+            > F.to_timestamp(F.lit("1996-01-01")) + F.expr("INTERVAL 60 DAYS")
+        )
+    )
     late = orders.join(
         li,
         (F.col("l_orderkey") == F.col("o_orderkey"))

@@ -238,13 +238,26 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     profit = _rev_scaled() - _cents("p_retailprice") * _qty_long() * F.lit(100)
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # Prune + narrow the fact BEFORE the fact-fact orderkey join (the
+    # q8 discipline, applied here by the r10 250x engine pass): the
+    # broadcast part join is the selective step (p_type = 'STANDARD'
+    # keeps ~1/6 of parts -> ~1/6 of lineitem) and costs no shuffle,
+    # so it must run first; the big SMJ then shuffles only the
+    # surviving rows, pre-reduced to (l_orderkey, nation, profit).
+    # Written fact-first-into-orders before r10, the full 150M-row
+    # fact shuffled at 250x and the join took 60-100 s; pruned+
+    # narrowed it is ~6x less shuffle volume. Catalyst does not
+    # reorder joins without CBO stats, so the order is load-bearing.
+    li_slim = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "nation", profit.alias("__profit"))
+    )
+    return (
+        li_slim.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg((F.sum(profit).cast("double") / 10000).alias("sum_profit"))
+        .agg((F.sum("__profit").cast("double") / 10000).alias("sum_profit"))
     )
 
 

@@ -121,6 +121,19 @@ _REVERIFY: frozenset[str] = frozenset(
         # verdicts are voided on principle (rule 3).
         "pq_adc_topk",
         "pq_rerank_topk",
+        # r10: two scale rewrites surfaced by the 250x engine pass
+        # (values identical, plans not): q4 gained the derived
+        # l_shipdate > window-floor + 60d scan bound Catalyst cannot
+        # infer through the non-equi semi-join condition (250x: 133 s
+        # -> 6-12 s, lineitem PushedFilters now carry the bound); q9
+        # now prunes + narrows lineitem through the broadcast
+        # part/supplier/nation joins BEFORE the fact-fact orderkey
+        # join (the q8 discipline; 250x: 62-102 s -> 3.7 s warm).
+        # Both re-MATCH their unchanged oracles at
+        # sf0.001/0.01/0.1 strict, all four depth fixtures, and the
+        # 50x agghash tier — voided on principle (rule 3).
+        "q4_priority_order_counts",
+        "q9_product_profit",
     }
 )
 # r10 start: emptied — all eight r9 waiters (the q8 plan rewrite, the
