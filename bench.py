@@ -240,6 +240,86 @@ def build_stdout_line(
     return line_obj, line
 
 
+# A 1-min loadavg above this at bench start marks the sample as
+# load-contaminated. Calibration (BENCH r8-r10, 32-CPU box): quiet
+# samples measured loadavg_pre 0.29-0.92 and reproduced within 1%;
+# contaminated samples (3.04 / 3.65 / ~5) inflated pq/bpe/
+# exact-substring rows 2-4x. 2.0 splits the two observed clusters.
+NOISY_LOADAVG = 2.0
+
+
+def cpu_calib() -> dict:
+    """~1.5 s host-regime probe recorded in BENCH_DETAIL (r11): two
+    same-code quiet-loadavg samples (73.8/74.8 s) ran 30% slower than
+    r10's quiet pair (56.8/57.3 s) with ~1% steal — guest loadavg
+    cannot see a host-level slowdown, so the detail file carries an
+    absolute single-thread anchor instead: a fixed Python loop and a
+    fixed 4M-element vector dot (memory bandwidth). Round-over-round
+    bench movement that tracks these numbers is host regime, not
+    plans."""
+    import numpy as np
+
+    def best(fn, reps=3):
+        # best-of: the least-contended sample estimates host
+        # CAPABILITY (the anchor), not current utilization
+        return min(min(fn() for _ in range(reps)), float("inf"))
+
+    def pyloop():
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        return time.perf_counter() - t0
+
+    rng = np.random.default_rng(0)
+    v = rng.random(4_000_000)
+    w = rng.random(4_000_000)
+    v @ w  # warmup, untimed
+
+    def dot():
+        # single-threaded, memory-bandwidth-bound — stable within
+        # +-3% across processes (a 1024^2 matmul probe swung 2.7x
+        # from BLAS thread scheduling and was rejected)
+        t0 = time.perf_counter()
+        v @ w
+        return time.perf_counter() - t0
+
+    return {
+        "pyloop_2m_s": round(best(pyloop), 3),
+        "dot4m_ms": round(best(dot, 5) * 1000, 2),
+    }
+
+
+def write_detail(repo: Path, detail: dict) -> Path:
+    """Write the full-precision sample, keeping the quiet sample
+    authoritative (VERDICT r10 #1): the r10 driver run at loadavg 3.04
+    overwrote the committed loadavg-0.92 sample in the working tree.
+    Policy: a load-contaminated sample (loadavg_pre[0] > NOISY_LOADAVG)
+    never replaces an existing quiet BENCH_DETAIL.json — it lands in
+    BENCH_DETAIL_NOISY.json alongside, so the run is still recorded
+    and loadavg-adjudicable. A quiet sample always replaces; a noisy
+    sample replaces only another noisy (or missing/unreadable) one.
+    Returns the path written."""
+    path = repo / "BENCH_DETAIL.json"
+    # A dev run at a non-driver SF never touches the authoritative
+    # file (the old footgun: an sf0.01 run clobbering the committed
+    # sf0.1 sample, which then had to be manually re-benched).
+    if detail.get("sf") != 0.1:
+        path = repo / "BENCH_DETAIL_NOISY.json"
+    new_load = detail.get("loadavg_pre", [0.0])[0]
+    if new_load > NOISY_LOADAVG and path.exists():
+        try:
+            prev_load = json.loads(path.read_text()).get(
+                "loadavg_pre", [float("inf")]
+            )[0]
+        except Exception:
+            prev_load = float("inf")
+        if prev_load <= NOISY_LOADAVG:
+            path = repo / "BENCH_DETAIL_NOISY.json"
+    path.write_text(json.dumps(detail, indent=1) + "\n")
+    return path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kittispark import get_spark, registry  # noqa: F401
@@ -328,6 +408,7 @@ def main() -> None:
         "iterations": iters,
         "loadavg_pre": [round(x, 2) for x in loadavg_pre],
         "loadavg_post": [round(x, 2) for x in os.getloadavg()],
+        "cpu_calib": cpu_calib(),
         # Methodology: r01 was a SINGLE cold run (plan compile charged
         # to each query); r02+ report the median of `iterations` runs
         # (steady state). r5+: each query additionally gets ONE
@@ -335,7 +416,7 @@ def main() -> None:
         # all timed iterations).
         "methodology": "median_of_iterations_steady_state_prewarmed",
     }
-    Path(REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
+    write_detail(Path(REPO), detail)
     # Stop Spark BEFORE printing: executor/shutdown chatter shares the
     # captured stream, and anything printed after the JSON line eats
     # tail budget.

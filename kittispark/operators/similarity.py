@@ -1080,7 +1080,14 @@ def pq_write_index(
     row-group stats that let the serve-side (s, code) join benefit
     from predicate pushdown when a query batch's distance table is
     sparse. Build cost = one encode pass; this is the compression
-    job that turns a 100 TB float corpus into m bytes per vector."""
+    job that turns a 100 TB float corpus into m bytes per vector.
+
+    Artifact schema contract (ADVICE r10): the persisted codes ALWAYS
+    carry the id column normalized to `vec_id` (pq_encode aliases
+    id_col -> vec_id on write), regardless of what id_col the source
+    corpus used. The indexed serve functions read that fixed schema;
+    their id_col parameter names the id column of the QUERY (and, for
+    rerank, the refine-corpus) DataFrames only."""
     cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
     cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
@@ -1103,7 +1110,10 @@ def pq_adc_topk_indexed(
     (m * n_codes rows) and the code corpus, then run the SAME serve
     stage as the in-memory operator (shared pq_adc_serve). No encode
     work per query batch — the 100 TB serving shape the bench's
-    build-inclusive pq_adc_topk row deliberately does NOT measure."""
+    build-inclusive pq_adc_topk row deliberately does NOT measure.
+
+    id_col names the id column of `queries`; the persisted codes are
+    always keyed `vec_id` (see the pq_write_index schema contract)."""
     cb = spark.read.schema("s int, code int, cv array<double>").parquet(
         f"{path}/codebooks"
     )
@@ -1130,7 +1140,10 @@ def pq_rerank_topk_indexed(
     the shortlisted vectors from the corpus (shared exact_rerank).
     The corpus stays in the lake — the index holds codes + codebooks
     only, so the refine join is the point-lookup pattern against the
-    (bucketed/partitioned) source table."""
+    (bucketed/partitioned) source table.
+
+    id_col names the id column of `queries`/`vectors`; the persisted
+    codes are always keyed `vec_id` (pq_write_index schema contract)."""
     sl = pq_adc_topk_indexed(
         spark, path, queries, k=shortlist, m=m,
         vec_col=vec_col, id_col=id_col, sub_dim=sub_dim,

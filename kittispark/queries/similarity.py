@@ -933,7 +933,10 @@ def _pq_index_path(
 
     from kittispark.operators.similarity import pq_write_index
 
-    key = (sf_dir, m, n_codes)
+    # sub_dim is part of the key (ADVICE r10): it selects the encode
+    # distance path (d2_static vs fold_d2), so two geometries sharing
+    # (m, n_codes) but not sub_dim must never reuse each other's index.
+    key = (sf_dir, m, n_codes, sub_dim)
     cached = _PQ_INDEX_ROOT.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached

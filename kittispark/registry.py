@@ -108,34 +108,26 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset(
-    {
-        # r10: the PQ serve/rerank stages were extracted into shared
-        # helpers (pq_adc_serve / exact_rerank) so the new persisted-
-        # index twins can never fork from the in-memory pair
-        # (VERDICT r9 #2). The plan is expression-identical (pure
-        # extract-function refactor) and both queries re-MATCH their
-        # unchanged oracles at sf0.001/0.01/0.1 strict + all four
-        # depth fixtures this session, but the operator code
-        # physically changed after the banked adjudication, so the
-        # verdicts are voided on principle (rule 3).
-        "pq_adc_topk",
-        "pq_rerank_topk",
-        # r10: two scale rewrites surfaced by the 250x engine pass
-        # (values identical, plans not): q4 gained the derived
-        # l_shipdate > window-floor + 60d scan bound Catalyst cannot
-        # infer through the non-equi semi-join condition (250x: 133 s
-        # -> 6-12 s, lineitem PushedFilters now carry the bound); q9
-        # now prunes + narrows lineitem through the broadcast
-        # part/supplier/nation joins BEFORE the fact-fact orderkey
-        # join (the q8 discipline; 250x: 62-102 s -> 3.7 s warm).
-        # Both re-MATCH their unchanged oracles at
-        # sf0.001/0.01/0.1 strict, all four depth fixtures, and the
-        # 50x agghash tier — voided on principle (rule 3).
-        "q4_priority_order_counts",
-        "q9_product_profit",
-    }
-)
+_REVERIFY: frozenset[str] = frozenset()
+# r11 start: emptied — all four r10 waiters (the PQ serve-stage
+# extract pair pq_adc_topk/pq_rerank_topk and the two 250x scale
+# rewrites q4_priority_order_counts/q9_product_profit) were
+# re-adjudicated GREEN in CORRECTNESS_r10.json (VERDICT r10:
+# "50/50 — zero red rows, including all four _REVERIFY waiters").
+# Repopulate per rule 3 when a post-verdict rewrite lands.
+#
+# Window-rotation math (VERDICT r10 #6): the driver window has 50
+# slots per round; priority is never-adjudicated fresh, then
+# _REVERIFY, then the stalest banked greens. With 269 registered
+# queries and no fresh/_REVERIFY entries, a banked green waits
+# ceil(269/50) ≈ 5.4 rounds between driver re-adjudications; every
+# registry addition stretches that by 1/50 round. Additions are
+# therefore held to verdict-demanded ones (r10 added exactly 2,
+# both demanded by VERDICT r9 item 2 — keep that discipline), and
+# the local certification regimes (strict multi-SF sweeps, depth
+# fixtures, the 50x agghash census, the 250x engine tier) carry
+# correctness between driver visits; update_green_bank.py --check
+# trips STALE on any green >6 rounds old whose module changed.
 # r10 start: emptied — all eight r9 waiters (the q8 plan rewrite, the
 # five signed-zero round(diff,k) fixes, and the two exact-cents
 # summation fixes in group_cube/date_functions) were re-adjudicated

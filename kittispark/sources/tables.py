@@ -9,6 +9,7 @@ call sites still apply (predicate → partition pruning for free).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,17 +48,29 @@ _HEAP_GUARD_MIN_BYTES = 16 << 30
 _heap_guard_checked: set[str] = set()
 
 
+_MEM_RE = re.compile(r"^(\d+(?:\.\d+)?)([kmgtp]?b?)$")
+_MEM_MULT = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "m": 1 << 20,
+    "g": 1 << 30,
+    "t": 1 << 40,
+    "p": 1 << 50,
+}
+
+
 def _parse_mem(s: str) -> int:
-    s = s.strip().lower()
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    # Spark accepts both "16g" and "16gb" — strip the optional 'b' so
-    # the long spelling doesn't raise (a swallowed ValueError here
-    # would silently fail-open the heap guard).
-    if len(s) >= 2 and s.endswith("b") and s[-2] in mult:
-        s = s[:-1]
-    if s and s[-1] in mult:
-        return int(float(s[:-1]) * mult[s[-1]])
-    return int(s)
+    """Mirror Spark's JavaUtils.byteStringAsBytes suffix table
+    (b, k/kb, m/mb, g/gb, t/tb, p/pb, bare digits) — ADVICE r10: the
+    caller's `except Exception` swallows a ValueError here, silently
+    fail-opening the heap guard, so every Spark-legal spelling
+    ('1024b', '1pb', ...) must parse rather than raise."""
+    m = _MEM_RE.match(s.strip().lower())
+    if not m:
+        raise ValueError(f"not a Spark byte string: {s!r}")
+    num, suffix = m.groups()
+    return int(float(num) * _MEM_MULT[suffix.rstrip("b") or suffix])
 
 
 def _check_local_heap(spark: SparkSession, sf_dir: str, name: str) -> None:

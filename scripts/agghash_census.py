@@ -32,6 +32,51 @@ from kittispark.operators.util import release_pins  # noqa: E402
 from kittispark.session import get_spark  # noqa: E402
 from tests.oracle_harness import compare_agghash  # noqa: E402
 
+# Deterministic blocked-slice overrides (VERDICT r10 #3): for a query
+# whose FULL oracle is structurally beyond DuckDB at this tier, the
+# census audits a deterministic id-slice instead of excluding the name
+# outright. The ENGINE side still executes its real full plan at the
+# census SF — only its OUTPUT is filtered to the slice — while the
+# oracle derives the same slice independently (so the pair set is not
+# taken from the engine). A slice verdict is recorded as
+# status="match" with a "slice" note, never silently.
+#
+# cosine_near_dup: the full oracle is an all-pairs cosine audit
+# (~5e9 64-dim dot products in DuckDB at 50x — the last r10 census
+# exclusion). The slice audits every pair with at least one endpoint
+# in S = {vec_id % 97 = 13} (~1/97 of ids, ~2% of pairs): DuckDB
+# computes |S| x |corpus| ~ 1e8 dots with precomputed norms — linear
+# in the corpus, tractable — and the dot product / norm product are
+# argument-order bit-symmetric, so the both-endpoints-in-S duplicates
+# dedup exactly via DISTINCT.
+CENSUS_SLICES: dict[str, dict] = {
+    "cosine_near_dup": {
+        "engine_filter": "(id_a % 97 = 13) OR (id_b % 97 = 13)",
+        "oracle": """
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings WHERE vec_id % 97 = 13
+        ), allv AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ), pairs AS (
+            SELECT least(a.vec_id, b.vec_id) AS id_a,
+                   greatest(a.vec_id, b.vec_id) AS id_b,
+                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim_raw
+            FROM s a JOIN allv b ON a.vec_id <> b.vec_id
+        )
+        SELECT DISTINCT id_a, id_b, round(sim_raw, 4) AS sim
+        FROM pairs WHERE sim_raw >= 0.45
+        """,
+        "note": "slice: pairs with an endpoint in {vec_id % 97 = 13}; "
+        "engine runs the FULL block-pair GEMM, output filtered",
+    },
+}
+
 
 def main() -> int:
     retry_skips = "--retry-skips" in sys.argv
@@ -109,7 +154,13 @@ def main() -> int:
             log.flush()
             t0 = time.perf_counter()
             try:
-                out = compare_agghash(spec.fn(spark, sf_dir), spec.oracle, sf_dir, name)
+                sl = CENSUS_SLICES.get(name)
+                df = spec.fn(spark, sf_dir)
+                oracle = spec.oracle
+                if sl is not None:
+                    df = df.filter(sl["engine_filter"])
+                    oracle = sl["oracle"]
+                out = compare_agghash(df, oracle, sf_dir, name)
                 row = {
                     "name": name,
                     "status": "match",
@@ -118,6 +169,8 @@ def main() -> int:
                     "hash2": str(out["hash2"]),
                     "wall_s": round(time.perf_counter() - t0, 1),
                 }
+                if sl is not None:
+                    row["slice"] = sl["note"]
             except Exception as ex:
                 row = {
                     "name": name,

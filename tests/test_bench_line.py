@@ -48,3 +48,40 @@ def test_current_headline_size_fits():
     t = {n: 1.234 for n in bench.HEADLINE}
     _obj, line = bench.build_stdout_line(t, round(sum(t.values()), 3), 0.1)
     assert len(line) <= 1800
+
+
+def _detail(load: float, sf: float = 0.1) -> dict:
+    return {"value": 50.0, "sf": sf, "loadavg_pre": [load, load, load]}
+
+
+def test_noisy_sample_never_clobbers_quiet_detail(tmp_path):
+    # VERDICT r10 #1: driver's loadavg-3 run overwrote the committed
+    # loadavg-0.9 sample. Noisy lands alongside instead.
+    p = bench.write_detail(tmp_path, _detail(0.9))
+    assert p.name == "BENCH_DETAIL.json"
+    p = bench.write_detail(tmp_path, _detail(3.1))
+    assert p.name == "BENCH_DETAIL_NOISY.json"
+    kept = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert kept["loadavg_pre"][0] == 0.9
+
+
+def test_quiet_sample_always_replaces(tmp_path):
+    bench.write_detail(tmp_path, _detail(3.1))  # no prior file: lands main
+    assert (tmp_path / "BENCH_DETAIL.json").exists()
+    p = bench.write_detail(tmp_path, _detail(0.5))
+    assert p.name == "BENCH_DETAIL.json"
+    assert json.loads(p.read_text())["loadavg_pre"][0] == 0.5
+
+
+def test_noisy_replaces_noisy(tmp_path):
+    bench.write_detail(tmp_path, _detail(4.0))
+    p = bench.write_detail(tmp_path, _detail(3.0))
+    assert p.name == "BENCH_DETAIL.json"
+    assert json.loads(p.read_text())["loadavg_pre"][0] == 3.0
+
+
+def test_non_default_sf_never_touches_authoritative(tmp_path):
+    bench.write_detail(tmp_path, _detail(0.5))
+    p = bench.write_detail(tmp_path, _detail(0.1, sf=0.01))
+    assert p.name == "BENCH_DETAIL_NOISY.json"
+    assert json.loads((tmp_path / "BENCH_DETAIL.json").read_text())["sf"] == 0.1

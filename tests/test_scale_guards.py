@@ -63,6 +63,14 @@ def test_parse_mem():
     assert tb._parse_mem("48GB") == 48 << 30
     assert tb._parse_mem("512mb") == 512 << 20
     assert tb._parse_mem("2kb") == 2 << 10
+    # ADVICE r10: the full JavaUtils suffix table — bare-bytes 'b' and
+    # petabyte 'p'/'pb' spellings are Spark-legal too
+    assert tb._parse_mem("1024b") == 1024
+    assert tb._parse_mem("1p") == 1 << 50
+    assert tb._parse_mem("1pb") == 1 << 50
+    assert tb._parse_mem("1.5g") == int(1.5 * (1 << 30))
+    with pytest.raises(ValueError):
+        tb._parse_mem("16 gigs")
 
 
 def test_heap_guard_quiet_at_test_scale(spark):
