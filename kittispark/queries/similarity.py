@@ -521,8 +521,13 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
+    k AS (
+        SELECT greatest(8, CAST(count(*) // 12500 AS BIGINT)) AS k
+        FROM embeddings
+    ),
     seed AS (
-        SELECT vec_id AS cid, nv AS cv FROM e ORDER BY vec_id LIMIT 8
+        SELECT vec_id AS cid, nv AS cv FROM e
+        ORDER BY vec_id LIMIT (SELECT k FROM k)
     ),
     d1 AS (
         SELECT e.vec_id, s.cid,
@@ -552,7 +557,11 @@ def kmeans_two_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queries adjudicate) and candidate pairs form ONLY within a "
     "cell, so the all-pairs O(n^2) becomes sum of per-cell "
     "quadratics, triangle-blocked over (cid, lo-block, hi-block) "
-    "keys so no single task owns a whole cell's quadratic. "
+    "keys so no single task owns a whole cell's quadratic. Cell "
+    "count scales with the corpus — k = max(8, n // 12500), same "
+    "formula in the oracle — capping cells at ~12.5k vectors so "
+    "total pair work is LINEAR in n (the fixed-k form went "
+    "quadratic at the 250x tier). "
     "Assignment and scoring run on UNIT "
     "vectors (spherical cells — L2 over raw vectors would split "
     "high-cosine pairs differing in magnitude); pairs above cosine "
@@ -587,9 +596,18 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("__v", lambda x: x / F.col("__n")).alias("nv"),
         )
     )
+    # Cell count scales with corpus size (250x tier finding, r11): a
+    # FIXED k makes within-cell pair enumeration O(n^2/k) — quadratic
+    # in the corpus; at 500k vectors the 250x run sat at ~1.6e10 dot
+    # products (hours). Capping cells at ~12.5k vectors makes total
+    # pair work n * 6250 — LINEAR — while k = max(8, n // 12500)
+    # keeps k = 8 at every certified fixture (2k / 20k / 50x's 100k
+    # all floor to 8), so the change is value-identical below the
+    # engine tier. The oracle computes the same k from count(*).
+    k = max(8, emb.count() // 12500)
     cents = (
         base.orderBy("vec_id")
-        .limit(8)
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("nv").alias("cv"))
     )
     d2 = F.aggregate(

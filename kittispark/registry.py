@@ -108,7 +108,15 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset()
+_REVERIFY: frozenset[str] = frozenset({
+    # r11: 250x engine tier exposed the fixed-k=8 cell count as
+    # quadratic (O(n^2/8) within-cell pairs — ~1.6e10 dots at 500k
+    # vectors); rewrite scales k = max(8, n // 12500) in BOTH the
+    # Spark path and the oracle. Value-identical at every certified
+    # fixture (all floor to k=8), re-proven: 3-SF strict + 4 depth
+    # fixtures + 50x dual-fold agghash, all MATCH (SCALING.md r11).
+    "semantic_dedup_clustered",
+})
 # r11 start: emptied — all four r10 waiters (the PQ serve-stage
 # extract pair pq_adc_topk/pq_rerank_topk and the two 250x scale
 # rewrites q4_priority_order_counts/q9_product_profit) were

@@ -77,11 +77,18 @@ def main() -> int:
             if line.startswith("ENGINE_SCALE_RESULT "):
                 row = json.loads(line[len("ENGINE_SCALE_RESULT "):])
         if row is None:
+            text = proc.stderr or proc.stdout or ""
+            # surface the ROOT exception lines, not the retry tail
+            causes = [
+                ln for ln in text.splitlines()
+                if "Error" in ln or "Exception" in ln or "Caused by" in ln
+            ]
             row = {
                 "name": name,
                 "status": "fail",
                 "rc": proc.returncode,
-                "err": (proc.stderr or proc.stdout)[-400:],
+                "causes": causes[:8],
+                "err": text[-1500:],
             }
         with open(log_file, "a") as f:
             f.write(json.dumps(row) + "\n")
