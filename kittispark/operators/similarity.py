@@ -911,7 +911,23 @@ def pq_adc_serve(
     with a broadcast join, sum integer-nano partial distances, rank.
     One implementation so the two paths can never fork — their
     row-identical output is a gated invariant
-    (pq_indexed_match / tests)."""
+    (pq_indexed_match / tests).
+
+    Scan shape (r11, measured at the 250x tier): the code rows are
+    PACKED to one m-long s-ordered code array per vector (a single
+    tiny-state groupBy over the n*m code rows), each query's
+    distance table to one flat (s, code)-ordered long array, and the
+    scan is a broadcast nested-loop of n packed rows x Q query
+    tables with m positional lookups per pair — the former
+    (s, code) equi-join fanned out n*m*Q rows through a
+    corpus-sized (query, vec) hash agg, which dominated
+    pq_rerank_topk's 250x wall. The per-subspace distances are
+    integer nanos, so the m-term lookup sum is order-independent
+    and bit-identical to the former partial/final agg sum. Flat
+    addressing (s * n_codes + code) requires the DENSE codebook
+    this engine always produces (pq_codebooks densifies; the
+    persisted artifact is written from it) — boundary-guarded
+    below with raise_error, never a silent mis-address."""
     qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
     qd2 = (
         d2_static(F.col("sv"), F.col("cv"), sub_dim)
@@ -925,10 +941,60 @@ def pq_adc_serve(
             F.round(qd2 * 1e9, 0).cast("long").alias("pd2n"),
         )
     )
+    packed = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x["code"],
+        ).alias("ca")
+    )
+    qtab = dtab.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("s", "code", "pd2n"))
+        ).alias("__qs")
+    )
+    first = F.element_at(F.col("__qs"), 1)
+    last = F.element_at(F.col("__qs"), -1)
+    shape_ok = (
+        (F.size("__qs") % m == 0)
+        & (first["s"] == 0)
+        & (first["code"] == 0)
+        & (last["s"] == m - 1)
+        & (last["code"] == (F.size("__qs") / m).cast("int") - 1)
+    )
+    qtab = qtab.select(
+        "query_id",
+        F.transform("__qs", lambda x: x["pd2n"]).alias("qt"),
+        shape_ok.alias("__dense"),
+    )
+    joined = packed.crossJoin(F.broadcast(qtab)).withColumn(
+        "__nc", (F.size("qt") / m).cast("int")
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("qt"),
+            (
+                F.lit(s) * F.col("__nc")
+                + F.element_at(F.col("ca"), s + 1)
+                + 1
+            ).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    adc_checked = F.when(
+        F.col("__dense") & (F.size("ca") == m), adc
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "pq_adc_serve: non-dense codebook or malformed code "
+                "row set (flat ADC addressing requires codes 0..n-1 "
+                "per subspace and exactly m codes per vector)"
+            )
+        ).cast("long")
+    )
     scored = (
-        codes.join(F.broadcast(dtab), ["s", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("pd2n").alias("adc_nanos"))
+        joined.select(
+            "query_id", "vec_id", adc_checked.alias("adc_nanos")
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     from pyspark.sql import Window as W

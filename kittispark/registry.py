@@ -116,6 +116,18 @@ _REVERIFY: frozenset[str] = frozenset({
     # fixture (all floor to k=8), re-proven: 3-SF strict + 4 depth
     # fixtures + 50x dual-fold agghash, all MATCH (SCALING.md r11).
     "semantic_dedup_clustered",
+    # r11: pq_adc_serve scan-shape rewrite (packed code arrays +
+    # flat per-query distance tables through a broadcast nested
+    # loop, replacing the (s, code) join fan-out of n*m*Q rows
+    # through a corpus-sized hash agg — the dominant stage of
+    # pq_rerank_topk's 480 s warm at 250x). Integer-nano sums are
+    # order-independent, so outputs are bit-identical — proven
+    # strict-MATCH at sf0.001/0.01/0.1 + depth fixtures + banked
+    # 50x hashes reproduced (SCALING.md r11).
+    "pq_adc_topk",
+    "pq_rerank_topk",
+    "pq_adc_topk_indexed",
+    "pq_rerank_topk_indexed",
 })
 # r11 start: emptied — all four r10 waiters (the PQ serve-stage
 # extract pair pq_adc_topk/pq_rerank_topk and the two 250x scale
