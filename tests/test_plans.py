@@ -555,22 +555,36 @@ def test_orc_roundtrip_pushes_filter_to_orc_scan(plans):
 
 def test_pq_adc_broadcasts_codebook_and_dtable(plans):
     """PQ serving must keep both small sides broadcast (codebook at
-    encode, distance table at scan) — the corpus-side code scan is
-    the only big relation and it never shuffles into a join build
-    side; no cartesian anywhere."""
+    encode, packed per-query distance tables at scan) — the
+    corpus-side code scan is the only big relation and it never
+    shuffles into a join build side; no unbounded cartesian anywhere.
+    r11 packed-array ADC: the scan is ONE BroadcastNestedLoopJoin of
+    packed code rows x the Q-row broadcast query-table relation
+    (build side bounded by the query count), replacing the (s, code)
+    equi-join that fanned n*m*Q rows through a corpus-sized hash
+    agg."""
     plan = plans("pq_adc_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
+        == 1
+    ), plan
+    # the bounded query-table relation is the broadcast build side
+    assert re.search(r"BroadcastNestedLoopJoin Cross BuildRight", plan)
 
 
 def test_pq_rerank_fetch_is_equi_join(plans):
     """The re-rank stage fetches full vectors for shortlist
     candidates via equi-join on vec_id — point lookups, never a
-    second full-corpus cross."""
+    second full-corpus cross. The only nested-loop join is the ADC
+    stage's bounded packed-scan x broadcast-query-tables cross."""
     plan = plans("pq_rerank_topk")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE))
+        <= 1
+    ), plan
 
 
 def test_bpe_pairs_take_ordered_below_window(plans):
