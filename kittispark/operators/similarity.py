@@ -895,6 +895,101 @@ def pq_encode(
     )
 
 
+def _adc_dtab(
+    cb: DataFrame,
+    queries: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sub_dim: int | None = None,
+) -> DataFrame:
+    """(query_id, s, code, pd2n): the per-query ADC distance table —
+    each query's subspace slices against the broadcast codebook,
+    partial distances rounded to integer nanos so every downstream
+    sum is order-independent and bit-reproducible."""
+    qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
+    qd2 = (
+        d2_static(F.col("sv"), F.col("cv"), sub_dim)
+        if sub_dim
+        else fold_d2(F.col("sv"), F.col("cv"))
+    )
+    return qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code",
+        F.round(qd2 * 1e9, 0).cast("long").alias("pd2n"),
+    )
+
+
+def _packed_codes(codes: DataFrame) -> DataFrame:
+    """(vec_id, ca): the m code rows of each vector packed to one
+    s-ordered int array — a single tiny-state groupBy over the n*m
+    code rows. The packed form is what lets the ADC scan do m
+    positional lookups per (vector, query) pair instead of fanning
+    n*m rows through a corpus-sized hash agg (the r11 250x
+    finding)."""
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x["code"],
+        ).alias("ca")
+    )
+
+
+def _packed_qtab(dtab: DataFrame, m: int) -> DataFrame:
+    """(query_id, qt, __dense): each query's distance table packed to
+    one flat (s, code)-ordered long array for flat addressing
+    (s * n_codes + code). __dense certifies the codebook is dense
+    (codes 0..n-1 in every subspace) — checked at lookup time by
+    _adc_lookup_sum's raise_error guard, never a silent
+    mis-address."""
+    qtab = dtab.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("s", "code", "pd2n"))
+        ).alias("__qs")
+    )
+    first = F.element_at(F.col("__qs"), 1)
+    last = F.element_at(F.col("__qs"), -1)
+    shape_ok = (
+        (F.size("__qs") % m == 0)
+        & (first["s"] == 0)
+        & (first["code"] == 0)
+        & (last["s"] == m - 1)
+        & (last["code"] == (F.size("__qs") / m).cast("int") - 1)
+    )
+    return qtab.select(
+        "query_id",
+        F.transform("__qs", lambda x: x["pd2n"]).alias("qt"),
+        shape_ok.alias("__dense"),
+    )
+
+
+def _adc_lookup_sum(m: int) -> Column:
+    """The m-term flat-addressed ADC lookup sum over packed columns
+    ``ca`` (code array), ``qt`` (flat distance table) and ``__nc``
+    (codes per subspace), guarded by ``__dense``. Integer nanos, so
+    the m-term sum is order-independent and bit-identical to the
+    former partial/final agg sum."""
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("qt"),
+            (
+                F.lit(s) * F.col("__nc")
+                + F.element_at(F.col("ca"), s + 1)
+                + 1
+            ).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return F.when(F.col("__dense") & (F.size("ca") == m), adc).otherwise(
+        F.raise_error(
+            F.lit(
+                "packed ADC scan: non-dense codebook or malformed code "
+                "row set (flat ADC addressing requires codes 0..n-1 "
+                "per subspace and exactly m codes per vector)"
+            )
+        ).cast("long")
+    )
+
+
 def pq_adc_serve(
     codes: DataFrame,
     cb: DataFrame,
@@ -928,72 +1023,15 @@ def pq_adc_serve(
     this engine always produces (pq_codebooks densifies; the
     persisted artifact is written from it) — boundary-guarded
     below with raise_error, never a silent mis-address."""
-    qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
-    qd2 = (
-        d2_static(F.col("sv"), F.col("cv"), sub_dim)
-        if sub_dim
-        else fold_d2(F.col("sv"), F.col("cv"))
-    )
-    dtab = (
-        qsub.join(F.broadcast(cb), "s")
-        .select(
-            "query_id", "s", "code",
-            F.round(qd2 * 1e9, 0).cast("long").alias("pd2n"),
-        )
-    )
-    packed = codes.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))),
-            lambda x: x["code"],
-        ).alias("ca")
-    )
-    qtab = dtab.groupBy("query_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("s", "code", "pd2n"))
-        ).alias("__qs")
-    )
-    first = F.element_at(F.col("__qs"), 1)
-    last = F.element_at(F.col("__qs"), -1)
-    shape_ok = (
-        (F.size("__qs") % m == 0)
-        & (first["s"] == 0)
-        & (first["code"] == 0)
-        & (last["s"] == m - 1)
-        & (last["code"] == (F.size("__qs") / m).cast("int") - 1)
-    )
-    qtab = qtab.select(
-        "query_id",
-        F.transform("__qs", lambda x: x["pd2n"]).alias("qt"),
-        shape_ok.alias("__dense"),
-    )
+    dtab = _adc_dtab(cb, queries, m, vec_col, id_col, sub_dim)
+    packed = _packed_codes(codes)
+    qtab = _packed_qtab(dtab, m)
     joined = packed.crossJoin(F.broadcast(qtab)).withColumn(
         "__nc", (F.size("qt") / m).cast("int")
     )
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.col("qt"),
-            (
-                F.lit(s) * F.col("__nc")
-                + F.element_at(F.col("ca"), s + 1)
-                + 1
-            ).cast("int"),
-        )
-        adc = term if adc is None else adc + term
-    adc_checked = F.when(
-        F.col("__dense") & (F.size("ca") == m), adc
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "pq_adc_serve: non-dense codebook or malformed code "
-                "row set (flat ADC addressing requires codes 0..n-1 "
-                "per subspace and exactly m codes per vector)"
-            )
-        ).cast("long")
-    )
     scored = (
         joined.select(
-            "query_id", "vec_id", adc_checked.alias("adc_nanos")
+            "query_id", "vec_id", _adc_lookup_sum(m).alias("adc_nanos")
         )
         .filter(F.col("vec_id") != F.col("query_id"))
     )
@@ -1298,7 +1336,9 @@ def ivfadc_topk(
 
     cb = pq_codebooks(vectors, m, n_codes, vec_col, id_col)
     codes = pq_encode(vectors, cb, vec_col, id_col, m, sub_dim=sub_dim)
-    codes_cid = codes.join(asg, "vec_id")
+    # one m-long code array per vector, tagged with its IVF cell —
+    # m bytes/vector in one row, the persisted-index layout's shape
+    packed_cid = _packed_codes(codes).join(asg, "vec_id")
 
     qbase = queries.select(F.col(id_col).alias("vec_id"), v.alias("v"))
     wp = W.partitionBy("vec_id").orderBy("d2", "cid")
@@ -1310,29 +1350,25 @@ def ivfadc_topk(
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
 
-    qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
-    qd2 = (
-        d2_static(F.col("sv"), F.col("cv"), sub_dim)
-        if sub_dim
-        else fold_d2(F.col("sv"), F.col("cv"))
-    )
-    dtab = qsub.join(F.broadcast(cb), "s").select(
-        "query_id",
-        "s",
-        "code",
-        F.round(qd2 * 1e9, 0).cast("long").alias("pd2n"),
-    )
+    dtab = _adc_dtab(cb, queries, m, vec_col, id_col, sub_dim)
 
-    # prune, then look up: codes of probed cells only, each candidate
-    # row resolved through the broadcast (query, s, code) table
-    cand = codes_cid.join(F.broadcast(probed), "cid")
+    # prune, then look up (r11 packed-array scan, same shape as
+    # pq_adc_serve): the probe set and each query's packed distance
+    # table ride ONE broadcast keyed on cid, so every packed code row
+    # meets only the queries probing its cell and each surviving
+    # (vector, query) pair costs m positional lookups — the former
+    # (query_id, s, code) equi-join fanned the probed cells' n*m code
+    # rows out x nprobe and pushed them through a corpus-sized
+    # (query, vec) hash agg, the measured dominant stage of the PQ
+    # family at the 250x tier.
+    qtab = _packed_qtab(dtab, m)
+    probes = probed.join(qtab, "query_id").withColumn(
+        "__nc", (F.size("qt") / m).cast("int")
+    )
     scored = (
-        cand.join(
-            F.broadcast(dtab), ["query_id", "s", "code"]
-        )
+        packed_cid.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("pd2n").alias("adc_nanos"))
+        .select("query_id", "vec_id", _adc_lookup_sum(m).alias("adc_nanos"))
     )
     wr = W.partitionBy("query_id").orderBy("adc_nanos", "vec_id")
     return (

@@ -127,44 +127,50 @@ def contrastive_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
         ).alias("sim"),
     ).filter(F.col("sim").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), "neighbor_id"
+    # ONE partial/final hash agg replaces the former two
+    # query_id-partitioned rank windows + their SortMergeJoin (r11,
+    # guide §2.3 "aggregate before you shuffle"): the pos/neg filter
+    # split duplicated the broadcast corpus scan (the differing
+    # filters defeated exchange reuse — 4 parquet scans, 2 window
+    # sorts, 1 SMJ in the before plan), while max_by over the
+    # lexicographic (sim, -neighbor_id) key is EXACTLY
+    # row_number(sim DESC, neighbor_id ASC) = 1: same double total
+    # order, integer tiebreak, bit-identical winners. Map-side
+    # partial aggregation reduces each task to one row per query
+    # before the (30-group) shuffle — nothing corpus-sized crosses.
+    pos_key = F.when(
+        F.col("clabel") == F.col("qlabel"),
+        F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("nid")),
     )
-    pos = (
-        scored.filter(F.col("clabel") == F.col("qlabel"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            F.col("qlabel").alias("label"),
-            F.col("neighbor_id").alias("pos_id"),
-            F.col("sim").alias("pos_raw"),
-        )
+    neg_key = F.when(
+        F.col("clabel") != F.col("qlabel"),
+        F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("nid")),
     )
-    neg = (
-        scored.filter(F.col("clabel") != F.col("qlabel"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("neg_id"),
-            F.col("sim").alias("neg_raw"),
-        )
+    cand = F.struct(F.col("neighbor_id"), F.col("sim"))
+    best = scored.groupBy("query_id", F.col("qlabel").alias("label")).agg(
+        F.max(pos_key.isNotNull()).alias("__hp"),
+        F.max_by(cand, pos_key).alias("__p"),
+        F.max(neg_key.isNotNull()).alias("__hn"),
+        F.max_by(cand, neg_key).alias("__n"),
     )
     return (
-        pos.join(neg, "query_id")
+        # inner-join semantics of the old pos JOIN neg: a query with
+        # no same-label or no different-label neighbor emits nothing
+        best.filter(F.col("__hp") & F.col("__hn"))
         .select(
             "query_id",
             "label",
-            "pos_id",
+            F.col("__p.neighbor_id").alias("pos_id"),
             # + 0.0 on all three: cosine sims and margins can sit
             # within 5e-5 of zero on the negative side, where DuckDB's
             # round emits -0.0 and Spark's +0.0 (the r9 agghash-tier
             # latent class; see rescale_by_percentile)
-            (F.round("pos_raw", 4) + 0.0).alias("pos_sim"),
-            "neg_id",
-            (F.round("neg_raw", 4) + 0.0).alias("neg_sim"),
-            (F.round(F.col("pos_raw") - F.col("neg_raw"), 4) + 0.0).alias("margin"),
+            (F.round(F.col("__p.sim"), 4) + 0.0).alias("pos_sim"),
+            F.col("__n.neighbor_id").alias("neg_id"),
+            (F.round(F.col("__n.sim"), 4) + 0.0).alias("neg_sim"),
+            (F.round(F.col("__p.sim") - F.col("__n.sim"), 4) + 0.0).alias(
+                "margin"
+            ),
         )
         .orderBy("query_id")
     )

@@ -378,41 +378,97 @@ _TRUNC_K = 10
     tags=("similarity", "vectors"),
 )
 def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kittispark.operators.similarity import as_double, cosine_topk
+    from pyspark.sql import Window as W
 
+    from kittispark.operators.similarity import as_double, dot, norm
+
+    # ONE corpus pass scores BOTH geometries (r11, guide §2.3/§2.4):
+    # the former two cosine_topk calls each ran their own broadcast-
+    # queries corpus scan (6 parquet scans / 3 BNLJ / 2 joins in the
+    # before plan); here full and truncated sims ride the same pair
+    # row, the two rank windows share one query_id exchange, and
+    # "hit" becomes a per-row predicate (rk_full <= K AND
+    # rk_trunc <= K) — the semi-join and the n_full/n_hit join
+    # disappear entirely. Rank equivalence: row_number over
+    # (sim DESC, neighbor_id ASC) with Spark's DESC = NULLS LAST
+    # gives every non-NULL row exactly the rank it had after the old
+    # pre-window isNotNull filter (NULLs sort strictly after all
+    # non-NULLs), and membership additionally requires sim IS NOT
+    # NULL — so both top-k sets are bit-identical to the
+    # rank_topk-based form, per the r5 zero-norm NULL contract.
     emb = t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    full = cosine_topk(emb, queries, k=_TRUNC_K)
-
-    sliced = emb.select(
-        "vec_id",
-        F.slice(as_double("embedding"), 1, _TRUNC_DIM).alias("embedding"),
-    )
-    q_sliced = sliced.filter(F.col("vec_id") < 20)
-    trunc = cosine_topk(sliced, q_sliced, k=_TRUNC_K)
-
-    hits = full.select("query_id", "neighbor_id").join(
-        trunc.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    n_hit = hits.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit")
-    )
-    return (
-        full.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_full"))
-        .join(n_hit, "query_id", "left")
+    q = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
         .select(
             "query_id",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias(
-                "n_hit"
+            "qv",
+            F.slice(F.col("qv"), 1, _TRUNC_DIM).alias("qt"),
+        )
+        .select(
+            "query_id", "qv", "qt",
+            norm(F.col("qv")).alias("qn"),
+            norm(F.col("qt")).alias("qtn"),
+        )
+    )
+    c = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("cv"),
+        )
+        .select(
+            "neighbor_id",
+            "cv",
+            F.slice(F.col("cv"), 1, _TRUNC_DIM).alias("ct"),
+        )
+        .select(
+            "neighbor_id", "cv", "ct",
+            norm(F.col("cv")).alias("cn"),
+            norm(F.col("ct")).alias("ctn"),
+        )
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+        ).alias("sim_full"),
+        (
+            dot(F.col("qt"), F.col("ct"))
+            / F.nullif(F.col("qtn") * F.col("ctn"), F.lit(0.0))
+        ).alias("sim_tr"),
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.desc("sim_full"), F.asc("neighbor_id")
+    )
+    wt = W.partitionBy("query_id").orderBy(
+        F.desc("sim_tr"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "sim_full",
+        "sim_tr",
+        F.row_number().over(wf).alias("rkf"),
+        F.row_number().over(wt).alias("rkt"),
+    )
+    hit = (
+        (F.col("rkt") <= _TRUNC_K) & F.col("sim_tr").isNotNull()
+    ).cast("int")
+    return (
+        ranked.filter(
+            (F.col("rkf") <= _TRUNC_K) & F.col("sim_full").isNotNull()
+        )
+        .groupBy("query_id")
+        .agg(F.sum(hit).cast("bigint").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / _TRUNC_K, 4).alias(
+                "recall"
             ),
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / _TRUNC_K,
-                4,
-            ).alias("recall"),
         )
         .orderBy("query_id")
     )

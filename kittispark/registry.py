@@ -128,6 +128,24 @@ _REVERIFY: frozenset[str] = frozenset({
     "pq_rerank_topk",
     "pq_adc_topk_indexed",
     "pq_rerank_topk_indexed",
+    # r11 optimization round: ivfadc_topk's inline (query_id, s,
+    # code) equi-join ADC (n*m*nprobe fan-out through a corpus-sized
+    # (query, vec) hash agg) replaced with the shared packed-array
+    # scan (_packed_codes/_packed_qtab/_adc_lookup_sum — the same
+    # shape pq_adc_serve proved at the 250x tier); integer-nano sums
+    # keep the output bit-identical. 3-SF strict + 4 depth fixtures
+    # + 50x agghash all MATCH (OPTIMIZATION_r11.md).
+    "ivfadc_topk",
+    # r11 optimization round: the pos/neg rank windows + SMJ replaced
+    # by ONE partial/final max_by agg over the lexicographic
+    # (sim, -neighbor_id) key — identical winners by the same double
+    # total order + integer tiebreak. Same certification matrix.
+    "contrastive_margin_mining",
+    # r11 optimization round: both geometries scored in ONE corpus
+    # pass (two rank windows on one exchange, hit = rk conjunction);
+    # rank equivalence via DESC NULLS LAST + explicit sim IS NOT NULL
+    # membership. Same certification matrix.
+    "dim_truncation_recall",
 })
 # r11 start: emptied — all four r10 waiters (the PQ serve-stage
 # extract pair pq_adc_topk/pq_rerank_topk and the two 250x scale
