@@ -53,15 +53,52 @@ def _unit_rows(m: "np.ndarray") -> "np.ndarray":
     return m / np.where(n == 0.0, 1.0, n)
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right folded dot product in double precision."""
+# The engine's standard embedding width. Every vector expression
+# below carries a GUARDED static fast path for this width (r11
+# optimization round): higher-order-function folds are CodegenFallback
+# — interpreted per row inside the generated stage — while the
+# explicitly expanded 64-term chain stays in whole-stage codegen (the
+# d2_static precedent: measured ~2.5x end-to-end on the PQ hot
+# paths). The dispatch is a lazy CASE WHEN on size(), so any other
+# width (or a NULL array) falls through to the fold unchanged, and
+# the static chain is seeded with the SAME literal 0.0 accumulator as
+# the fold — ((0.0 + t1) + t2)... — so results are bit-identical
+# INCLUDING signed zeros (an unseeded chain would emit -0.0 where the
+# fold's 0.0 + (-0.0) normalizes to +0.0). 64 terms is two orders of
+# magnitude below the literal-expression size where codegen compile
+# blew up in the rejected pq_encode literal-fold A/B (SCALING.md r11).
+_STATIC_DIM = 64
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm(a: Column) -> Column:
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right folded dot product in double precision, with the
+    guarded codegen fast path for the standard width."""
+    out = F.lit(0.0)
+    for i in range(1, _STATIC_DIM + 1):
+        out = out + F.element_at(a, F.lit(i)) * F.element_at(b, F.lit(i))
+    return F.when(
+        (F.size(a) == _STATIC_DIM) & (F.size(b) == _STATIC_DIM), out
+    ).otherwise(_dot_fold(a, b))
+
+
+def _norm_fold(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def norm(a: Column) -> Column:
+    out = F.lit(0.0)
+    for i in range(1, _STATIC_DIM + 1):
+        x = F.element_at(a, F.lit(i))
+        out = out + x * x
+    return F.when(F.size(a) == _STATIC_DIM, F.sqrt(out)).otherwise(
+        _norm_fold(a)
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -586,12 +623,8 @@ def _lloyd_d2() -> Column:
     """Squared L2 between the bound columns `v` and `cv`: a left-to-
     right fold in dimension order, so a SQL oracle's ordered list_sum
     accumulates in the identical order (bit-exact; a hash-agg sum
-    would not be)."""
-    return F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    would not be). Rides fold_d2's guarded static fast path."""
+    return fold_d2(F.col("v"), F.col("cv"))
 
 
 def _assign_min_d2(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -776,7 +809,19 @@ def fold_d2(a: Column, b: Column) -> Column:
     """Squared L2 between two equal-length array columns as a LEFT-TO-
     RIGHT fold in dimension order — bit-exact against a DuckDB
     list_sum(list_transform(...)) twin, where a hash-agg float sum
-    would drift by summation order."""
+    would drift by summation order. Carries the guarded _STATIC_DIM
+    codegen fast path (same association + 0.0 seed; squares are never
+    -0.0, but the seed keeps the forms textually aligned)."""
+    out = F.lit(0.0)
+    for i in range(1, _STATIC_DIM + 1):
+        d = F.element_at(a, F.lit(i)) - F.element_at(b, F.lit(i))
+        out = out + d * d
+    return F.when(
+        (F.size(a) == _STATIC_DIM) & (F.size(b) == _STATIC_DIM), out
+    ).otherwise(_fold_d2_hof(a, b))
+
+
+def _fold_d2_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

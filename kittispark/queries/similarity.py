@@ -610,11 +610,12 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("nv").alias("cv"))
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # shared fold_d2: same left-to-right association as the former
+    # inline zip_with fold, now riding the guarded _STATIC_DIM
+    # codegen fast path (r11)
+    from kittispark.operators.similarity import fold_d2
+
+    d2 = fold_d2(F.col("nv"), F.col("cv"))
     asg = (
         base.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
