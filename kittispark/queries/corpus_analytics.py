@@ -247,37 +247,51 @@ _COLL_TOP = 25
     tags=("text", "corpus", "join"),
 )
 def bigram_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization: the r8-r10 form materialized dense token
+    # positions with a row_number() window (Exchange(doc_id) + Sort
+    # over EVERY token row) and built adjacency with a toks-x-toks
+    # self-join on pos+1 — the token pipeline evaluated 4x (bi twice,
+    # uni, n), one copy BROADCAST (the entire tokenized corpus as a
+    # hash relation — impossible past the 8 GB cap at real scale).
+    # Adjacency among kept tokens is just consecutive elements of the
+    # empty-filtered split array (array_filter preserves order, so
+    # dense rank is the array ordinal for free): one Generate
+    # materializes the kept-token array per doc, bigrams explode as
+    # (ts[i], ts[i+1]) pairs per row, unigrams explode the same
+    # array, and N = sum of unigram counts (tiny, derived from uni's
+    # agg output instead of a fourth corpus scan). Zero corpus-wide
+    # shuffles/windows/broadcasts remain — the only exchanges carry
+    # partial-aggregated (term) and (w1,w2) count rows. Output
+    # value-identical (same kept-token sequences -> same pairs/
+    # counts/lift); certified against the unchanged oracle.
     docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    raw = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.expr(_FOLD_SPARK), "[^a-z]+")).alias(
-            "p0", "term"
-        ),
-    ).where(F.col("term") != "")
-    # dense position among the KEPT tokens (the raw split emits ''
-    # placeholders at boundaries; ranks must count only real tokens)
-    toks = raw.select(
-        "doc_id",
-        "term",
-        F.row_number()
-        .over(W.partitionBy("doc_id").orderBy("p0"))
-        .alias("pos"),
+    base = docs.select(
+        F.explode(
+            F.array(
+                F.filter(
+                    F.split(F.expr(_FOLD_SPARK), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("__ts")
     )
-    uni = toks.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    uni = (
+        base.select(F.explode("__ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    n = toks.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    n = uni.agg(F.sum("c").cast("bigint").alias("nt"))
+    k = F.size("__ts")
+    idx = F.when(k >= 2, F.sequence(F.lit(1), k - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
     bi = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
+        base.select("__ts", F.explode(idx).alias("__i"))
+        .select(
+            F.element_at("__ts", F.col("__i")).alias("w1"),
+            F.element_at("__ts", F.col("__i") + F.lit(1)).alias("w2"),
         )
-        .groupBy(
-            F.col("a.term").alias("w1"), F.col("b.term").alias("w2")
-        )
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
         .where(F.col("cb") >= _COLL_MIN_COUNT)
     )

@@ -1036,20 +1036,22 @@ def unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm-pipeline", "aggregate"),
 )
 def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    # r11 optimization: pair extraction via the shared zero-shuffle
+    # bigram_rows atom (token array materialized once per doc, pairs
+    # as consecutive elements) instead of the posexplode + lead()
+    # window, whose Exchange(doc_id) + Sort shipped every token row
+    # of the corpus before the first aggregation. Pair multiset is
+    # identical: lead() pairs are exactly (toks[i], toks[i+1]) with a
+    # trailing NULL w2 that the filter dropped, and bigram_rows emits
+    # the same i+1-bounded pairs with no NULL to drop; the length>0
+    # filters are unchanged. The downstream vocab-sized aggs already
+    # do map-side partials, so the only corpus-wide exchange left
+    # carries partial (w1,w2) count rows.
+    from kittispark.operators.text import bigram_rows
 
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    wd = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    pairs = (
-        wd.select(F.col("w").alias("w1"), nxt.alias("w2"))
-        .filter(
-            (F.length("w1") > 0)
-            & F.col("w2").isNotNull()
-            & (F.length("w2") > 0)
-        )
+    pairs = bigram_rows(docs).filter(
+        (F.length("w1") > 0) & (F.length("w2") > 0)
     )
     c12 = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")

@@ -146,6 +146,18 @@ _REVERIFY: frozenset[str] = frozenset({
     # rank equivalence via DESC NULLS LAST + explicit sim IS NOT NULL
     # membership. Same certification matrix.
     "dim_truncation_recall",
+    # r11 optimization round, session 2: the 4-pass window/self-join
+    # collocation plan (token pipeline planned 4x, one copy broadcast
+    # corpus-wide) replaced by one-pass token-array adjacency; same
+    # kept-token sequences -> identical pairs/counts/lift. Strict
+    # 3-SF + 4 depth fixtures + 50x banked-hash MATCH
+    # (OPTIMIZATION_r11.md).
+    "bigram_collocation_lift",
+    # r11 optimization round, session 2: pair extraction moved from
+    # the posexplode+lead window (token-row Exchange+Sort) to the
+    # zero-shuffle bigram_rows atom; pair multiset provably
+    # identical. Same certification matrix.
+    "kneser_ney_bigram",
 })
 # r11 start: emptied — all four r10 waiters (the PQ serve-stage
 # extract pair pq_adc_topk/pq_rerank_topk and the two 250x scale

@@ -784,9 +784,10 @@ def test_table_profile_single_scan_via_expand(plans):
 
 
 def test_collocation_positions_doc_partitioned(plans):
-    """Token positions come from a doc-partitioned row_number — no
-    corpus-global window, no single-partition exchange below the
-    final top-k sort."""
+    """r11: adjacency comes from per-doc token ARRAYS (consecutive
+    elements), not a row_number window + pos+1 self-join — so the
+    plan must carry NO Window at all, no token-corpus broadcast, and
+    no single-partition exchange below the final top-k sort."""
     plan = plans("bigram_collocation_lift")
     # TakeOrderedAndProject handles the final LIMIT 25; everything
     # below must stay partitioned. The ONE allowed SinglePartition
@@ -794,6 +795,26 @@ def test_collocation_positions_doc_partitioned(plans):
     # broadcasts N — a single row, not data.
     assert re.search(r"^\(\d+\) TakeOrderedAndProject", plan, re.MULTILINE), plan
     assert plan.count("SinglePartition") <= 1, plan
+    # the r8-r10 form materialized token positions with a Window
+    # (Exchange+Sort over every token row) and BROADCAST one whole
+    # tokenized-corpus copy into the pos+1 self-join; the one-pass
+    # form windows nothing and joins only vocab-bounded aggregates.
+    # (4 scans are still PLANNED — bi + three uni-derived subtrees —
+    # but the three uni copies share one identical term-keyed
+    # exchange that AQE stage reuse executes once.)
+    assert "Window" not in plan, plan
+    assert plan.count("documents.parquet") <= 4, plan
+
+
+def test_shingling_zero_shuffle(plans):
+    """r11: shingle_rows builds n-gram shingles from per-doc token
+    arrays inside one codegen stage — the minhash pipeline must not
+    contain the r2-r10 token-row Exchange+Sort+Window(lead), and its
+    only corpus-wide exchanges carry per-doc partial-agg rows."""
+    for q in ("minhash_lsh_candidates", "kneser_ney_bigram"):
+        plan = plans(q)
+        assert "Window" not in plan, (q, plan)
+        assert "lead(" not in plan, (q, plan)
 
 
 def test_graph_label_propagation_fixed_dag_no_collect(plans):
