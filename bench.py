@@ -207,7 +207,7 @@ RESETS = {
 
 
 def build_stdout_line(
-    timings: dict[str, float], total: float, sf_val
+    timings: dict[str, float], total: float, sf_val, extra: dict | None = None
 ) -> tuple[dict, str]:
     """Build the one-line driver contract. The driver tail buffer is
     EXACTLY 2000 chars (BENCH_r07.tail measured); compact separators
@@ -218,7 +218,16 @@ def build_stdout_line(
     precision but caps the per-query dict to the top-K most expensive
     rows until it fits <= 1800 chars. "n" always carries the true
     query count; the complete dict + spread lives in
-    BENCH_DETAIL.json. Parseable at any registry size."""
+    BENCH_DETAIL.json. Parseable at any registry size.
+
+    `extra` (VERDICT r11 #2): additions-only contamination evidence
+    (loadavg_pre + cpu_calib) so the driver's round-over-round compare
+    can adjudicate a degraded/contended box mechanically instead of
+    from a committed side file — the r11 32-core sample read 333 s on
+    a box whose own 8-core run read 81 s, and nothing in the one-line
+    JSON recorded why. The core contract keys are asserted unchanged;
+    the extras are merged before length-capping so the cap still
+    guarantees <= 1800 chars."""
     line_obj = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -227,6 +236,9 @@ def build_stdout_line(
         "queries": timings,
         "sf": sf_val,
     }
+    for k, v in (extra or {}).items():
+        assert k not in line_obj, f"extra field {k!r} collides with contract"
+        line_obj[k] = v
     sep = (",", ":")
     line = json.dumps(line_obj, separators=sep)
     if len(line) > 1800:
@@ -400,7 +412,18 @@ def main() -> None:
     # iteration count / methodology go to BENCH_DETAIL.json in the
     # repo instead. If the per-query dict itself ever nears the
     # buffer, degrade precision before dropping information.
-    line_obj, line = build_stdout_line(timings, total, sf_val)
+    calib = cpu_calib()
+    line_obj, line = build_stdout_line(
+        timings,
+        total,
+        sf_val,
+        # Contamination evidence in the driver-visible line (VERDICT
+        # r11 #2): ~90 chars, accounted for by the length cap.
+        extra={
+            "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+            "cpu_calib": calib,
+        },
+    )
     detail = {
         **{k: v for k, v in line_obj.items() if k != "queries_truncated_to_top_k"},
         "queries": timings,
@@ -408,7 +431,7 @@ def main() -> None:
         "iterations": iters,
         "loadavg_pre": [round(x, 2) for x in loadavg_pre],
         "loadavg_post": [round(x, 2) for x in os.getloadavg()],
-        "cpu_calib": cpu_calib(),
+        "cpu_calib": calib,
         # Methodology: r01 was a SINGLE cold run (plan compile charged
         # to each query); r02+ report the median of `iterations` runs
         # (steady state). r5+: each query additionally gets ONE

@@ -15,6 +15,8 @@ because it needs no iterative training pass.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -70,15 +72,83 @@ def _unit_rows(m: "np.ndarray") -> "np.ndarray":
 _STATIC_DIM = 64
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for the SQL-text builders."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+@functools.lru_cache(maxsize=None)
+def _vec_chain_sql(kind: str, a: str, b: str | None = None) -> Column:
+    """The guarded static chain built as ONE F.expr parse instead of
+    ~1000 py4j round-trips (r12 finding: the r11 Column-by-Column
+    build cost ~380 ms of DRIVER time per call site per execution —
+    the bench reads it as a 2-3x regression on every vector query at
+    sf0.1, where driver-side plan construction dominates the sub-
+    second runtime; one parse is ~36 ms and the cache makes repeat
+    column names free). The parsed tree is CANONICALLY EQUAL to the
+    Column-built form (unit-tested in tests/test_plans.py), so
+    results, plans and generated code are bit-identical.
+
+    Args are column NAMES (quoted into the SQL text); the returned
+    Column is an unresolved expression, safe to embed in any number
+    of plans."""
+    ra = _qident(a)
+    rb = _qident(b) if b is not None else None
+    d = _STATIC_DIM
+    if kind == "dot":
+        chain = " + ".join(
+            f"element_at({ra}, {i}) * element_at({rb}, {i})"
+            for i in range(1, d + 1)
+        )
+        fold = (
+            f"aggregate(zip_with({ra}, {rb}, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"CASE WHEN size({ra}) = {d} AND size({rb}) = {d}"
+            f" THEN 0.0D + {chain} ELSE {fold} END"
+        )
+    if kind == "norm":
+        chain = " + ".join(
+            f"element_at({ra}, {i}) * element_at({ra}, {i})"
+            for i in range(1, d + 1)
+        )
+        fold = f"SQRT(aggregate({ra}, 0.0D, (acc, x) -> acc + x * x))"
+        return F.expr(
+            f"CASE WHEN size({ra}) = {d}"
+            f" THEN SQRT(0.0D + {chain}) ELSE {fold} END"
+        )
+    if kind == "d2":
+        chain = " + ".join(
+            f"(element_at({ra}, {i}) - element_at({rb}, {i}))"
+            f" * (element_at({ra}, {i}) - element_at({rb}, {i}))"
+            for i in range(1, d + 1)
+        )
+        fold = (
+            f"aggregate(zip_with({ra}, {rb}, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"CASE WHEN size({ra}) = {d} AND size({rb}) = {d}"
+            f" THEN 0.0D + {chain} ELSE {fold} END"
+        )
+    raise ValueError(f"unknown chain kind: {kind}")
+
+
 def _dot_fold(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: str | Column, b: str | Column) -> Column:
     """Left-to-right folded dot product in double precision, with the
-    guarded codegen fast path for the standard width."""
+    guarded codegen fast path for the standard width. Pass column
+    NAMES (strings) on hot paths: the name form builds the chain in
+    one cached parse; the Column form pays the py4j round-trip build
+    (kept for composed/derived column expressions)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _vec_chain_sql("dot", a, b)
     out = F.lit(0.0)
     for i in range(1, _STATIC_DIM + 1):
         out = out + F.element_at(a, F.lit(i)) * F.element_at(b, F.lit(i))
@@ -91,7 +161,9 @@ def _norm_fold(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def norm(a: Column) -> Column:
+def norm(a: str | Column) -> Column:
+    if isinstance(a, str):
+        return _vec_chain_sql("norm", a)
     out = F.lit(0.0)
     for i in range(1, _STATIC_DIM + 1):
         x = F.element_at(a, F.lit(i))
@@ -101,7 +173,7 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: str | Column, b: str | Column) -> Column:
     """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash)
     when either side has zero norm — a zero vector has no direction,
     so its similarity is undefined and every consumer excludes it."""
@@ -147,16 +219,16 @@ def cosine_topk(
     # per pair instead of 3.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
+            (dot("qv", "cv")
              / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("sim"),
         )
     )
@@ -238,7 +310,7 @@ def ann_lsh_topk(
     def tb(df, id_alias, v_alias, n_alias):
         out = df.select(
             F.col(id_col).alias(id_alias), as_double(vec_col).alias(v_alias)
-        ).withColumn(n_alias, norm(F.col(v_alias)))
+        ).withColumn(n_alias, norm(v_alias))
         out = _lsh_buckets_udf(
             out, v_alias, "__b", dim, num_planes, num_tables, bc=bc
         )
@@ -255,7 +327,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
+            (dot("qv", "cv")
              / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("sim"),
         )
     )
@@ -456,7 +528,7 @@ def _score_bucketed_topk(corpus: DataFrame, q: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
+            (dot("qv", "cv")
              / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("sim"),
         )
     )
@@ -488,7 +560,7 @@ def ann_ivf_topk(
     norm_c = _unit_rows(cents)
     bc = vectors.sparkSession.sparkContext.broadcast(norm_c)
     c = _assigned_corpus(vectors, cents, vec_col, id_col, bc=bc).withColumn(
-        "cn", norm(F.col("cv"))
+        "cn", norm("cv")
     )
     q = (
         _assign_nearest(queries, cents, vec_col, "__c", nprobe=nprobe, bc=bc)
@@ -497,7 +569,7 @@ def ann_ivf_topk(
             as_double(vec_col).alias("qv"),
             F.explode("__c").alias("cid"),
         )
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qn", norm("qv"))
     )
     return _score_bucketed_topk(c, q, k)
 
@@ -570,7 +642,7 @@ def ann_ivf_topk_indexed(
             as_double(vec_col).alias("qv"),
             F.explode("__c").alias("cid"),
         )
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qn", norm("qv"))
     )
     # materialize the assigned query batch once: the probed-cid
     # collect below AND the returned scoring plan both consume q, and
@@ -583,7 +655,7 @@ def ann_ivf_topk_indexed(
         )
         .parquet(f"{path}/corpus")
         .filter(F.col("cid").isin(probed))
-        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cn", norm("cv"))
     )
     return _score_bucketed_topk(corpus, q, k)
 
@@ -624,7 +696,7 @@ def _lloyd_d2() -> Column:
     right fold in dimension order, so a SQL oracle's ordered list_sum
     accumulates in the identical order (bit-exact; a hash-agg sum
     would not be). Rides fold_d2's guarded static fast path."""
-    return fold_d2(F.col("v"), F.col("cv"))
+    return fold_d2("v", "cv")
 
 
 def _assign_min_d2(base: DataFrame, cents: DataFrame) -> DataFrame:
@@ -721,7 +793,7 @@ def ivf_topk_declarative(
         _assign_min_d2(base, cents)
         .join(base, "vec_id")
         .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid")
-        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cn", norm("cv"))
     )
     qbase = queries.select(F.col(id_col).alias("vec_id"), v.alias("v"))
     w = W.partitionBy("vec_id").orderBy("d2", "cid")
@@ -734,7 +806,7 @@ def ivf_topk_declarative(
     q = (
         probed.join(qbase, "vec_id")
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qn", norm("qv"))
     )
     return _score_bucketed_topk(corpus, q, k)
 
@@ -787,7 +859,19 @@ def kmeans_centroids(
 # --------------------------------------------------------------------------
 
 
-def d2_static(a: Column, b: Column, n: int) -> Column:
+@functools.lru_cache(maxsize=None)
+def _d2_static_sql(a: str, b: str, n: int) -> Column:
+    ra, rb = _qident(a), _qident(b)
+    return F.expr(
+        " + ".join(
+            f"(element_at({ra}, {i}) - element_at({rb}, {i}))"
+            f" * (element_at({ra}, {i}) - element_at({rb}, {i}))"
+            for i in range(1, n + 1)
+        )
+    )
+
+
+def d2_static(a: str | Column, b: str | Column, n: int) -> Column:
     """Squared L2 expanded to an explicit n-term expression —
     bit-identical to fold_d2 (same left-to-right association; IEEE
     0.0 + t1 == t1 for the fold's seed), but it stays inside
@@ -796,7 +880,10 @@ def d2_static(a: Column, b: Column, n: int) -> Column:
     MILLIONS of tiny fixed-width folds (measured ~2.5x end-to-end on
     pq_rerank_topk at sf0.1). `n` must equal the actual slice width:
     a mismatch fails loudly (ANSI INVALID_ARRAY_INDEX), never
-    truncates."""
+    truncates. Pass column NAMES on hot paths (one cached parse,
+    see _vec_chain_sql)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _d2_static_sql(a, b, n)
     out = None
     for i in range(1, n + 1):
         d = F.element_at(a, F.lit(i)) - F.element_at(b, F.lit(i))
@@ -805,13 +892,16 @@ def d2_static(a: Column, b: Column, n: int) -> Column:
     return out
 
 
-def fold_d2(a: Column, b: Column) -> Column:
+def fold_d2(a: str | Column, b: str | Column) -> Column:
     """Squared L2 between two equal-length array columns as a LEFT-TO-
     RIGHT fold in dimension order — bit-exact against a DuckDB
     list_sum(list_transform(...)) twin, where a hash-agg float sum
     would drift by summation order. Carries the guarded _STATIC_DIM
     codegen fast path (same association + 0.0 seed; squares are never
-    -0.0, but the seed keeps the forms textually aligned)."""
+    -0.0, but the seed keeps the forms textually aligned). Pass
+    column NAMES on hot paths (one cached parse, see _vec_chain_sql)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _vec_chain_sql("d2", a, b)
     out = F.lit(0.0)
     for i in range(1, _STATIC_DIM + 1):
         d = F.element_at(a, F.lit(i)) - F.element_at(b, F.lit(i))
@@ -928,9 +1018,9 @@ def pq_encode(
     turns a 100 TB float corpus into m bytes per vector."""
     sub = _sub_slices(vectors, m, vec_col, id_col, "vec_id")
     d2 = (
-        d2_static(F.col("sv"), F.col("cv"), sub_dim)
+        d2_static("sv", "cv", sub_dim)
         if sub_dim
-        else fold_d2(F.col("sv"), F.col("cv"))
+        else fold_d2("sv", "cv")
     )
     return (
         sub.join(F.broadcast(codebooks), "s")
@@ -954,9 +1044,9 @@ def _adc_dtab(
     sum is order-independent and bit-reproducible."""
     qsub = _sub_slices(queries, m, vec_col, id_col, "query_id")
     qd2 = (
-        d2_static(F.col("sv"), F.col("cv"), sub_dim)
+        d2_static("sv", "cv", sub_dim)
         if sub_dim
-        else fold_d2(F.col("sv"), F.col("cv"))
+        else fold_d2("sv", "cv")
     )
     return qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", "code",
@@ -1187,7 +1277,7 @@ def exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            fold_d2(F.col("qv"), F.col("cv")).alias("d2"),
+            fold_d2("qv", "cv").alias("d2"),
         )
     )
     from pyspark.sql import Window as W

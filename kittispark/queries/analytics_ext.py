@@ -163,11 +163,10 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is unchanged.
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
-    ).withColumn("q2", dot(F.col("qv"), F.col("qv")))
+    ).withColumn("q2", dot("qv", "qv"))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
-    ).withColumn("c2", dot(F.col("cv"), F.col("cv")))
-    qv, cv = F.col("qv"), F.col("cv")
+    ).withColumn("c2", dot("cv", "cv"))
     paired = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -176,7 +175,7 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             "q2",
             "c2",
-            dot(qv, cv).alias("d"),
+            dot("qv", "cv").alias("d"),
         )
     )
     scored = paired.select(

@@ -109,12 +109,12 @@ def contrastive_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         as_double("embedding").alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         as_double("embedding").alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     scored = c.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
     ).select(
@@ -123,7 +123,7 @@ def contrastive_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "clabel",
         (
-            dot(F.col("qv"), F.col("cv"))
+            dot("qv", "cv")
             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
         ).alias("sim"),
     ).filter(F.col("sim").isNotNull())
@@ -275,8 +275,14 @@ def farthest_point_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def center_lit(vn_values) -> F.Column:
         # the new center as a 64-literal bigint array — no join, the
-        # center folds into the scan as a constant (codegen-friendly)
-        return F.array(*[F.lit(int(x)).cast("bigint") for x in vn_values])
+        # center folds into the scan as a constant (codegen-friendly).
+        # Built as ONE parsed expression: the per-literal Column form
+        # cost ~130 py4j round-trips per round of driver time (the
+        # r12 one-parse discipline; values identical — 123L parses to
+        # the same int64 literal the lit().cast() pair folded to).
+        return F.expr(
+            "array(" + ", ".join(f"{int(x)}L" for x in vn_values) + ")"
+        )
 
     # round-1 state: every non-seed point, dmin = d2 to the seed
     state = materialize(

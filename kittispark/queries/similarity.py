@@ -589,7 +589,7 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them, and ANSI mode would turn the division into a crash
     base = (
         emb.select("vec_id", v.alias("__v"))
-        .select("vec_id", "__v", norm(F.col("__v")).alias("__n"))
+        .select("vec_id", "__v", norm("__v").alias("__n"))
         .filter(F.col("__n") > 0)
         .select(
             "vec_id",
@@ -615,7 +615,7 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen fast path (r11)
     from kittispark.operators.similarity import fold_d2
 
-    d2 = fold_d2(F.col("nv"), F.col("cv"))
+    d2 = fold_d2("nv", "cv")
     asg = (
         base.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
@@ -674,7 +674,7 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
             "cid",
-            dot(F.col("va"), F.col("vb")).alias("sim"),
+            dot("va", "vb").alias("sim"),
         )
         .filter(F.col("sim") > 0.45)
         .select("id_a", "id_b", "cid", F.round("sim", 4).alias("sim"))
@@ -725,7 +725,7 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     base = (
         emb.select("vec_id", as_double("embedding").alias("__v"))
-        .select("vec_id", "__v", norm(F.col("__v")).alias("__n"))
+        .select("vec_id", "__v", norm("__v").alias("__n"))
     )
     train = base.filter(F.col("vec_id") < 400).select(
         F.col("vec_id").alias("train_id"),
@@ -737,7 +737,7 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__v").alias("ev"),
         F.col("__n").alias("en"),
     )
-    sim = dot(F.col("ev"), F.col("tv")) / F.nullif(
+    sim = dot("ev", "tv") / F.nullif(
         F.col("en") * F.col("tn"), F.lit(0.0)
     )
     return (
@@ -1098,7 +1098,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_c = _unit_rows(cents)
     bc = spark.sparkContext.broadcast(norm_c)
     c = _assigned_corpus(emb, cents, "embedding", "vec_id", bc=bc).withColumn(
-        "cn", norm(F.col("cv"))
+        "cn", norm("cv")
     )
     q = (
         _assign_nearest(queries, cents, "embedding", "__c", nprobe=2, bc=bc)
@@ -1107,7 +1107,7 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double("embedding").alias("qv"),
             F.explode("__c").alias("cid"),
         )
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("qn", norm("qv"))
     )
     inmem = _score_bucketed_topk(c, q, 5)
 

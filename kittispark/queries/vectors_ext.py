@@ -407,8 +407,8 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "query_id", "qv", "qt",
-            norm(F.col("qv")).alias("qn"),
-            norm(F.col("qt")).alias("qtn"),
+            norm("qv").alias("qn"),
+            norm("qt").alias("qtn"),
         )
     )
     c = (
@@ -423,8 +423,8 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "neighbor_id", "cv", "ct",
-            norm(F.col("cv")).alias("cn"),
-            norm(F.col("ct")).alias("ctn"),
+            norm("cv").alias("cn"),
+            norm("ct").alias("ctn"),
         )
     )
     scored = c.join(
@@ -433,11 +433,11 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         (
-            dot(F.col("qv"), F.col("cv"))
+            dot("qv", "cv")
             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
         ).alias("sim_full"),
         (
-            dot(F.col("qt"), F.col("ct"))
+            dot("qt", "ct")
             / F.nullif(F.col("qtn") * F.col("ctn"), F.lit(0.0))
         ).alias("sim_tr"),
     )

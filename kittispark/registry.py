@@ -108,57 +108,14 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset({
-    # r11: 250x engine tier exposed the fixed-k=8 cell count as
-    # quadratic (O(n^2/8) within-cell pairs — ~1.6e10 dots at 500k
-    # vectors); rewrite scales k = max(8, n // 12500) in BOTH the
-    # Spark path and the oracle. Value-identical at every certified
-    # fixture (all floor to k=8), re-proven: 3-SF strict + 4 depth
-    # fixtures + 50x dual-fold agghash, all MATCH (SCALING.md r11).
-    "semantic_dedup_clustered",
-    # r11: pq_adc_serve scan-shape rewrite (packed code arrays +
-    # flat per-query distance tables through a broadcast nested
-    # loop, replacing the (s, code) join fan-out of n*m*Q rows
-    # through a corpus-sized hash agg — the dominant stage of
-    # pq_rerank_topk's 480 s warm at 250x). Integer-nano sums are
-    # order-independent, so outputs are bit-identical — proven
-    # strict-MATCH at sf0.001/0.01/0.1 + depth fixtures + banked
-    # 50x hashes reproduced (SCALING.md r11).
-    "pq_adc_topk",
-    "pq_rerank_topk",
-    "pq_adc_topk_indexed",
-    "pq_rerank_topk_indexed",
-    # r11 optimization round: ivfadc_topk's inline (query_id, s,
-    # code) equi-join ADC (n*m*nprobe fan-out through a corpus-sized
-    # (query, vec) hash agg) replaced with the shared packed-array
-    # scan (_packed_codes/_packed_qtab/_adc_lookup_sum — the same
-    # shape pq_adc_serve proved at the 250x tier); integer-nano sums
-    # keep the output bit-identical. 3-SF strict + 4 depth fixtures
-    # + 50x agghash all MATCH (OPTIMIZATION_r11.md).
-    "ivfadc_topk",
-    # r11 optimization round: the pos/neg rank windows + SMJ replaced
-    # by ONE partial/final max_by agg over the lexicographic
-    # (sim, -neighbor_id) key — identical winners by the same double
-    # total order + integer tiebreak. Same certification matrix.
-    "contrastive_margin_mining",
-    # r11 optimization round: both geometries scored in ONE corpus
-    # pass (two rank windows on one exchange, hit = rk conjunction);
-    # rank equivalence via DESC NULLS LAST + explicit sim IS NOT NULL
-    # membership. Same certification matrix.
-    "dim_truncation_recall",
-    # r11 optimization round, session 2: the 4-pass window/self-join
-    # collocation plan (token pipeline planned 4x, one copy broadcast
-    # corpus-wide) replaced by one-pass token-array adjacency; same
-    # kept-token sequences -> identical pairs/counts/lift. Strict
-    # 3-SF + 4 depth fixtures + 50x banked-hash MATCH
-    # (OPTIMIZATION_r11.md).
-    "bigram_collocation_lift",
-    # r11 optimization round, session 2: pair extraction moved from
-    # the posexplode+lead window (token-row Exchange+Sort) to the
-    # zero-shuffle bigram_rows atom; pair multiset provably
-    # identical. Same certification matrix.
-    "kneser_ney_bigram",
-})
+_REVERIFY: frozenset[str] = frozenset()
+# r12 start: emptied — all 10 r11 waiters (semantic_dedup_clustered's
+# k-scaling, the 5 packed-ADC PQ/IVFADC names, contrastive_margin_
+# mining's single-agg, dim_truncation_recall's one-pass,
+# bigram_collocation_lift's one-pass arrays, kneser_ney_bigram's
+# bigram_rows atom) were re-adjudicated GREEN in CORRECTNESS_r11.json
+# (VERDICT r11: "all that landed in the r11 window came back green").
+# Repopulate per rule 3 when a post-verdict rewrite lands.
 # r11 start: emptied — all four r10 waiters (the PQ serve-stage
 # extract pair pq_adc_topk/pq_rerank_topk and the two 250x scale
 # rewrites q4_priority_order_counts/q9_product_profit) were

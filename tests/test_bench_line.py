@@ -50,6 +50,41 @@ def test_current_headline_size_fits():
     assert len(line) <= 1800
 
 
+def test_extra_fields_ride_the_line_and_survive_capping():
+    # VERDICT r11 #2: loadavg_pre + cpu_calib make contamination
+    # machine-adjudicable from the one-line JSON itself. The core
+    # contract keys stay intact and the 1800-char cap still holds
+    # with the extras on board at any registry size.
+    extra = {
+        "loadavg_pre": [3.04, 2.11, 1.5],
+        "cpu_calib": {"pyloop_2m_s": 0.063, "dot4m_ms": 1.16},
+    }
+    for n_queries in (10, 150):
+        t = {
+            f"query_name_with_average_length_{i:03d}": round(0.1 + i * 0.013, 3)
+            for i in range(n_queries)
+        }
+        obj, line = bench.build_stdout_line(
+            t, round(sum(t.values()), 3), 0.1, extra=extra
+        )
+        parsed = json.loads(line)
+        assert len(line) <= 1800
+        assert parsed["metric"] == "headline_query_wall_seconds"
+        assert parsed["unit"] == "sec"
+        assert parsed["sf"] == 0.1
+        assert parsed["n"] == n_queries
+        assert parsed["loadavg_pre"] == extra["loadavg_pre"]
+        assert parsed["cpu_calib"] == extra["cpu_calib"]
+        assert len(parsed["queries"]) > 0
+
+
+def test_extra_field_cannot_shadow_contract_key():
+    import pytest
+
+    with pytest.raises(AssertionError):
+        bench.build_stdout_line({"q0": 1.0}, 1.0, 0.1, extra={"value": 9.9})
+
+
 def _detail(load: float, sf: float = 0.1) -> dict:
     return {"value": 50.0, "sf": sf, "loadavg_pre": [load, load, load]}
 

@@ -1206,3 +1206,39 @@ def test_analysis_envelope_broadcast_combine_shape(plans):
     assert len(re.findall(r"^\(\d+\) Scan ExistingRDD", plan, re.MULTILINE)) >= 2
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE)) == 1
     assert shuffle_exchanges(plan) <= 2
+
+
+def test_vec_chain_sql_form_canonically_equals_column_form(spark):
+    # r12: dot/norm/fold_d2 accept column NAMES and build the guarded
+    # static chain as ONE cached F.expr parse (the Column-by-Column
+    # build cost ~380 ms of driver time per call site per execution —
+    # a 2-3x bench regression on every sub-second vector query). The
+    # name form must stay CANONICALLY EQUAL to the Column form after
+    # analysis: equal trees -> identical generated code -> bit-
+    # identical results. This is the equivalence proof for the r12
+    # one-parse rewrite; if either construction drifts, results could
+    # fork silently.
+    from pyspark.sql import functions as F
+
+    from kittispark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)], [float(i) * 2 for i in range(64)])],
+        "id long, qv array<double>, cv array<double>",
+    )
+
+    pairs = [
+        (sim.dot("qv", "cv"), sim.dot(F.col("qv"), F.col("cv"))),
+        (sim.norm("qv"), sim.norm(F.col("qv"))),
+        (sim.fold_d2("qv", "cv"), sim.fold_d2(F.col("qv"), F.col("cv"))),
+        (
+            sim.d2_static("qv", "cv", 4),
+            sim.d2_static(F.col("qv"), F.col("cv"), 4),
+        ),
+    ]
+    for sql_col, col_col in pairs:
+        a = df.select(sql_col.alias("x"))._jdf.queryExecution().analyzed()
+        b = df.select(col_col.alias("x"))._jdf.queryExecution().analyzed()
+        assert (
+            a.canonicalized().toString() == b.canonicalized().toString()
+        ), "SQL-text and Column-built vector chains diverged"
