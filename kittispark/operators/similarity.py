@@ -78,7 +78,9 @@ def _qident(name: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _vec_chain_sql(kind: str, a: str, b: str | None = None) -> Column:
+def _vec_chain_sql(
+    kind: str, a: str, b: str | None = None, width: int = _STATIC_DIM
+) -> Column:
     """The guarded static chain built as ONE F.expr parse instead of
     ~1000 py4j round-trips (r12 finding: the r11 Column-by-Column
     build cost ~380 ms of DRIVER time per call site per execution —
@@ -94,7 +96,7 @@ def _vec_chain_sql(kind: str, a: str, b: str | None = None) -> Column:
     of plans."""
     ra = _qident(a)
     rb = _qident(b) if b is not None else None
-    d = _STATIC_DIM
+    d = width
     if kind == "dot":
         chain = " + ".join(
             f"element_at({ra}, {i}) * element_at({rb}, {i})"
@@ -141,19 +143,22 @@ def _dot_fold(a: Column, b: Column) -> Column:
     )
 
 
-def dot(a: str | Column, b: str | Column) -> Column:
+def dot(a: str | Column, b: str | Column, width: int = _STATIC_DIM) -> Column:
     """Left-to-right folded dot product in double precision, with the
-    guarded codegen fast path for the standard width. Pass column
-    NAMES (strings) on hot paths: the name form builds the chain in
-    one cached parse; the Column form pays the py4j round-trip build
-    (kept for composed/derived column expressions)."""
+    guarded codegen fast path for `width` (default: the standard
+    corpus width; callers operating on a known different width — the
+    16-dim truncation audit — pass theirs so the chain, not the
+    interpreted fold, scores their rows). Pass column NAMES (strings)
+    on hot paths: the name form builds the chain in one cached parse;
+    the Column form pays the py4j round-trip build (kept for
+    composed/derived column expressions)."""
     if isinstance(a, str) and isinstance(b, str):
-        return _vec_chain_sql("dot", a, b)
+        return _vec_chain_sql("dot", a, b, width)
     out = F.lit(0.0)
-    for i in range(1, _STATIC_DIM + 1):
+    for i in range(1, width + 1):
         out = out + F.element_at(a, F.lit(i)) * F.element_at(b, F.lit(i))
     return F.when(
-        (F.size(a) == _STATIC_DIM) & (F.size(b) == _STATIC_DIM), out
+        (F.size(a) == width) & (F.size(b) == width), out
     ).otherwise(_dot_fold(a, b))
 
 
@@ -161,14 +166,14 @@ def _norm_fold(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def norm(a: str | Column) -> Column:
+def norm(a: str | Column, width: int = _STATIC_DIM) -> Column:
     if isinstance(a, str):
-        return _vec_chain_sql("norm", a)
+        return _vec_chain_sql("norm", a, None, width)
     out = F.lit(0.0)
-    for i in range(1, _STATIC_DIM + 1):
+    for i in range(1, width + 1):
         x = F.element_at(a, F.lit(i))
         out = out + x * x
-    return F.when(F.size(a) == _STATIC_DIM, F.sqrt(out)).otherwise(
+    return F.when(F.size(a) == width, F.sqrt(out)).otherwise(
         _norm_fold(a)
     )
 

@@ -408,7 +408,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "qv", "qt",
             norm("qv").alias("qn"),
-            norm("qt").alias("qtn"),
+            norm("qt", _TRUNC_DIM).alias("qtn"),
         )
     )
     c = (
@@ -424,7 +424,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "neighbor_id", "cv", "ct",
             norm("cv").alias("cn"),
-            norm("ct").alias("ctn"),
+            norm("ct", _TRUNC_DIM).alias("ctn"),
         )
     )
     scored = c.join(
@@ -437,7 +437,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
         ).alias("sim_full"),
         (
-            dot("qt", "ct")
+            dot("qt", "ct", _TRUNC_DIM)
             / F.nullif(F.col("qtn") * F.col("ctn"), F.lit(0.0))
         ).alias("sim_tr"),
     )

@@ -1235,6 +1235,9 @@ def test_vec_chain_sql_form_canonically_equals_column_form(spark):
             sim.d2_static("qv", "cv", 4),
             sim.d2_static(F.col("qv"), F.col("cv"), 4),
         ),
+        # non-standard width tier (the 16-dim truncation audit)
+        (sim.dot("qv", "cv", 16), sim.dot(F.col("qv"), F.col("cv"), 16)),
+        (sim.norm("qv", 16), sim.norm(F.col("qv"), 16)),
     ]
     for sql_col, col_col in pairs:
         a = df.select(sql_col.alias("x"))._jdf.queryExecution().analyzed()
