@@ -112,6 +112,19 @@ def shingle_rows(
     not a per-row copy. The sequence() is guarded by k >= n because
     sequence(1, m) with m < 1 generates a DESCENDING range, not an
     empty one."""
+    return shingle_pos_rows(df, text_col, id_col, n).drop("pos")
+
+
+def shingle_pos_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, pos, sh): shingle_rows plus the 1-based start position
+    of each shingle — the zero-shuffle source for positional
+    consumers (the ExactSubstr span pipeline), where the r2-r11 form
+    paid an Exchange(doc_id) + Sort + (n-1) lead() windows over EVERY
+    TOKEN ROW of the corpus just to pair adjacent tokens. The
+    position is the sequence index itself, identical to the window
+    form's posexplode ordinal + 1."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(tokens_col(text_col))).alias("__toks"),
@@ -121,10 +134,11 @@ def shingle_rows(
         F.array().cast("array<int>")
     )
     return toks.select(
-        "doc_id", "__toks", F.explode(idx).alias("__i")
+        "doc_id", "__toks", F.explode(idx).alias("pos")
     ).select(
         "doc_id",
-        F.concat_ws(" ", F.slice("__toks", F.col("__i"), n)).alias("sh"),
+        "pos",
+        F.concat_ws(" ", F.slice("__toks", F.col("pos"), n)).alias("sh"),
     )
 
 
@@ -524,8 +538,16 @@ def duplicated_span_intervals(
 
     Scale shape (the suffix-array of the paper is a single-machine
     construction; this is the shuffle-native equivalent):
-    1. posexplode tokens + lead() window -> (doc, pos, shingle): ONE
-       shuffle on doc_id, reused by every later per-doc window.
+    1. zero-shuffle positional shingling (shingle_pos_rows, r12): two
+       pipelined Generates materialize each doc's token array once
+       and emit (doc, pos, shingle) with NO exchange — the r2-r11
+       form shuffled + sorted EVERY TOKEN ROW on doc_id and ran
+       (n-1) lead() windows just to pair adjacent tokens; at 100 TB
+       that exchange carries more bytes than the corpus. The interval
+       union below still needs a doc_id exchange, but over MARKED
+       positions only (rows whose 8-gram is duplicated — a small
+       fraction of token rows on any real corpus), not the whole
+       token stream.
     2. shingle -> md5 (32-hex fixed-width shuffle key; engine-portable
        so the DuckDB twin replays values bit-for-bit, and wide enough
        that collisions are cryptographically negligible where a 60-bit
@@ -540,28 +562,10 @@ def duplicated_span_intervals(
        break flag -> running-sum island id -> per-island min/max.
        Partitioned by doc_id — no global window anywhere.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(text_col)).alias("pos0", "tok"),
-    )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy("pos0")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    shingled = (
-        toks.select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            *[p.alias(f"__t{i}") for i, p in enumerate(parts)],
-        )
-        .filter(F.col(f"__t{n-1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(
-                F.concat_ws(" ", *[F.col(f"__t{i}") for i in range(n)])
-            ).alias("h"),
-        )
+    shingled = shingle_pos_rows(df, text_col, id_col, n).select(
+        "doc_id", "pos", F.md5(F.col("sh")).alias("h")
     )
     dup_keys = (
         shingled.groupBy("h")

@@ -108,7 +108,18 @@ def _load_all() -> None:
 # but every NEVER-adjudicated query outranks them for window slots:
 # these already carry exhaustive local multi-SF verification of the
 # new form, the truly-fresh ones have no driver signal at all.
-_REVERIFY: frozenset[str] = frozenset()
+_REVERIFY: frozenset[str] = frozenset({
+    # r12 optimization round: the ExactSubstr span pipeline's
+    # shingling moved from the posexplode + 7-lead-window form (an
+    # Exchange+Sort of EVERY TOKEN ROW) onto the zero-shuffle
+    # shingle_pos_rows atom; the interval-union windows now shuffle
+    # only MARKED positions. Output provably identical (same
+    # (doc_id, pos, md5(8-gram)) triples): strict 3-SF MATCH + both
+    # banked 50x agghashes reproduced bit-identically
+    # (OPTIMIZATION_r12.md). 375.6 -> 86.2 s at the 250x tier.
+    "exact_substring_spans",
+    "exact_substring_removal",
+})
 # r12 start: emptied — all 10 r11 waiters (semantic_dedup_clustered's
 # k-scaling, the 5 packed-ADC PQ/IVFADC names, contrastive_margin_
 # mining's single-agg, dim_truncation_recall's one-pass,
